@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pricing-summary query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline extensions); each callable (spark, sf_dir) -> DF.
+``oracle_sql()`` — matching ANSI SQL for DuckDB over the same tables.
+
+Column-name and value conventions (driver hashes sorted-by-name columns):
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (2 dp for money sums, 6 dp for ratios)
+  to absorb summation-order differences between engines;
+- timestamps are emitted as formatted strings.
 """
 
 from __future__ import annotations
@@ -12,27 +17,834 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_ingestion_spark.dq.checks import (
+    NotNullCheck,
+    RangeCheck,
+    SetMembershipCheck,
+    UniqueKeyCheck,
+)
+from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet
+from lakehouse_ingestion_spark.functions.similarity import (
+    MERSENNE_P,
+    cosine_similarity,
+    minhash_bands,
+    minhash_coeffs,
+    minhash_from_hashes,
+    minhash_min,
+    ngram_jaccard,
+    shingle_hashes,
+    shingles,
+)
+from lakehouse_ingestion_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    token_count,
+)
+from lakehouse_ingestion_spark.operators.cdc import cdc_apply, cdc_apply_incremental
+from lakehouse_ingestion_spark.operators.dedup import dedup_latest_by_key
+from lakehouse_ingestion_spark.operators.enrich import Enrichment, enrich
+from lakehouse_ingestion_spark.operators.gold import AggSpec, aggregate, cube, rollup
+from lakehouse_ingestion_spark.operators.merge import upsert
+from lakehouse_ingestion_spark.operators.scd import scd2_from_history
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# shared constants for cross-engine MinHash (k=8 keeps oracle SQL tractable;
+# the library default is 64)
+MH_K = 8
+MH_BANDS = 4
+MH_ROWS = 2
+MH_COEFFS = minhash_coeffs(MH_K, seed=42)
+NEAR_DUP_THRESHOLD = 0.3
+QUALITY_STOPWORDS = LANG_MARKERS["en"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+    read ns-as-long and convert to a microsecond timestamp — exactly what
+    DuckDB sees (it truncates ns->us on read), keeping both engines'
+    ordering and rendering identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ===========================================================================
+# Spark queries
+# ===========================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style Gold aggregate (SURVEY.md D11)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 fingerprint (D5 + text fingerprinting)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint_md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic latest-per-key dedup via one window (D5)."""
+    e = _t(spark, sf_dir, "events")
+    out = dedup_latest_by_key(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", TS_FMT).alias("ts_str"),
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (D7): events as a change stream keyed by user_id; the
+    'error' type acts as the tombstone op."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u"))
+    )
+    state = cdc_apply(
+        e,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        op_column="op",
+    )
+    return state.select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC merge (D6/D7): snapshot from the first 20 days,
+    merge the remaining events; must equal the full-history apply."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u"))
+    )
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    snapshot = cdc_apply(
+        e.filter(F.col("ts") < cutoff),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        op_column="op",
+    ).drop("op")
+    batch = e.filter(F.col("ts") >= cutoff)
+    state = cdc_apply_incremental(
+        snapshot, batch, ["user_id"], ["ts", "event_id"], op_column="op"
+    )
+    return state.select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension rebuilt from history (D8): one window pass, collapse
+    unchanged consecutive attribute values."""
+    e = _t(spark, sf_dir, "events")
+    out = scd2_from_history(
+        e, ["user_id"], "ts", attr_columns=["event_type"], tiebreakers=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT).alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/merge semantics (D6) incl. whenMatchedDelete: source rows
+    with original status 'F' delete the key."""
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    source = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("1-UPDATED").alias("o_orderpriority"),
+        )
+    )
+    merged = upsert(
+        target, source, ["o_orderkey"], delete_condition=(F.col("o_orderstatus") == "F")
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+def q_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 1 overwrite-in-place (D9) — update-all/insert-all."""
+    from lakehouse_ingestion_spark.operators.scd import scd1_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    updates = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.lit("UPDATED").alias("c_mktsegment"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        )
+    )
+    out = scd1_apply(dim, updates, ["c_custkey"])
+    return out.select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment join chain with broadcast dims (D10)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    out = enrich(
+        o,
+        Enrichment(dim=c, on=[("o_custkey", "c_custkey")], select=["c_name", "c_nationkey"]),
+        Enrichment(dim=n, on=[("c_nationkey", "n_nationkey")], select=["n_name", "n_regionkey"]),
+        Enrichment(dim=r, on=[("n_regionkey", "r_regionkey")], select=["r_name"]),
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_name",
+        "n_name",
+        "r_name",
+    )
+
+
+def q_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold wide-table denormalization (D12): lineitem * part * supplier."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name", "p_brand"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    from lakehouse_ingestion_spark.operators.gold import denormalize
+
+    wide = denormalize(l, [(p, ["l_partkey"]), (s, ["l_suppkey"])])
+    # keyed on (orderkey, linenumber); project a stable subset
+    return wide.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        "p_name",
+        "p_brand",
+        "s_name",
+    )
+
+
+def q_gold_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold daily roll-up (D11/D18 derived date column)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_date", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .groupBy("order_date", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def q_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical roll-up with subtotals (D11)."""
+    o = _t(spark, sf_dir, "orders")
+    return rollup(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            AggSpec("count", "*", "n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ],
+    )
+
+
+def q_gold_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over two dimensions (D11)."""
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    return cube(
+        e,
+        ["event_date", "event_type"],
+        [AggSpec("count", "*", "n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (window function surface)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rk"
+        )
+    )
+
+
+def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass DQ metrics (A7-A11 + D16) — N checks, ONE scan."""
+    e = _t(spark, sf_dir, "events")
+    rs = DQRuleSet(
+        [
+            NotNullCheck(column="user_id"),
+            RangeCheck(column="value", min_value=0.0, max_value=400.0),
+            SetMembershipCheck(
+                column="event_type",
+                allowed_values=["click", "view", "purchase", "signup"],
+            ),
+            UniqueKeyCheck(key_columns=["event_id"]),
+        ]
+    )
+    m = rs.metrics_df(e)
+    return m.select(
+        F.col("`not_null[user_id]__total`").alias("total_rows"),
+        F.col("`not_null[user_id]__violations`").alias("user_id_nulls"),
+        F.col("`range[value]__violations`").alias("value_out_of_range"),
+        F.col("`in_set[event_type]__violations`").alias("event_type_invalid"),
+        F.col("`unique_key[event_id]__distinct`").alias("event_id_distinct"),
+    )
+
+
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing (D14): bad rows tagged with the checks they
+    violate (comma-joined for cross-engine comparison)."""
+    e = _t(spark, sf_dir, "events")
+    rs = DQRuleSet(
+        [
+            RangeCheck(column="value", min_value=0.0, max_value=400.0),
+            SetMembershipCheck(
+                column="event_type",
+                allowed_values=["click", "view", "purchase", "signup"],
+            ),
+        ]
+    )
+    good, bad = rs.split(e)
+    return bad.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.array_join("_dq_failures", ",").alias("dq_failures"),
+    )
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity DQ (D15): orphan fraction of orders->customer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("__pk"))),
+        on=F.col("o_custkey") == F.col("__pk"),
+        how="left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col("__pk").isNull().cast("long")).alias("orphans"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis (token counting + quality scoring), pure SQL exprs."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text", stopwords=QUALITY_STOPWORDS).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id("text").alias("pred_lang"))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word-3-gram shingles; md5-based hashing is
+    bit-identical across Spark and DuckDB. Staged projections keep the
+    shingle-hash array materialized once (HOFs are interpreted; Catalyst
+    won't CSE across sibling expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    hs = d.select("doc_id", shingle_hashes(shingles("text", 3, "word")).alias("hs"))
+    return hs.select(
+        "doc_id",
+        *[
+            minhash_min(F.col("hs"), a, b).alias(f"m{i}")
+            for i, (a, b) in enumerate(MH_COEFFS)
+        ],
+    )
+
+
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (band/bucket join) verified by
+    n-gram Jaccard — the scale path for fuzzy dedup."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles("text", 3, "word").alias("sh"))
+    hs = sh.select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs"))
+    sig = hs.select(
+        "doc_id", "sh", minhash_from_hashes(F.col("hs"), MH_K, seed=42).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id", F.explode(minhash_bands(F.col("sig"), MH_BANDS, MH_ROWS)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over embeddings (the
+    exact baseline; LSH-bucketed variant is the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = q.crossJoin(emb.filter(F.col("vec_id") >= 5)).withColumn(
+        "cos_sim", F.round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rk")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_latest": q_dedup_latest,
+        "cdc_apply": q_cdc_apply,
+        "cdc_incremental": q_cdc_incremental,
+        "scd2": q_scd2,
+        "scd1": q_scd1,
+        "upsert": q_upsert,
+        "enrich": q_enrich,
+        "denormalize": q_denormalize,
+        "gold_daily": q_gold_daily,
+        "gold_rollup": q_gold_rollup,
+        "gold_cube": q_gold_cube,
+        "window_topk": q_window_topk,
+        "dq_summary": q_dq_summary,
+        "quarantine": q_quarantine,
+        "ref_integrity": q_ref_integrity,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "minhash": q_minhash,
+        "near_dup": q_near_dup,
+        "ann_cosine": q_ann_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ===========================================================================
+# DuckDB oracle SQL
+# ===========================================================================
+
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _duck_shingles_cte() -> str:
+    """CTE producing (doc_id, sh) word-3-gram distinct shingles, mirroring
+    functions.similarity.shingles(text, 3, 'word')."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+sh_t AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) - 2 <= 0 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                                                i -> array_to_string(tk[i:i+2], ' ')))
+         END AS sh
+  FROM toks
+)"""
+
+
+def _duck_minhash_exprs(prefix: str = "sh") -> list[str]:
+    exprs = []
+    for i, (a, b) in enumerate(MH_COEFFS):
+        exprs.append(
+            f"COALESCE(list_min(list_transform({prefix}, "
+            f"s -> ({a} * ({_H60.format(x='s')} % {MERSENNE_P}) + {b}) % {MERSENNE_P})), "
+            f"{MERSENNE_P}) AS m{i}"
+        )
+    return exprs
+
+
+def _duck_quality_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x IN ({sw}))) AS sw_hits
+  FROM documents
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       round(
+         0.25 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (CASE WHEN n_chars::DOUBLE / n_tok >= 2.0
+                         AND n_chars::DOUBLE / n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + 0.25 * least(alpha_chars::DOUBLE / n_chars * 1.25, 1.0)
+         + 0.25 * (CASE WHEN sw_hits > 0 THEN 1.0 ELSE 0.0 END),
+       6) AS quality
+FROM base
+"""
+
+
+def _duck_lang_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    count_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w.lower()}'" for w in LANG_MARKERS[lang])
+        count_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"x -> x IN ({words}))) AS c_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH c AS (SELECT doc_id, lang, {', '.join(count_exprs)} FROM documents),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT doc_id, lang, {case} AS pred_lang FROM b
+"""
+
+
+def _duck_bands_select() -> str:
+    """UNION ALL of band rows: (doc_id, band, key) from m0..m{K-1}."""
+    parts = []
+    for band in range(MH_BANDS):
+        cols = [f"m{band * MH_ROWS + r}" for r in range(MH_ROWS)]
+        key = " || '_' || ".join(f"{c}::VARCHAR" for c in cols)
+        parts.append(f"SELECT doc_id, {band} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs: dict[str, str] = {}
+
+    qs["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    qs["dedup_exact"] = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+    qs["dedup_latest"] = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, round(value, 2) AS value,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+FROM ranked WHERE rn = 1
+"""
+
+    qs["cdc_apply"] = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+    # incremental apply must equal the full-history apply
+    qs["cdc_incremental"] = qs["cdc_apply"]
+
+    qs["scd2"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+),
+changes AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                '{TS_FMT_DUCK}') AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL)
+         AS is_current
+FROM changes
+"""
+
+    qs["upsert"] = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+source AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         '1-UPDATED' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+deletes AS (SELECT o_orderkey FROM source WHERE o_orderstatus = 'F'),
+upserts AS (SELECT * FROM source WHERE o_orderstatus <> 'F')
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM deletes d WHERE d.o_orderkey = t.o_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM upserts u WHERE u.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2), o_orderpriority FROM upserts
+"""
+
+    qs["scd1"] = """
+WITH dim AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+),
+updates AS (
+  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+         round(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+FROM dim d WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = d.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) FROM updates
+"""
+
+    qs["enrich"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name, n_name, r_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+    qs["denormalize"] = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice,
+       p_name, p_brand, s_name
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+    qs["gold_daily"] = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1, 2
+"""
+
+    qs["gold_rollup"] = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+    qs["gold_cube"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
+"""
+
+    qs["window_topk"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+FROM ranked WHERE rk <= 3
+"""
+
+    qs["dq_summary"] = """
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+       sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 400.0)
+                THEN 1 ELSE 0 END) AS value_out_of_range,
+       sum(CASE WHEN event_type IS NOT NULL
+                 AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+                THEN 1 ELSE 0 END) AS event_type_invalid,
+       count(DISTINCT event_id) AS event_id_distinct
+FROM events
+"""
+
+    qs["quarantine"] = """
+SELECT event_id, event_type, round(value, 2) AS value,
+       array_to_string(list_filter([
+         CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 400.0)
+              THEN 'range[value]' END,
+         CASE WHEN event_type IS NOT NULL
+               AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+              THEN 'in_set[event_type]' END
+       ], x -> x IS NOT NULL), ',') AS dq_failures
+FROM events
+WHERE (value IS NOT NULL AND (value < 0.0 OR value > 400.0))
+   OR (event_type IS NOT NULL
+       AND event_type NOT IN ('click', 'view', 'purchase', 'signup'))
+"""
+
+    qs["ref_integrity"] = """
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+    qs["token_stats"] = _duck_quality_sql()
+    qs["lang_id"] = _duck_lang_sql()
+
+    qs["minhash"] = (
+        "WITH " + _duck_shingles_cte() + "\nSELECT doc_id, "
+        + ", ".join(_duck_minhash_exprs("sh"))
+        + " FROM sh_t"
+    )
+
+    qs["near_dup"] = (
+        "WITH "
+        + _duck_shingles_cte()
+        + ",\nsig AS (SELECT doc_id, "
+        + ", ".join(_duck_minhash_exprs("sh"))
+        + " FROM sh_t),\nbands AS ("
+        + _duck_bands_select()
+        + f"""),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                         / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                    ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN sh_t sa ON sa.doc_id = c.doc_a
+  JOIN sh_t sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+"""
+    )
+
+    qs["ann_cosine"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 5),
+pairs AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+               6) AS cos_sim
+  FROM q CROSS JOIN emb e WHERE e.vec_id >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, vec_id AS neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 10
+"""
+
+    return qs

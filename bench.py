@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes fully via the noop datasource sink (measures plan
+execution without result materialization on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entrymod
+    from lakehouse_ingestion_spark.session import get_spark, SparkConfig
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    spark = get_spark(
+        SparkConfig(
+            master=f"local[{cpus}]" if cpus else None,
+            app_name="lakehouse-bench",
+        )
+    )
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        # warm the input cache path once? no — cold per query, but JVM warm
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

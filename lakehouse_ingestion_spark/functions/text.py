@@ -1,0 +1,108 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python
+UDFs): token counting, quality scoring, language-ID heuristics, document
+fingerprinting. Designed so a DuckDB oracle can replicate each via ANSI
+SQL (md5 for fingerprints, regexp counts for token stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+# tiny marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def word_match_count(text: Column | str, words: list[str]) -> Column:
+    """Number of tokens that are in ``words`` (case-insensitive)."""
+    lowered = [w.lower() for w in words]
+    arr = tokens(F.lower(_col(text)))
+    return F.size(F.filter(arr, lambda t: t.isin(lowered))).cast("long")
+
+
+def quality_score(
+    text: Column | str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    stopwords: list[str] | None = None,
+) -> Column:
+    """Heuristic document quality in [0, 1]: combines length sanity,
+    alphabetic ratio, mean token length sanity, and stopword presence
+    (C4/Gopher-style rule-of-thumb filters, as pure SQL expressions)."""
+    t = _col(text)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    sw_ratio = F.when(n_tok > 0, word_match_count(t, sw) / n_tok).otherwise(F.lit(0.0))
+
+    len_ok = ((n_tok >= min_tokens) & (n_tok <= max_tokens)).cast("double")
+    tok_len_ok = ((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)).cast("double")
+    sw_ok = (sw_ratio > 0.0).cast("double")
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * tok_len_ok
+        + F.lit(0.25) * F.least(alpha_ratio * 1.25, F.lit(1.0))
+        + F.lit(0.25) * sw_ok
+    )
+    return F.round(score, 6)
+
+
+def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lower, collapse whitespace). Cross-engine stable (DuckDB md5 ==
+    Spark md5) so exact-dup detection is oracle-checkable."""
+    t = _col(text)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    return F.md5(t)
+
+
+def language_scores(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Map<lang, marker-hit-count> for the language heuristic."""
+    m = markers or LANG_MARKERS
+    pairs = []
+    for lang, words in m.items():
+        pairs.extend([F.lit(lang), word_match_count(text, words)])
+    return F.create_map(*pairs)
+
+
+def language_id(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax language by marker-word hits; 'und' (undetermined) when no
+    marker hits. Deterministic tie-break: lexicographically smallest
+    lang among the argmax set."""
+    m = markers or LANG_MARKERS
+    counts = [(lang, word_match_count(text, words)) for lang, words in sorted(m.items())]
+    best = F.greatest(*[c for _, c in counts]) if len(counts) > 1 else counts[0][1]
+    expr = F.lit("und")
+    # first lang (sorted) achieving the max wins; build right-to-left
+    for lang, c in reversed(counts):
+        expr = F.when((c == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr

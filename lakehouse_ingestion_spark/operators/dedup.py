@@ -1,0 +1,50 @@
+"""Deduplication operators (SURVEY.md D5).
+
+Reference declares Silver dedup by business key (``docs/00-architecture-
+overview.md:226``, ``schemas/payments/transactions/README.md:66``). Two
+flavors:
+
+- ``dedup_exact``: drop fully-identical or key-identical rows
+  nondeterministically (``dropDuplicates``) — cheapest, one shuffle on key.
+- ``dedup_latest_by_key``: deterministic winner per key by ordering columns
+  (e.g. latest event_time, then a unique tiebreaker) via one window — the
+  production-correct variant, single shuffle, SQL-expressible
+  (= ``row_number() over (partition by key order by ...desc) = 1``).
+
+Scale: both shuffle on the key once. For skewed keys enable AQE skew
+handling (on by default in session.py). ``dedup_latest_by_key`` avoids the
+classic two-shuffle groupBy+join-back pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_exact(df: DataFrame, key_columns: list[str] | None = None) -> DataFrame:
+    """Hash-based exact dedup. No keys -> whole-row dedup."""
+    return df.dropDuplicates(key_columns) if key_columns else df.dropDuplicates()
+
+
+def dedup_latest_by_key(
+    df: DataFrame,
+    key_columns: list[str],
+    order_by: list[Column | str],
+    keep: str = "first",
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under ``order_by``.
+
+    ``order_by`` should end with a unique tiebreaker for full determinism
+    (e.g. ``[F.desc("ts"), F.desc("event_id")]``).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if keep == "last":
+        cols = [c.desc() if isinstance(c, str) else c for c in cols]  # caller handles direction
+    w = Window.partitionBy(*key_columns).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,89 @@
+"""File-based versioned schema registry.
+
+Parity with reference ``schema/SchemaRegistry.scala:71-150,248-265``:
+schemas live at ``{base}/{domain}/{dataset}/{vN}.json`` in Spark's own
+``DataType`` JSON format, keyed by ``(domain, dataset, version)``;
+``version="latest"`` resolves to the max numeric ``vN``; results cached.
+
+The JSON files parse via ``StructType.fromJson`` — byte-compatible with the
+reference's schema files (``schemas/payments/transactions/v1.json`` etc.).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from pyspark.sql.types import StructField, StructType
+
+from lakehouse_ingestion_spark.errors import SchemaNotFoundError
+
+_VERSION_RE = re.compile(r"^v(\d+)$")
+
+
+class SchemaRegistry:
+    def __init__(self, base_path: str | Path):
+        self.base_path = Path(base_path)
+        self._cache: dict[tuple[str, str, str], StructType] = {}
+
+    # -- public API ---------------------------------------------------------
+    def get_schema(self, domain: str, dataset: str, version: str = "latest") -> StructType:
+        if version == "latest":
+            version = self.latest_version(domain, dataset)
+        key = (domain, dataset, version)
+        if key not in self._cache:
+            self._cache[key] = self._load(domain, dataset, version)
+        return self._cache[key]
+
+    def list_versions(self, domain: str, dataset: str) -> list[str]:
+        d = self.base_path / domain / dataset
+        if not d.is_dir():
+            raise SchemaNotFoundError(f"no schema dir for {domain}/{dataset} under {self.base_path}")
+        versions = []
+        for f in d.glob("v*.json"):
+            m = _VERSION_RE.match(f.stem)
+            if m:
+                versions.append((int(m.group(1)), f.stem))
+        return [name for _, name in sorted(versions)]
+
+    def latest_version(self, domain: str, dataset: str) -> str:
+        versions = self.list_versions(domain, dataset)
+        if not versions:
+            raise SchemaNotFoundError(f"no versions for {domain}/{dataset}")
+        return versions[-1]
+
+    def schema_exists(self, domain: str, dataset: str, version: str = "latest") -> bool:
+        try:
+            self.get_schema(domain, dataset, version)
+            return True
+        except SchemaNotFoundError:
+            return False
+
+    def register(self, domain: str, dataset: str, version: str, schema: StructType) -> Path:
+        """Write a schema file (used by tests / bootstrap tooling)."""
+        d = self.base_path / domain / dataset
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"{version}.json"
+        path.write_text(json.dumps(schema.jsonValue(), indent=2))
+        self._cache[(domain, dataset, version)] = schema
+        return path
+
+    # -- internal -----------------------------------------------------------
+    def _load(self, domain: str, dataset: str, version: str) -> StructType:
+        path = self.base_path / domain / dataset / f"{version}.json"
+        if not path.is_file():
+            raise SchemaNotFoundError(f"schema file not found: {path}")
+        try:
+            raw = json.loads(path.read_text())
+            parsed = StructType.fromJson(raw)
+        except Exception as e:  # malformed file -> registry error, fail early
+            raise SchemaNotFoundError(f"failed to parse schema {path}: {e}") from e
+        return parsed
+
+
+def field_metadata(schema: StructType, column: str) -> dict:
+    """Per-field metadata map (description / pii / allowed_values /
+    min_value / max_value ... — reference ``schemas/README.md`` conventions)."""
+    f: StructField = schema[column]
+    return dict(f.metadata or {})

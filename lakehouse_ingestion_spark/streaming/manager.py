@@ -1,0 +1,45 @@
+"""Multi-stream manager.
+
+Fixes the reference's serialization defect (SURVEY.md §3.2): the
+reference blocks on ``query.awaitTermination()`` inside each writer
+(``lakehouse/DeltaLakeWriter.scala:89``), so job 2 in a config never
+starts. Here all streams launch first, then the caller awaits any/all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class StreamManager:
+    spark: SparkSession
+    queries: list[StreamingQuery] = field(default_factory=list)
+
+    def register(self, query: StreamingQuery) -> StreamingQuery:
+        self.queries.append(query)
+        return query
+
+    def await_any(self, timeout: float | None = None) -> bool:
+        return self.spark.streams.awaitAnyTermination(timeout)
+
+    def await_all(self) -> None:
+        for q in self.queries:
+            q.awaitTermination()
+
+    def process_all_available(self) -> None:
+        """Drain every registered stream (test/batch-catchup helper)."""
+        for q in self.queries:
+            q.processAllAvailable()
+
+    def stop_all(self) -> None:
+        for q in self.queries:
+            if q.isActive:
+                q.stop()
+
+    @property
+    def active(self) -> list[StreamingQuery]:
+        return [q for q in self.queries if q.isActive]

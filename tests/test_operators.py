@@ -1,0 +1,144 @@
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.operators import (
+    add_audit_columns,
+    cdc_apply,
+    cdc_latest,
+    dedup_exact,
+    dedup_latest_by_key,
+    enrich,
+    scd1_apply,
+    scd2_from_history,
+    upsert,
+)
+from lakehouse_ingestion_spark.operators.cdc import cdc_apply_incremental
+from lakehouse_ingestion_spark.operators.enrich import Enrichment
+from lakehouse_ingestion_spark.operators.gold import AggSpec, aggregate, rollup
+
+
+def test_audit_columns(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = add_audit_columns(
+        df, "test-src", ingestion_time=F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    row = out.collect()[0]
+    assert row._source_system == "test-src"
+    assert str(row._ingestion_time).startswith("2024-01-01")
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id long, v string")
+    assert dedup_exact(df).count() == 2
+    assert dedup_exact(df, ["id"]).count() == 2
+
+
+def test_dedup_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "id long, ts long, v string",
+    )
+    out = dedup_latest_by_key(df, ["id"], [F.col("ts").desc()])
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_cdc_latest_and_apply(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 100, "c", "v1"),
+            (1, 200, "u", "v2"),
+            (2, 100, "c", "x1"),
+            (2, 300, "d", None),
+            (3, 50, "u", "y1"),
+        ],
+        "id long, ts long, op string, payload string",
+    )
+    latest = cdc_latest(events, ["id"], ["ts"])
+    assert {r.id: r.op for r in latest.collect()} == {1: "u", 2: "d", 3: "u"}
+    state = cdc_apply(events, ["id"], ["ts"])
+    got = {r.id: r.payload for r in state.collect()}
+    assert got == {1: "v2", 3: "y1"}  # id=2 deleted
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    events = spark.createDataFrame(
+        [(1, 100, "c", "v1"), (1, 200, "u", "v2")],
+        "id long, ts long, op string, payload string",
+    )
+    replayed = events.unionByName(events)  # duplicate delivery
+    state = cdc_apply(replayed, ["id"], [F.col("ts").desc()])
+    assert state.count() == 1
+    assert state.collect()[0].payload == "v2"
+
+
+def test_cdc_apply_incremental_matches_full(spark):
+    rows = [
+        (1, 100, "c", "a1"),
+        (1, 150, "u", "a2"),
+        (2, 120, "c", "b1"),
+        (2, 400, "d", None),
+        (3, 500, "c", "c1"),
+    ]
+    events = spark.createDataFrame(rows, "id long, ts long, op string, payload string")
+    full = cdc_apply(events, ["id"], [F.col("ts").desc()])
+    snap = cdc_apply(
+        events.filter(F.col("ts") < 300), ["id"], [F.col("ts").desc()]
+    ).drop("op")
+    batch = events.filter(F.col("ts") >= 300)
+    inc = cdc_apply_incremental(snap, batch, ["id"], ["ts"])
+    assert sorted((r.id, r.payload) for r in inc.collect()) == sorted(
+        (r.id, r.payload) for r in full.drop("op").collect()
+    )
+
+
+def test_scd2_from_history(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 100, "bronze"),
+            (1, 200, "bronze"),  # unchanged -> collapsed
+            (1, 300, "silver"),
+            (2, 100, "gold"),
+        ],
+        "id long, ts long, tier string",
+    )
+    out = scd2_from_history(df, ["id"], "ts", ["tier"]).collect()
+    rows = {(r.id, r.tier): (r.valid_from, r.valid_to, r.is_current) for r in out}
+    assert len(out) == 3
+    assert rows[(1, "bronze")] == (100, 300, False)
+    assert rows[(1, "silver")] == (300, None, True)
+    assert rows[(2, "gold")] == (100, None, True)
+
+
+def test_scd1_apply(spark):
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    out = {r.id: r.v for r in scd1_apply(dim, updates, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_with_delete(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "DEL"), (4, "d")], "id long, v string")
+    out = upsert(target, source, ["id"], delete_condition=F.col("v") == "DEL")
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_enrich_broadcast_join(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id long, dim_id long")
+    dim = spark.createDataFrame([(10, "x"), (20, "y")], "d_id long, label string")
+    out = enrich(fact, Enrichment(dim=dim, on=[("dim_id", "d_id")], select=["label"]))
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {1: "x", 2: "y", 3: None}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aggregate_and_rollup(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], "g string, h string, v double"
+    )
+    agg = aggregate(df, ["g"], [AggSpec("sum", "v", "total")])
+    assert {r.g: r.total for r in agg.collect()} == {"a": 3.0, "b": 3.0}
+    ru = rollup(df, ["g", "h"], [AggSpec("count", "*", "n")])
+    # 3 leaf + 2 subtotal + 1 grand total
+    assert ru.count() == 6

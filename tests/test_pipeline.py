@@ -1,0 +1,136 @@
+import json
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_ingestion_spark.config import load_config, parse_config
+from lakehouse_ingestion_spark.errors import ConfigError
+from lakehouse_ingestion_spark.pipeline import Pipeline
+from lakehouse_ingestion_spark.schema_registry import SchemaRegistry
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user", StringType(), True),
+        StructField("amount", DoubleType(), True, metadata={"min_value": 0.0}),
+    ]
+)
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    r = SchemaRegistry(tmp_path / "schemas")
+    r.register("demo", "events", "v1", EVENT_SCHEMA)
+    return r
+
+
+@pytest.fixture()
+def source_file(tmp_path):
+    p = tmp_path / "in.jsonl"
+    rows = [
+        {"event_id": 1, "user": "a", "amount": 10.0},
+        {"event_id": 2, "user": "b", "amount": -1.0},  # DQ violation
+        {"event_id": 3, "user": "a", "amount": 5.0},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def _config(source_file, out_dir, quarantine_dir, on_fail="QUARANTINE"):
+    return {
+        "env": "test",
+        "jobs": [
+            {
+                "name": "ingest-events",
+                "layer": "bronze",
+                "source_system": "unit-test",
+                "source": {
+                    "type": "json",
+                    "options": {"path": source_file, "format": "json"},
+                },
+                "schema": {"domain": "demo", "dataset": "events", "version": "v1"},
+                "data_quality": {
+                    "on_fail": on_fail,
+                    "derive_from_schema": True,
+                    "quarantine_path": quarantine_dir,
+                },
+                "target": {
+                    "format": "parquet",
+                    "options": {"path": out_dir, "mode": "overwrite"},
+                },
+            }
+        ],
+    }
+
+
+def test_parse_config_validates(registry, source_file, tmp_path):
+    cfg = parse_config(_config(source_file, "o", "q"), registry)
+    assert cfg.jobs[0].schema.domain == "demo"
+    bad = _config(source_file, "o", "q")
+    bad["jobs"][0]["schema"]["dataset"] = "missing"
+    with pytest.raises(ConfigError):
+        parse_config(bad, registry)
+
+
+def test_load_config_yaml(registry, source_file, tmp_path):
+    import yaml
+
+    p = tmp_path / "pipe.yaml"
+    p.write_text(yaml.safe_dump(_config(source_file, "o", "q")))
+    cfg = load_config(p, registry)
+    assert cfg.jobs[0].name == "ingest-events"
+
+
+def test_batch_pipeline_end_to_end(spark, registry, source_file, tmp_path):
+    out = str(tmp_path / "out")
+    quarantine = str(tmp_path / "quarantine")
+    cfg = parse_config(_config(source_file, out, quarantine), registry)
+    results = Pipeline(spark, cfg, registry=registry).run()
+    assert results[0].dq_summary is not None
+
+    written = spark.read.parquet(out)
+    assert written.count() == 2  # bad row routed away
+    assert "_ingestion_time" in written.columns
+    assert "_source_system" in written.columns
+    assert written.filter("_source_system = 'unit-test'").count() == 2
+
+    bad = spark.read.parquet(quarantine)
+    assert bad.count() == 1
+    assert bad.collect()[0].event_id == 2
+    assert "range[amount]" in bad.collect()[0]._dq_failures
+
+
+def test_batch_pipeline_fail_fast(spark, registry, source_file, tmp_path):
+    from lakehouse_ingestion_spark.errors import DataQualityError
+
+    cfg = parse_config(
+        _config(source_file, str(tmp_path / "o"), None, on_fail="FAIL_FAST"), registry
+    )
+    with pytest.raises(DataQualityError):
+        Pipeline(spark, cfg, registry=registry).run()
+
+
+def test_transform_chain(spark, registry, source_file, tmp_path):
+    out = str(tmp_path / "out2")
+    raw = _config(source_file, out, None, on_fail="LOG_ONLY")
+    raw["jobs"][0]["transforms"] = [
+        {"op": "filter", "predicate": "amount > 0"},
+        {"op": "derive_column", "name": "doubled", "expr": "amount * 2"},
+        {
+            "op": "aggregate",
+            "group_by": ["user"],
+            "aggs": [{"func": "sum", "column": "doubled", "alias": "total"}],
+        },
+    ]
+    raw["jobs"][0].pop("schema")
+    raw["jobs"][0].pop("data_quality")
+    cfg = parse_config(raw, registry)
+    Pipeline(spark, cfg, registry=registry).run()
+    got = {r.user: r.total for r in spark.read.parquet(out).collect()}
+    assert got == {"a": 30.0}

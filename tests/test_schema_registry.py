@@ -1,0 +1,83 @@
+import json
+
+import pytest
+from pyspark.sql.types import (
+    DecimalType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lakehouse_ingestion_spark.errors import SchemaNotFoundError
+from lakehouse_ingestion_spark.schema_registry import SchemaRegistry, field_metadata
+
+SCHEMA = StructType(
+    [
+        StructField("transaction_id", StringType(), False),
+        StructField(
+            "amount",
+            DecimalType(10, 2),
+            False,
+            metadata={"min_value": 0.01, "max_value": 999999.99},
+        ),
+        StructField(
+            "currency",
+            StringType(),
+            False,
+            metadata={"allowed_values": ["USD", "EUR", "GBP", "JPY"]},
+        ),
+        StructField("transaction_time", TimestampType(), False),
+        StructField("retries", IntegerType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    r = SchemaRegistry(tmp_path)
+    r.register("payments", "transactions", "v1", SCHEMA)
+    return r
+
+
+def test_roundtrip(registry):
+    s = registry.get_schema("payments", "transactions", "v1")
+    assert s == SCHEMA
+
+
+def test_latest_version_numeric_sort(registry, tmp_path):
+    registry.register("payments", "transactions", "v2", SCHEMA)
+    registry.register("payments", "transactions", "v10", SCHEMA)
+    assert registry.latest_version("payments", "transactions") == "v10"
+    assert registry.get_schema("payments", "transactions", "latest") == SCHEMA
+    assert registry.list_versions("payments", "transactions") == ["v1", "v2", "v10"]
+
+
+def test_missing_schema_raises(registry):
+    with pytest.raises(SchemaNotFoundError):
+        registry.get_schema("payments", "transactions", "v99")
+    with pytest.raises(SchemaNotFoundError):
+        registry.get_schema("nope", "nothing")
+
+
+def test_malformed_file_raises(tmp_path):
+    r = SchemaRegistry(tmp_path)
+    d = tmp_path / "x" / "y"
+    d.mkdir(parents=True)
+    (d / "v1.json").write_text("{not json")
+    with pytest.raises(SchemaNotFoundError):
+        r.get_schema("x", "y", "v1")
+
+
+def test_field_metadata(registry):
+    s = registry.get_schema("payments", "transactions")
+    meta = field_metadata(s, "amount")
+    assert meta["min_value"] == 0.01
+    assert field_metadata(s, "currency")["allowed_values"] == ["USD", "EUR", "GBP", "JPY"]
+
+
+def test_spark_datatype_json_compat(registry, tmp_path):
+    """Schema files are Spark's own DataType JSON format."""
+    raw = json.loads((tmp_path / "payments" / "transactions" / "v1.json").read_text())
+    assert StructType.fromJson(raw) == SCHEMA
