@@ -30,13 +30,18 @@ from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet
 from lakehouse_ingestion_spark.functions.similarity import (
     MERSENNE_P,
     cosine_similarity,
+    dot_product,
+    l2_norm,
     minhash_bands,
     minhash_coeffs,
     minhash_from_hashes,
     minhash_min,
     ngram_jaccard,
+    lsh_bucket,
+    random_hyperplanes,
     shingle_hashes,
     shingles,
+    simhash64,
 )
 from lakehouse_ingestion_spark.functions.text import (
     LANG_MARKERS,
@@ -51,6 +56,7 @@ from lakehouse_ingestion_spark.operators.enrich import Enrichment, enrich
 from lakehouse_ingestion_spark.operators.gold import AggSpec, aggregate, cube, rollup
 from lakehouse_ingestion_spark.operators.merge import upsert
 from lakehouse_ingestion_spark.operators.scd import scd2_from_history
+from lakehouse_ingestion_spark.util import ensure_parallelism
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -63,6 +69,11 @@ MH_ROWS = 2
 MH_COEFFS = minhash_coeffs(MH_K, seed=42)
 NEAR_DUP_THRESHOLD = 0.3
 QUALITY_STOPWORDS = LANG_MARKERS["en"]
+SIMHASH_BITS = 60
+COSINE_DUP_THRESHOLD = 0.4
+LSH_DIM = 64
+LSH_N_PLANES = 8
+LSH_PLANES = random_hyperplanes(LSH_DIM, LSH_N_PLANES, seed=7)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -403,7 +414,7 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis (token counting + quality scoring), pure SQL exprs."""
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -413,7 +424,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID heuristic."""
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", language_id("text").alias("pred_lang"))
 
 
@@ -422,7 +433,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across Spark and DuckDB. Staged projections keep the
     shingle-hash array materialized once (HOFs are interpreted; Catalyst
     won't CSE across sibling expressions)."""
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     hs = d.select("doc_id", shingle_hashes(shingles("text", 3, "word")).alias("hs"))
     return hs.select(
         "doc_id",
@@ -436,15 +447,22 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (band/bucket join) verified by
     n-gram Jaccard — the scale path for fuzzy dedup."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text", 3, "word").alias("sh"))
-    hs = sh.select("doc_id", "sh", shingle_hashes(F.col("sh")).alias("hs"))
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # persist the shingle sets: they are read 3x (both sides of the LSH
+    # self-join + the Jaccard verification) and recomputing the
+    # interpreted HOF pipeline dominates otherwise
+    sh = d.select("doc_id", shingles("text", 3, "word").alias("sh")).persist()
+    hs = sh.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
     sig = hs.select(
-        "doc_id", "sh", minhash_from_hashes(F.col("hs"), MH_K, seed=42).alias("sig")
+        "doc_id", minhash_from_hashes(F.col("hs"), MH_K, seed=42).alias("sig")
     )
-    bands = sig.select(
-        "doc_id", F.explode(minhash_bands(F.col("sig"), MH_BANDS, MH_ROWS)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    bands = (
+        sig.select(
+            "doc_id", F.explode(minhash_bands(F.col("sig"), MH_BANDS, MH_ROWS)).alias("b")
+        )
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -467,7 +485,7 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over embeddings (the
     exact baseline; LSH-bucketed variant is the scale path)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -481,6 +499,186 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rk")
+    )
+
+
+def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: multi-join + filter + agg + top-k by revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: six-table join, nation-local supplier revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT over customer activity years."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(F.lit("both").alias("bucket"), "o_custkey")
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("bucket"), "o_custkey")
+    only96 = y96.exceptAll(y95).select(F.lit("only_1996").alias("bucket"), "o_custkey")
+    return both.unionByName(only95).unionByName(only96)
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: total sort with deterministic tiebreak + limit."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: math / string / date functions with
+    identical cross-engine semantics."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.log("o_totalprice"), 6).alias("ln_price"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.regexp_replace("o_orderpriority", "-", "_").alias("prio_underscore"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (near-dup detection path #2); md5-based token
+    hashes keep it bit-identical across engines."""
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", simhash64("text", nbits=SIMHASH_BITS).alias("simhash"))
+
+
+def q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force threshold join)."""
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # norms once per vector (N), not once per pair (N^2/2)
+    emb = emb.withColumn("nrm", l2_norm("v"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            F.round(dot_product("va", "vb") / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): random-hyperplane sign buckets,
+    then exact cosine only within the query's bucket."""
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket("v", LSH_PLANES))
+    q = bucketed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = bucketed.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    pairs = q.join(cand, "bucket").withColumn(
+        "cos_sim", F.round(cosine_similarity("qv", "cv"), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column -> mapInPandas feature
+    extraction (stub decoder) + frame sampling. Not SQL-expressible
+    (mapInPandas) -> rows-only check."""
+    from lakehouse_ingestion_spark.functions.multimodal import (
+        extract_media_features,
+        sample_frames,
+    )
+
+    # modest partition count: each partition spins a Python worker, and at
+    # this row count worker startup dominates over per-row decode
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"), min_partitions=8)
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    feats = extract_media_features(media, "content", "media_id")
+    frames = sample_frames(media, "content", "media_id", every_n_bytes=64, max_frames=8)
+    return feats.join(frames.select("media_id", "n_frames"), "media_id").select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        "n_frames",
+        "decoder",
     )
 
 
@@ -513,6 +711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "near_dup": q_near_dup,
         "ann_cosine": q_ann_cosine,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
+        "set_ops": q_set_ops,
+        "sort_limit": q_sort_limit,
+        "scalar_funcs": q_scalar_funcs,
+        "simhash": q_simhash,
+        "cosine_dup": q_cosine_dup,
+        "ann_lsh": q_ann_lsh,
+        "multimodal": q_multimodal,
     }
 
 
@@ -596,6 +803,63 @@ def _duck_lang_sql() -> str:
 WITH c AS (SELECT doc_id, lang, {', '.join(count_exprs)} FROM documents),
 b AS (SELECT *, {best} AS best FROM c)
 SELECT doc_id, lang, {case} AS pred_lang FROM b
+"""
+
+
+def _duck_simhash_sql() -> str:
+    """SimHash mirror: explode tokens, 60 per-bit vote sums, weighted
+    recombination — generated programmatically (mechanical but exact)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    weighted = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_H60.format(x='tok')} AS th FROM toks),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({weighted})::BIGINT AS simhash FROM votes
+"""
+
+
+def _duck_ann_lsh_sql() -> str:
+    """Random-hyperplane LSH mirror: per-plane sign bits concatenated into
+    a bucket id, exact cosine within the bucket."""
+    bits = []
+    for plane in LSH_PLANES:
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 20),
+cand AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bucketed WHERE vec_id >= 20),
+pairs AS (
+  SELECT q.q_id, cand.neighbor_id,
+         round(list_dot_product(q.qv, cand.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cand.cv, cand.cv))),
+               6) AS cos_sim
+  FROM q JOIN cand ON q.bucket = cand.bucket
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
 """
 
 
@@ -828,6 +1092,87 @@ verified AS (
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}
 """
     )
+
+    qs["q3_shipping"] = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, revenue
+FROM agg ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+    qs["q5_local_supplier"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+    qs["set_ops"] = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996)
+SELECT 'both' AS bucket, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1995', o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+"""
+
+    qs["sort_limit"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+    qs["scalar_funcs"] = """
+SELECT o_orderkey,
+       round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       round(ln(o_totalprice), 6) AS ln_price,
+       upper(o_orderstatus) AS status_upper,
+       lower(o_orderpriority) AS prio_lower,
+       substr(o_orderpriority, 1, 3) AS prio_prefix,
+       length(o_orderpriority) AS prio_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       replace(o_orderpriority, '-', '_') AS prio_underscore,
+       extract(year FROM o_orderdate)::BIGINT AS order_year,
+       extract(month FROM o_orderdate)::BIGINT AS order_month,
+       extract(day FROM o_orderdate)::BIGINT AS order_day,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+    qs["simhash"] = _duck_simhash_sql()
+
+    qs["cosine_dup"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cos_sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+    qs["ann_lsh"] = _duck_ann_lsh_sql()
 
     qs["ann_cosine"] = """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -34,10 +34,14 @@ def main() -> None:
         )
     )
 
+    # warm up the JVM / codegen / python-worker pool so the first measured
+    # query doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
-        # warm the input cache path once? no — cold per query, but JVM warm
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+pipelines.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``fake_decode_features`` derives a deterministic feature vector from the
+raw bytes (length, byte histogram moments, md5-seeded pseudo-embedding),
+so the Spark-side plumbing — schema contract, batch iteration, partition
+behavior, UDF signature — is real and testable. Swap ``_decode`` for a
+real decoder (PIL / torchaudio / decord) in production.
+
+Scale notes: mapInPandas streams Arrow batches (no full-partition
+materialization); keep ``spark.sql.execution.arrow.maxRecordsPerBatch``
+modest for large blobs; binary columns should be size-bucketed before
+heavy decode to avoid skewed tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+
+def media_feature_schema(id_field: str = "media_id") -> StructType:
+    return StructType(
+        [
+            StructField(id_field, LongType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("byte_mean", DoubleType(), True),
+            StructField("byte_std", DoubleType(), True),
+            StructField("embedding", ArrayType(DoubleType()), True),
+            StructField("decoder", StringType(), True),
+        ]
+    )
+
+
+def _decode(blob: bytes) -> np.ndarray:
+    """STUB decoder: a real implementation would decode image/audio and
+    run a feature extractor. Deterministic fake: md5-seeded vector.
+
+    Raises NotImplementedError for empty blobs to exercise the error
+    path the way a real codec failure would.
+    """
+    if not blob:
+        raise NotImplementedError("empty blob: no decodable content")
+    seed = int.from_bytes(hashlib.md5(blob).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.random(FEATURE_DIM)
+
+
+def extract_media_features(
+    df: DataFrame,
+    content_column: str = "content",
+    id_column: str = "media_id",
+    on_error: str = "null",  # null | fail
+) -> DataFrame:
+    """mapInPandas pipeline: (id, binary content) -> feature rows.
+
+    The batch function is deliberately SELF-CONTAINED (its own imports, no
+    references to this module's globals): cloudpickle serializes nested
+    functions by value but module globals by reference, and executors'
+    Python workers cannot be assumed to have this package on their
+    PYTHONPATH (they only share the driver's working dir in local mode).
+    """
+    out_schema = media_feature_schema(id_column)
+    feature_dim = FEATURE_DIM
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode_local(blob: bytes) -> "_np.ndarray":
+            # keep in sync with module-level _decode (duplicated so the
+            # closure pickles by value — see docstring)
+            if not blob:
+                raise NotImplementedError("empty blob: no decodable content")
+            seed = int.from_bytes(_hashlib.md5(blob).digest()[:4], "big")
+            rng = _np.random.default_rng(seed)
+            return rng.random(feature_dim)
+
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_column], pdf[content_column]):
+                raw = bytes(blob) if blob is not None else b""
+                try:
+                    emb = _decode_local(raw)
+                    arr = _np.frombuffer(raw, dtype=_np.uint8)
+                    rows.append(
+                        {
+                            id_column: mid,
+                            "n_bytes": len(raw),
+                            "byte_mean": float(arr.mean()) if len(arr) else 0.0,
+                            "byte_std": float(arr.std()) if len(arr) else 0.0,
+                            "embedding": emb.tolist(),
+                            "decoder": "stub-md5",
+                        }
+                    )
+                except NotImplementedError:
+                    if on_error == "fail":
+                        raise
+                    rows.append(
+                        {
+                            id_column: mid,
+                            "n_bytes": 0,
+                            "byte_mean": None,
+                            "byte_std": None,
+                            "embedding": None,
+                            "decoder": "error",
+                        }
+                    )
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(id_column, content_column).mapInPandas(_batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_column: str = "content",
+    id_column: str = "media_id",
+    every_n_bytes: int = 1024,
+    max_frames: int = 16,
+) -> DataFrame:
+    """'Frame sampling' stand-in for video: slice the blob every N bytes
+    (a real impl samples decoded frames). Pure built-in expressions."""
+    n = F.length(F.col(content_column))
+    frame_count = F.when(n.isNull() | (n == 0), F.lit(0)).otherwise(
+        F.least(F.ceil(n / every_n_bytes), F.lit(max_frames))
+    ).cast("int")
+    frames = F.when(frame_count == 0, F.array().cast("array<binary>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), frame_count - 1),
+            lambda i: F.col(content_column).substr(
+                i * every_n_bytes + 1, F.lit(every_n_bytes)
+            ),
+        )
+    )
+    return df.select(
+        id_column,
+        n.alias("n_bytes"),
+        frame_count.alias("n_frames"),
+        frames.alias("frames"),
+    )

