@@ -682,6 +682,103 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (beyond rollup/cube: arbitrary grouping combinations)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation — oracled against the plain
+    single-stage form (same result, skew-resistant plan)."""
+    from lakehouse_ingestion_spark.operators.skew import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        l,
+        ["l_returnflag"],
+        [("sum", "l_quantity", "sum_qty"), ("count", "l_quantity", "n"),
+         ("max", "l_extendedprice", "max_price")],
+        num_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n",
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running totals and moving averages (ROWS BETWEEN)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+            )
+        )
+        .alias("seq"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via session_window (30-min inactivity gap) —
+    the same operator runs on streams with a watermark."""
+    from lakehouse_ingestion_spark.streaming.windows import session_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = session_window_agg(
+        e,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        F.date_format("session_end", TS_FMT).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -720,6 +817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup": q_cosine_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal": q_multimodal,
+        "grouping_sets": q_grouping_sets,
+        "percentiles": q_percentiles,
+        "salted_agg": q_salted_agg,
+        "window_frames": q_window_frames,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1173,6 +1275,70 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """
 
     qs["ann_lsh"] = _duck_ann_lsh_sql()
+
+    qs["grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+    qs["percentiles"] = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+    # the salted two-stage plan must produce exactly the plain aggregate
+    qs["salted_agg"] = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(l_quantity) AS n,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    qs["window_frames"] = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+       row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC) AS seq
+FROM orders WHERE o_custkey % 10 = 0
+"""
+
+    # gaps-and-islands mirror of session_window: a session ends after 30
+    # minutes of inactivity; Spark's session end = last event + gap
+    qs["sessionize"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, sid
+"""
 
     qs["ann_cosine"] = """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,146 @@
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+)
+from lakehouse_ingestion_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:10", 1.0),
+        ("a", "2024-01-01 00:00:50", 2.0),
+        ("a", "2024-01-01 00:01:10", 3.0),
+        ("b", "2024-01-01 00:02:30", 4.0),
+        ("b", "2024-01-01 00:09:00", 5.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts_s string, v double").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+
+
+def test_tumbling_window(ts_df):
+    out = tumbling_window_agg(
+        ts_df, "ts", "1 minute", ["k"], [F.sum("v").alias("total")]
+    )
+    got = {(r.k, str(r.window_start)): r.total for r in out.collect()}
+    assert got[("a", "2024-01-01 00:00:00")] == 3.0
+    assert got[("a", "2024-01-01 00:01:00")] == 3.0
+    assert got[("b", "2024-01-01 00:02:00")] == 4.0
+
+
+def test_sliding_window(ts_df):
+    out = sliding_window_agg(
+        ts_df, "ts", "2 minutes", "1 minute", ["k"], [F.count("v").alias("n")]
+    )
+    rows = {(r.k, str(r.window_start)): r.n for r in out.collect()}
+    # the 00:00-00:02 window sees all three 'a' events
+    assert rows[("a", "2024-01-01 00:00:00")] == 3
+    # each event appears in 2 sliding windows
+    assert sum(n for (k, _), n in rows.items() if k == "a") == 6
+
+
+def test_session_window(ts_df):
+    out = session_window_agg(
+        ts_df, "ts", "90 seconds", ["k"], [F.count("v").alias("n")]
+    )
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.k, []).append(r.n)
+    assert sorted(by_key["a"]) == [3]  # one session (gaps < 90s)
+    assert sorted(by_key["b"]) == [1, 1]  # two sessions (6.5 min gap)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 0.5).alias("v")
+    )
+    plain = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.s, r.n)
+        for r in salted_aggregate(
+            df, ["k"], [("sum", "v", "s"), ("count", "v", "n")], num_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_aggregate_rejects_avg(spark):
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], [("avg", "v", "a")])
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(0, 2000).select((F.col("id") % 5).alias("k"), "id")
+    right = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "k long, label string"
+    )
+    plain = left.join(right, "k").groupBy("label").count()
+    salted = salted_broadcast_left(left, right, ["k"], num_salts=4).groupBy("label").count()
+    assert {r.label: r["count"] for r in plain.collect()} == {
+        r.label: r["count"] for r in salted.collect()
+    }
+
+
+def test_stateful_running_aggregate(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.stateful import running_aggregate
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"key": "a", "v": 1.0}, {"key": "a", "v": 2.0}, {"key": "b", "v": 5.0}]
+        )
+    )
+    schema = "key string, v double"
+    stream = (
+        spark.readStream.schema(schema).format("json").load(str(indir))
+    )
+    out = running_aggregate(stream, "key", "v")
+    sink_dir = str(tmp_path / "out")
+
+    def run_once(epoch_tag):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, e: b.withColumn("tag", F.lit(epoch_tag))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("r1")
+    got = {
+        r.key: (r.n_events, r.total_value)
+        for r in spark.read.parquet(sink_dir).filter("tag = 'r1'").collect()
+    }
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # second batch accumulates onto checkpointed state across a restart
+    (indir / "b2.jsonl").write_text(json.dumps({"key": "a", "v": 10.0}))
+    run_once("r2")
+    got2 = {
+        r.key: (r.n_events, r.total_value)
+        for r in spark.read.parquet(sink_dir).filter("tag = 'r2'").collect()
+    }
+    assert got2["a"] == (3, 13.0)
