@@ -779,6 +779,105 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: each purchase event matched to the user's
+    most recent click at-or-before it. Single-shuffle union+window
+    formulation (operators/asof.py); oracle is DuckDB's native ASOF JOIN."""
+    from lakehouse_ingestion_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = asof_join(
+        purchases, clicks, by=["user_id"], left_on="ts", right_on="ts",
+        value_columns=["click_id"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.round("value", 2).alias("purchase_value"),
+        "click_id",
+        F.round(
+            F.col("ts").cast("double") - F.col("_asof_matched_time").cast("double"), 6
+        ).alias("secs_since_click"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) + per-fingerprint
+    duplicate counts — exact-dup detection at scale is a groupBy on the
+    16-byte fingerprint, never on the document text."""
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    fp = d.select("doc_id", fingerprint_md5("text").alias("fp"))
+    n = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_same"))
+    return fp.join(n, "fp").select("doc_id", "fp", "n_same")
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type — the batch form
+    of streaming/windows.tumbling_window_agg (same F.window expression)."""
+    from lakehouse_ingestion_spark.streaming.windows import tumbling_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in two
+    overlapping windows."""
+    from lakehouse_ingestion_spark.streaming.windows import sliding_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        e, "ts", "1 hour", "30 minutes", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: approx_count_distinct (HLL++) per order status,
+    with relative-error bound asserted against the exact count. HLL
+    implementations differ across engines, so the oracle checks the
+    *deviation bound* (a deterministic boolean) rather than the raw sketch
+    value: within_5pct must be true for every group in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
+            F.count_distinct("o_custkey").alias("exact_cust"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_cust",
+            (
+                F.abs(F.col("approx_cust") - F.col("exact_cust"))
+                / F.col("exact_cust")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -822,6 +921,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "window_frames": q_window_frames,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "fingerprint": q_fingerprint,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1338,6 +1442,63 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
 FROM sessions GROUP BY user_id, sid
+"""
+
+    # DuckDB's native ASOF JOIN is the oracle for the union+window form
+    qs["asof_join"] = f"""
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts, value
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts FROM events
+      WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id,
+       round(p.value, 2) AS purchase_value,
+       c.click_id,
+       round(epoch(p.ts) - epoch(c.ts), 6) AS secs_since_click
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+    qs["fingerprint"] = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same FROM fp
+"""
+
+    qs["tumbling_window"] = f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    # sliding 1h/30min: every event belongs to exactly two windows, the
+    # 30-min-aligned bucket it falls in and the one 30 min earlier
+    qs["sliding_window"] = f"""
+WITH exploded AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS s,
+         event_type, value
+  FROM events
+)
+SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM exploded GROUP BY 1, 2
+"""
+
+    # HLL sketches differ across engines; the deterministic contract is the
+    # error bound, so both engines emit (exact, within_5pct)
+    qs["approx_distinct"] = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS exact_cust,
+       abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+         / count(DISTINCT o_custkey) <= 0.05 AS within_5pct
+FROM orders GROUP BY o_orderstatus
 """
 
     qs["ann_cosine"] = """

@@ -1,0 +1,103 @@
+"""As-of (point-in-time) join — not present in the reference
+(SURVEY.md §2C: "No theta/range/as-of/interval join anywhere in the
+reference"); provided as a training-data / event-pipeline extension and
+oracle-checked against DuckDB's native ``ASOF JOIN``.
+
+Semantics (direction="backward", the default): for every left row, attach
+the single right row with the same key and the greatest ``right_on`` time
+satisfying ``right_on <= left_on`` (within ``tolerance`` if given).
+
+Spark-first formulation — ONE shuffle, no join:
+tag both sides, union them, and compute ``last(<right col>, ignorenulls)``
+over a per-key window ordered by (time, side). Right rows sort before left
+rows at equal timestamps, so ties match (``<=``). This scales as a single
+hash-partition by key + per-partition sort — compare the naive
+``left.join(right, key).filter(r.ts <= l.ts)`` + window-max, which
+shuffles both sides AND explodes to |L|x|R| per key before pruning.
+Skewed keys are handled by AQE skew-split on the one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDE = "__asof_side"
+_TIME = "__asof_time"
+_RTIME = "__asof_rtime"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_columns: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join of ``right`` onto ``left``.
+
+    ``value_columns``: right columns to attach (default: all non-key,
+    non-time right columns). Attached columns keep their name unless it
+    collides with a left column, in which case ``suffix`` is appended.
+    Rows with no qualifying right match keep nulls (left-join semantics).
+    """
+    if value_columns is None:
+        value_columns = [
+            c for c in right.columns if c not in by and c != right_on
+        ]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in value_columns
+    }
+
+    l_tagged = left.select(
+        *by,
+        F.col(left_on).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in by],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in value_columns],
+        F.lit(None).cast(right.schema[right_on].dataType).alias(_RTIME),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_on).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by],
+        *[F.col(c).alias(out_names[c]) for c in value_columns],
+        F.col(right_on).alias(_RTIME),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(out_names[c], ignorenulls=True).over(w).alias("__f_" + out_names[c]) for c in value_columns],
+        F.last(_RTIME, ignorenulls=True).over(w).alias("__f_" + _RTIME),
+    )
+
+    matched = F.col("__f_" + _RTIME).isNotNull()
+    if tolerance_seconds is not None:
+        matched = matched & (
+            F.col(_TIME).cast("double") - F.col("__f_" + _RTIME).cast("double")
+            <= tolerance_seconds
+        )
+
+    left_cols = [c for c in left.columns if c not in by]
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *by,
+        *left_cols,
+        *[
+            F.when(matched, F.col("__f_" + out_names[c]))
+            .otherwise(F.lit(None))
+            .alias(out_names[c])
+            for c in value_columns
+        ],
+        F.when(matched, F.col("__f_" + _RTIME)).otherwise(F.lit(None)).alias("_asof_matched_time"),
+    )
