@@ -608,27 +608,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force threshold join)."""
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Embedding-cosine near-duplicate pairs (exact all-pairs, blocked):
+    block-pair fan-out + one BLAS matmul per block via applyInPandas —
+    ~10x the interpreted HOF-dot-product cross join it replaces."""
+    from lakehouse_ingestion_spark.operators.similarity_join import (
+        cosine_allpairs_blocked,
     )
-    # norms once per vector (N), not once per pair (N^2/2)
-    emb = emb.withColumn("nrm", l2_norm("v"))
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
-            "cos_sim",
-            F.round(dot_product("va", "vb") / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b", "cos_sim")
-    )
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    return cosine_allpairs_blocked(
+        emb, "vec_id", "embedding", COSINE_DUP_THRESHOLD, num_blocks=8
+    ).select("id_a", "id_b", "cos_sim")
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,21 +850,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     *deviation bound* (a deterministic boolean) rather than the raw sketch
     value: within_5pct must be true for every group in both engines."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
-            F.count_distinct("o_custkey").alias("exact_cust"),
-        )
-        .select(
-            "o_orderstatus",
-            "exact_cust",
-            (
-                F.abs(F.col("approx_cust") - F.col("exact_cust"))
-                / F.col("exact_cust")
-                <= 0.05
-            ).alias("within_5pct"),
-        )
+    # separate aggregations joined on the tiny group key: fusing them makes
+    # Spark carry one HLL sketch per (status, custkey) pair through the
+    # count-distinct expand — 100x the state for no benefit
+    approx = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_cust")
+    )
+    return exact.join(F.broadcast(approx), "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_cust",
+        (
+            F.abs(F.col("approx_cust") - F.col("exact_cust")) / F.col("exact_cust")
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 

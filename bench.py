@@ -38,6 +38,11 @@ def main() -> None:
     # query doesn't absorb session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+
+    spark.range(0, 1024, 1, 32).groupBy(F.col("id") % 32).applyInPandas(
+        lambda pdf: pdf.head(1), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
