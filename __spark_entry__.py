@@ -869,6 +869,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting + Rabin-Karp rolling-hash document
+    fingerprint (both lookahead-free / HOF-fold so the identical
+    computation runs on the DuckDB oracle)."""
+    from lakehouse_ingestion_spark.functions.text import (
+        bpe_token_count,
+        fingerprint_rolling,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("bpe_tokens"),
+        fingerprint_rolling("text").alias("rolling_fp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -917,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "approx_distinct": q_approx_distinct,
+        "text_tokenize": q_text_tokenize,
     }
 
 
@@ -1480,6 +1498,19 @@ SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM exploded GROUP BY 1, 2
+"""
+
+    qs["text_tokenize"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+         AS bpe_tokens,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(
+           regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '.'),
+           c -> ascii(c)::BIGINT)),
+         (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+FROM documents
 """
 
     # HLL sketches differ across engines; the deterministic contract is the

@@ -75,6 +75,38 @@ def quality_score(
     return F.round(score, 6)
 
 
+# BPE-ish pre-tokenizer: contractions, space-prefixed letter runs, digit
+# runs, punctuation runs. Deliberately lookahead-free so the same pattern
+# runs on Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+ROLLING_P = 2_147_483_647  # 2^31 - 1; keeps h*31 + c inside int64
+
+
+def bpe_token_count(text: Column | str, pattern: str = BPE_PATTERN) -> Column:
+    """Approximate BPE token count: matches of a GPT-2-style pre-tokenizer
+    regex (the real BPE merge step only splits within pre-tokens, so this
+    upper-bounds and strongly correlates with true token counts)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(pattern), 0)).cast("long")
+
+
+def fingerprint_rolling(text: Column | str, normalize: bool = True) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash of the normalized text:
+    fold h = (h*31 + codepoint) mod (2^31 - 1) over characters. Pure
+    higher-order-function fold — JVM-side, cross-engine reproducible."""
+    t = _col(text)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    codes = F.transform(
+        F.regexp_extract_all(t, F.lit(r"."), 0), lambda c: F.ascii(c).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % ROLLING_P,
+    )
+
+
 def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lower, collapse whitespace). Cross-engine stable (DuckDB md5 ==

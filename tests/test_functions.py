@@ -116,3 +116,27 @@ def test_simhash_hamming(spark):
         hamming64(simhash64("a"), simhash64("c")).alias("far"),
     ).collect()[0]
     assert row.near < row.far
+
+
+def test_bpe_token_count(spark):
+    from lakehouse_ingestion_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("It's a test, isn't it? 123 foo-bar!!",), ("",), ("one",)], "t string"
+    )
+    got = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    # It|'s| a| test|,| isn|'t| it|?| 123| foo|-|bar|!! -> 14
+    assert got == [14, 0, 1]
+
+
+def test_fingerprint_rolling(spark):
+    from lakehouse_ingestion_spark.functions.text import fingerprint_rolling
+
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("hello worlds",), ("",)],
+        "t string",
+    )
+    a, b, c, e = [r[0] for r in df.select(fingerprint_rolling("t")).collect()]
+    assert a == b  # normalization: case + whitespace collapse
+    assert b != c
+    assert e == 0
