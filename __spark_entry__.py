@@ -886,6 +886,23 @@ def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity range join: clicks within ±5 min of each error event,
+    via bucketed equi-join (operators/range_join.py) instead of the
+    broadcast-nested-loop a raw BETWEEN join would plan."""
+    from lakehouse_ingestion_spark.operators.range_join import range_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    j = range_join(errors, clicks, "ts", "click_ts", -300.0, 300.0, how="left")
+    return j.groupBy("err_id").agg(F.count("click_id").alias("n_clicks"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -935,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "approx_distinct": q_approx_distinct,
         "text_tokenize": q_text_tokenize,
+        "range_join": q_range_join,
     }
 
 
@@ -1498,6 +1516,16 @@ SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM exploded GROUP BY 1, 2
+"""
+
+    qs["range_join"] = """
+SELECT er.err_id, count(c.click_id) AS n_clicks
+FROM (SELECT event_id AS err_id, ts FROM events WHERE event_type = 'error') er
+LEFT JOIN (SELECT event_id AS click_id, ts AS click_ts FROM events
+           WHERE event_type = 'click') c
+  ON c.click_ts >= er.ts - INTERVAL 300 SECOND
+ AND c.click_ts <= er.ts + INTERVAL 300 SECOND
+GROUP BY er.err_id
 """
 
     qs["text_tokenize"] = r"""

@@ -1,0 +1,99 @@
+"""Bucketed range (interval) join — extension beyond the reference
+(SURVEY.md §2C: no range/interval join exists there), needed for
+time-proximity joins in event pipelines.
+
+Problem: ``left JOIN right ON right.ts BETWEEN left.ts + lo AND
+left.ts + hi`` has no equi-key, so Catalyst can only plan a broadcast
+nested loop (O(|L| * |R|) comparisons — hopeless at scale).
+
+Technique: quantize time into buckets of width ``hi - lo``; a right row
+can only match left rows whose window overlaps its bucket, so exploding
+each LEFT row to the (at most 2) buckets its window spans and
+equi-joining on the bucket id turns the plan into a shuffle hash /
+sort-merge join with a residual range filter. Replication factor is
+bounded by ``ceil(span / width) + 1 = 2``, independent of data size —
+the shuffle is on (bucket [, extra keys]), so AQE's skew handling
+applies to hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__rj_bucket"
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    extra_keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows where ``right.right_ts`` is within
+    ``[left.left_ts + lower_seconds, left.left_ts + upper_seconds]``
+    (and ``extra_keys`` match, if given). Columns of both sides are kept;
+    ``how`` may be "inner" or "left" ("left" keeps unmatched left rows
+    with nulls on the right side).
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must be > lower_seconds")
+    width = float(upper_seconds - lower_seconds)
+    keys = list(extra_keys or [])
+
+    l_sec = F.col(left_ts).cast("double")
+    r_sec = F.col(right_ts).cast("double")
+
+    # left explodes to every bucket its window [ts+lo, ts+hi] overlaps
+    lo_b = F.floor((l_sec + lower_seconds) / width).cast("long")
+    hi_b = F.floor((l_sec + upper_seconds) / width).cast("long")
+    l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
+    r_b = right.withColumn(_BUCKET, F.floor(r_sec / width).cast("long"))
+
+    cond: Column = l_exp[_BUCKET] == r_b[_BUCKET]
+    for k in keys:
+        cond = cond & (l_exp[k] == r_b[k])
+    in_range = (
+        r_b[right_ts].cast("double") >= l_exp[left_ts].cast("double") + lower_seconds
+    ) & (
+        r_b[right_ts].cast("double") <= l_exp[left_ts].cast("double") + upper_seconds
+    )
+
+    if how == "inner":
+        joined = l_exp.join(r_b, cond & in_range, "inner")
+        # a (left row, right row) match appears once: the right row's
+        # bucket is unique, so only one exploded left copy satisfies cond
+        return joined.drop(r_b[_BUCKET]).drop(l_exp[_BUCKET]).drop(
+            *[r_b[k] for k in keys]
+        )
+    if how == "left":
+        joined = l_exp.join(r_b, cond & in_range, "left")
+        # unmatched left rows survive once per exploded bucket copy ->
+        # keep one copy; matched rows are already unique (see above)
+        right_only = [c for c in right.columns if c not in keys]
+        w_any = F.max(
+            F.when(r_b[right_ts].isNotNull(), 1).otherwise(0)
+        )
+        marked = joined.drop(r_b[_BUCKET]).drop(*[r_b[k] for k in keys])
+        # drop duplicate all-null copies: keep rows that matched, plus the
+        # lowest-bucket copy of never-matched left rows
+        from pyspark.sql.window import Window
+
+        part = Window.partitionBy(
+            *[F.col(c) for c in left.columns]
+        )
+        flagged = marked.withColumn("__rj_has", w_any.over(part)).withColumn(
+            "__rj_minb", F.min(_BUCKET).over(part)
+        )
+        return (
+            flagged.filter(
+                (F.col("__rj_has") == 1) & F.col(right_ts).isNotNull()
+                | (F.col("__rj_has") == 0) & (F.col(_BUCKET) == F.col("__rj_minb"))
+            )
+            .drop("__rj_has", "__rj_minb", _BUCKET)
+        )
+    raise ValueError(f"unsupported how={how!r}")

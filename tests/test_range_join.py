@@ -1,0 +1,84 @@
+"""Bucketed range join tests (operators/range_join.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from lakehouse_ingestion_spark.operators.range_join import range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),
+            (2, _ts("2024-01-01 11:00:00")),
+        ],
+        "lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:56:00")),  # within -5min of L1
+            (11, _ts("2024-01-01 10:05:00")),  # exactly +5min of L1 (boundary)
+            (12, _ts("2024-01-01 10:30:00")),  # matches nothing
+            (13, _ts("2024-01-01 10:57:30")),  # within -5min of L2
+        ],
+        "rid int, rts timestamp",
+    )
+    return left, right
+
+
+def test_inner_matches_and_boundaries(spark):
+    left, right = _frames(spark)
+    out = range_join(left, right, "ts", "rts", -300.0, 300.0)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 10), (1, 11), (2, 13)]
+
+
+def test_no_duplicate_pairs_across_buckets(spark):
+    left, right = _frames(spark)
+    out = range_join(left, right, "ts", "rts", -300.0, 300.0)
+    rows = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_left_join_keeps_unmatched(spark):
+    left, right = _frames(spark)
+    # narrow window: only L2<->13 matches
+    out = range_join(left, right, "ts", "rts", -180.0, 0.0, how="left")
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, None), (2, 13)]
+
+
+def test_extra_keys(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00"))], "lid int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "a", _ts("2024-01-01 10:01:00")),
+            (11, "b", _ts("2024-01-01 10:01:00")),  # right key mismatch
+        ],
+        "rid int, k string, rts timestamp",
+    )
+    out = range_join(left, right, "ts", "rts", -300.0, 300.0, extra_keys=["k"])
+    assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_no_nested_loop_in_plan(spark):
+    left, right = _frames(spark)
+    out = range_join(left, right, "ts", "rts", -300.0, 300.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_invalid_bounds(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError):
+        range_join(left, right, "ts", "rts", 300.0, -300.0)
