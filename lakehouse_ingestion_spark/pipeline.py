@@ -180,8 +180,15 @@ class Pipeline:
         summary = None
         if ruleset.checks:
             df, summary = ruleset.enforce(df, policy, quarantine_writer=self._quarantine_writer(job))
-        writer.write_batch(df, opts)
-        return JobResult(job.name, streaming=False, dq_summary=summary)
+        # row count rides the write action via observe() — no extra scan
+        from lakehouse_ingestion_spark.metrics import ObservedMetrics
+
+        obs = ObservedMetrics.attach(
+            df, f"write:{job.name}", {"rows": F.count(F.lit(1))}
+        )
+        writer.write_batch(obs.df, opts)
+        rows = int(obs.get().get("rows", 0))
+        return JobResult(job.name, streaming=False, rows_written=rows, dq_summary=summary)
 
     # -- helpers ------------------------------------------------------------
     def _write_options(self, job: JobConfig) -> WriteOptions:

@@ -47,6 +47,18 @@ class SchemaRegistry:
                 versions.append((int(m.group(1)), f.stem))
         return [name for _, name in sorted(versions)]
 
+    def list_datasets(self) -> list[tuple[str, str]]:
+        """All (domain, dataset) pairs that have at least one vN.json."""
+        out = []
+        if not self.base_path.is_dir():
+            return out
+        for f in sorted(self.base_path.glob("*/*/v*.json")):
+            if _VERSION_RE.match(f.stem):
+                pair = (f.parent.parent.name, f.parent.name)
+                if pair not in out:
+                    out.append(pair)
+        return out
+
     def latest_version(self, domain: str, dataset: str) -> str:
         versions = self.list_versions(domain, dataset)
         if not versions:
