@@ -40,6 +40,12 @@ class FileReader(BaseReader):
         fmt = (opts.pop("format", None) or _infer_format(path)).lower()
         if fmt not in _FORMATS:
             raise UnsupportedFeatureError(f"unsupported file format: {fmt}")
+        if fmt == "avro" and not _avro_available(spark):
+            raise UnsupportedFeatureError(
+                "avro requires the external spark-avro package "
+                "(org.apache.spark:spark-avro_2.13) on the classpath; "
+                "it is not bundled in this environment"
+            )
         streaming = str(opts.pop("streaming", "false")).lower() == "true"
         infer = str(opts.pop("infer", "false")).lower() == "true"
 
@@ -54,6 +60,19 @@ class FileReader(BaseReader):
         for k, v in opts.items():
             reader = reader.option(k, v)
         return reader.load(path)
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """Probe the same data-source lookup Spark's reader performs (some
+    avro library jars ship without the spark-avro data source, so a bare
+    class-presence check false-positives)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsc.sc().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def _infer_format(path: str) -> str:

@@ -1,0 +1,72 @@
+"""Plan-audit tests: the scale properties of headline operators, asserted
+mechanically (lakehouse_ingestion_spark/plans/audit.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.plans import audit
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as em
+
+    return em
+
+
+def test_counts_on_simple_agg(spark):
+    df = spark.range(0, 1000, 1, 4).groupBy((F.col("id") % 7).alias("k")).count()
+    a = audit(df, execute=True)
+    assert a.shuffle_exchanges == 1
+    assert a.joins == {}
+    assert a.codegen_spans >= 1
+
+
+def test_broadcast_join_detected(spark):
+    big = spark.range(0, 1000, 1, 4)
+    small = spark.range(0, 10).withColumnRenamed("id", "sid")
+    df = big.join(F.broadcast(small), big.id == small.sid)
+    a = audit(df)
+    assert a.broadcast_exchanges == 1
+    assert a.joins.get("BroadcastHashJoin") == 1
+    assert not a.has_nested_loop
+
+
+def test_pricing_summary_pushdown(spark, entrymod):
+    df = entrymod.queries()["pricing_summary"](spark, SF_DIR)
+    a = audit(df)
+    # the shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in p for p in a.pushed_filters)
+    # partial+final agg: exactly one shuffle
+    assert a.shuffle_exchanges == 1
+    assert not a.python_in_plan
+
+
+def test_dedup_latest_single_shuffle(spark, entrymod):
+    df = entrymod.queries()["dedup_latest"](spark, SF_DIR)
+    a = audit(df)
+    assert a.shuffle_exchanges == 1  # one window partition-by, no join-back
+    assert a.joins == {}
+
+
+def test_enrich_all_broadcast(spark, entrymod):
+    df = entrymod.queries()["enrich"](spark, SF_DIR)
+    a = audit(df)
+    # every dim join broadcasts: the fact side never shuffles
+    assert a.joins.get("BroadcastHashJoin", 0) >= 3
+    assert a.shuffle_exchanges == 0
+    assert not a.has_nested_loop
+
+
+def test_range_join_no_nested_loop(spark, entrymod):
+    df = entrymod.queries()["range_join"](spark, SF_DIR)
+    assert not audit(df).has_nested_loop
+
+
+def test_multimodal_is_python_by_design(spark, entrymod):
+    df = entrymod.queries()["multimodal"](spark, SF_DIR)
+    assert audit(df).python_in_plan

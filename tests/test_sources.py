@@ -92,3 +92,17 @@ def test_jdbc_reader_validates_options(spark):
         JdbcReader().read(spark, {})
     with pytest.raises(ConfigError):
         JdbcReader().read(spark, {"url": "jdbc:postgresql://x/db"})
+
+
+def test_avro_gated_when_package_missing(spark, tmp_path):
+    from lakehouse_ingestion_spark.errors import UnsupportedFeatureError
+    from lakehouse_ingestion_spark.sources.files import FileReader, _avro_available
+
+    if _avro_available(spark):
+        import pytest
+
+        pytest.skip("spark-avro present; gate not exercised")
+    import pytest
+
+    with pytest.raises(UnsupportedFeatureError, match="spark-avro"):
+        FileReader().read(spark, {"path": str(tmp_path), "format": "avro"})
