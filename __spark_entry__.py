@@ -903,6 +903,23 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("err_id").agg(F.count("click_id").alias("n_clicks"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantization scale path #2): assign vectors to
+    nearest-centroid cells, probe nprobe=2 cells per query, exact cosine
+    only within probed cells."""
+    from lakehouse_ingestion_spark.operators.ann import ivf_topk
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18))
+    vectors = emb.filter(F.col("vec_id") >= 18)
+    return ivf_topk(vectors, queries, centroids, k=3, nprobe=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -953,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1516,6 +1534,42 @@ SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM exploded GROUP BY 1, 2
+"""
+
+    qs["ann_ivf"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+vecs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 18),
+qs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 8 AND vec_id < 18),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             round(list_dot_product(x.v, c.cv)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cid ASC) AS r
+    FROM vecs x CROSS JOIN cent c) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             round(list_dot_product(x.v, c.cv)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cid ASC) AS r
+    FROM qs x CROSS JOIN cent c) WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT p.q_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.q_id <> a.neighbor_id),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+  FROM cand JOIN qs q ON q.vec_id = cand.q_id
+            JOIN vecs n ON n.vec_id = cand.neighbor_id)
+SELECT q_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+FROM scored QUALIFY rk <= 3
 """
 
     qs["range_join"] = """

@@ -1,0 +1,100 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-
+quantization scale path for similarity search, complementing the
+random-hyperplane LSH variant (``functions/similarity.lsh_bucket``).
+
+Index: every vector is assigned to its nearest centroid cell (one
+broadcast join against the tiny centroid set — the N-row side never
+shuffles). Search: each query probes only its ``nprobe`` nearest cells,
+so exact scoring touches ``~ nprobe/K`` of the corpus instead of all of
+it; the candidate join is an equi-join on cell id, broadcastable on the
+query side.
+
+Determinism contract (for the DuckDB oracle): cell assignment and top-k
+both order by (rounded cosine desc, id asc) — no float-tie ambiguity
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_ingestion_spark.functions.similarity import cosine_similarity
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Rank centroid cells per vector; keep the ``nprobe`` nearest.
+    Returns (id_col, cell, cell_rank). ``nprobe=1`` builds the index
+    assignment; ``nprobe>1`` builds a query probe list."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        F.col(centroid_id_col).alias("cell"),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(id_col, "cell", "cell_rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Top-k cosine neighbors per query among vectors indexed in the
+    query's ``nprobe`` nearest cells. Returns
+    (q_id, neighbor_id, cos_sim, rk)."""
+    index = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("q_id"), "cell"
+    )
+
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "nv"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

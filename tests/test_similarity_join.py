@@ -56,3 +56,37 @@ def test_empty_and_zero_vectors(spark):
     )
     # zero-norm vector yields nan sim -> excluded, not an error
     assert cosine_allpairs_blocked(df, "vec_id", "embedding", 0.1).count() == 0
+
+
+def test_ivf_topk_finds_in_cell_neighbors(spark):
+    from lakehouse_ingestion_spark.operators.ann import ivf_assign, ivf_topk
+
+    # two well-separated clusters around orthogonal axes
+    base = {
+        0: [1.0, 0.0, 0.0],   # centroid A
+        1: [0.0, 1.0, 0.0],   # centroid B
+        10: [0.9, 0.1, 0.0],  # query near A
+        20: [0.95, 0.05, 0.0],
+        21: [0.8, 0.2, 0.0],
+        22: [0.05, 0.9, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in base.items()], "vec_id long, v array<double>"
+    )
+    cent = emb.filter("vec_id < 2").selectExpr("vec_id as cid", "v as cv")
+    vectors = emb.filter("vec_id >= 20")
+    queries = emb.filter("vec_id = 10")
+
+    # assignment: 20, 21 -> cell 0; 22 -> cell 1
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(vectors, cent, vec_col="v").collect()
+    }
+    assert assign == {20: 0, 21: 0, 22: 1}
+
+    # nprobe=1: only cell-0 members are candidates, ranked by cosine
+    out = ivf_topk(vectors, queries, cent, k=3, nprobe=1).collect()
+    assert [(r["q_id"], r["neighbor_id"], r["rk"]) for r in out] == [
+        (10, 20, 1),
+        (10, 21, 2),
+    ]
