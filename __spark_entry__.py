@@ -137,11 +137,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic latest-per-key dedup via one window (D5)."""
+    """Deterministic latest-per-key dedup (D5) via max_by aggregation —
+    map-side partial agg collapses each partition to <=1 row/key before
+    the shuffle (the window form ships every row); skew-immune."""
+    from lakehouse_ingestion_spark.operators.dedup import dedup_latest_agg
+
     e = _t(spark, sf_dir, "events")
-    out = dedup_latest_by_key(
-        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
-    )
+    out = dedup_latest_agg(e, ["user_id"], ["ts", "event_id"])
     return out.select(
         "user_id",
         "event_id",
@@ -157,12 +159,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").withColumn(
         "op", F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u"))
     )
-    state = cdc_apply(
-        e,
-        ["user_id"],
-        [F.col("ts").desc(), F.col("event_id").desc()],
-        op_column="op",
-    )
+    state = cdc_apply(e, ["user_id"], ["ts", "event_id"], op_column="op")
     return state.select(
         "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
     )
@@ -176,10 +173,7 @@ def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
     snapshot = cdc_apply(
-        e.filter(F.col("ts") < cutoff),
-        ["user_id"],
-        [F.col("ts").desc(), F.col("event_id").desc()],
-        op_column="op",
+        e.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"], op_column="op"
     ).drop("op")
     batch = e.filter(F.col("ts") >= cutoff)
     state = cdc_apply_incremental(

@@ -39,9 +39,23 @@ def cdc_latest(
     df: DataFrame,
     key_columns: list[str],
     order_by: list[Column | str],
+    strategy: str = "agg",
 ) -> DataFrame:
     """Latest event per key. ``order_by`` columns are interpreted
-    newest-first when given as plain strings (wrapped in desc())."""
+    newest-first when given as plain strings (wrapped in desc()).
+
+    ``strategy="agg"`` (default, requires plain-string ``order_by``)
+    computes the winner as a ``max_by`` aggregation — map-side partial
+    aggregation collapses each partition to <=1 row/key before the
+    shuffle and hot keys degrade gracefully; null ordering values lose
+    (struct nulls sort smallest), matching desc_nulls_last.
+    ``strategy="window"`` is the row_number formulation for mixed
+    directions / Column expressions.
+    """
+    if strategy == "agg" and all(isinstance(c, str) for c in order_by):
+        from lakehouse_ingestion_spark.operators.dedup import dedup_latest_agg
+
+        return dedup_latest_agg(df, key_columns, list(order_by))
     w = Window.partitionBy(*key_columns).orderBy(*_order_cols(order_by))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -90,9 +104,10 @@ def cdc_apply_incremental(
             lifted = lifted.withColumn(c, F.lit(None))
     lifted = lifted.withColumn(op_column, F.lit("r")).select(*evt_cols)
     combined = events.unionByName(lifted)
-    order_exprs = [F.col(c).desc_nulls_last() for c in order_by]
+    # plain-string order_by -> agg strategy; null ordering values (the
+    # lifted snapshot rows) lose, same as desc_nulls_last under window
     return cdc_apply(
-        combined, key_columns, order_exprs, op_column=op_column, delete_ops=delete_ops
+        combined, key_columns, list(order_by), op_column=op_column, delete_ops=delete_ops
     ).drop(op_column)
 
 

@@ -142,3 +142,39 @@ def test_aggregate_and_rollup(spark):
     ru = rollup(df, ["g", "h"], [AggSpec("count", "*", "n")])
     # 3 leaf + 2 subtotal + 1 grand total
     assert ru.count() == 6
+
+
+def test_dedup_latest_agg_matches_window(spark):
+    from lakehouse_ingestion_spark.operators.dedup import (
+        dedup_latest_agg,
+        dedup_latest_by_key,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 30, "b"), (1, 20, "c"),
+            (2, 5, "d"),
+            (3, 7, "e"), (3, 7, "f"),  # ts tie -> id tiebreak... both ts=7
+        ],
+        "key int, ts int, payload string",
+    ).withColumn("uid", F.monotonically_increasing_id())
+    # use payload as the unique tiebreaker for determinism
+    w = dedup_latest_by_key(
+        df, ["key"], [F.col("ts").desc(), F.col("payload").desc()]
+    ).select("key", "ts", "payload")
+    a = dedup_latest_agg(df, ["key"], ["ts", "payload"]).select(
+        "key", "ts", "payload"
+    )
+    assert sorted(w.collect()) == sorted(a.collect())
+
+
+def test_dedup_latest_agg_has_partial_aggregation(spark):
+    from lakehouse_ingestion_spark.operators.dedup import dedup_latest_agg
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b")], "key int, ts int, payload string"
+    )
+    out = dedup_latest_agg(df, ["key"], ["ts", "payload"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan  # map-side combine before the shuffle
