@@ -682,13 +682,24 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group."""
+    """Exact percentiles (linear interpolation) per group — one
+    array-argument percentile aggregate (a single sort per group), not
+    four separate sort-based aggregates."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99))"
+            ).alias("ps")
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p75"),
+            F.round(F.col("ps")[3], 4).alias("p99"),
+        )
     )
 
 

@@ -27,7 +27,7 @@ def test_reader_registry():
     assert isinstance(get_reader("csv"), FileReader)
     assert isinstance(get_reader("PARQUET"), FileReader)
     with pytest.raises(UnsupportedFeatureError):
-        get_reader("kinesis")
+        get_reader("no-such-source")
 
 
 def test_csv_reader_with_schema(spark, tmp_path):
@@ -106,3 +106,16 @@ def test_avro_gated_when_package_missing(spark, tmp_path):
 
     with pytest.raises(UnsupportedFeatureError, match="spark-avro"):
         FileReader().read(spark, {"path": str(tmp_path), "format": "avro"})
+
+
+def test_kinesis_gated_and_validated(spark):
+    import pytest
+
+    from lakehouse_ingestion_spark.errors import ConfigError, UnsupportedFeatureError
+    from lakehouse_ingestion_spark.sources.base import get_reader
+
+    reader = get_reader("kinesis")
+    with pytest.raises(ConfigError, match="streamName"):
+        reader.read(spark, {})
+    with pytest.raises(UnsupportedFeatureError, match="connector"):
+        reader.read(spark, {"streamName": "s", "region": "us-east-1"})

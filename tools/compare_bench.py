@@ -1,0 +1,76 @@
+"""Spark-vs-DuckDB per-query wall-clock comparison (feeds BASELINE.md).
+
+Runs every ``queries()`` entry through the noop sink on Spark and its
+``oracle_sql()`` on DuckDB at the given sf dir, printing a markdown
+table sorted by ratio (worst first).
+
+Usage: python tools/compare_bench.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as em
+    from lakehouse_ingestion_spark.session import SparkConfig, get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(SparkConfig(app_name="compare-bench"))
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(0, 1024, 1, 32).groupBy(F.col("id") % 32).applyInPandas(
+        lambda pdf: pdf.head(1), "id long"
+    ).count()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    oracles = em.oracle_sql()
+    rows = []
+    for name, fn in em.queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        spark_s = time.perf_counter() - t0
+
+        duck_s = None
+        if name in oracles:
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            duck_s = time.perf_counter() - t0
+        rows.append((name, spark_s, duck_s))
+
+    rows.sort(key=lambda r: (r[1] / r[2]) if r[2] else 0, reverse=True)
+    print("| query | Spark s | DuckDB s | ratio |")
+    print("|---|---|---|---|")
+    tot_s = tot_d = 0.0
+    for name, s, d in rows:
+        tot_s += s
+        tot_d += d or 0.0
+        ratio = f"{s / d:.1f}x" if d else "—"
+        print(f"| {name} | {s:.3f} | {d:.3f} | {ratio} |" if d else f"| {name} | {s:.3f} | — | — |")
+    print(f"| **total** | **{tot_s:.2f}** | **{tot_d:.2f}** | **{tot_s / tot_d:.1f}x** |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
