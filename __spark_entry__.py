@@ -128,7 +128,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via md5 fingerprint (D5 + text fingerprinting)."""
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         d.select(fingerprint_md5("text").alias("fp"), "doc_id")
         .groupBy("fp")

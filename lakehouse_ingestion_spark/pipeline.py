@@ -174,9 +174,10 @@ class Pipeline:
             return self._run_streaming(job, df, schema, ruleset, policy, writer, opts)
 
         if schema is not None:
-            validate_or_throw(
-                df.drop("_ingestion_time", "_source_system"), schema, context=f"job={job.name}"
-            )
+            # audit columns stay in: schemas that declare the system
+            # columns validate them; schemas that don't see extra-column
+            # warnings only (SchemaValidator treats extras as warnings)
+            validate_or_throw(df, schema, context=f"job={job.name}")
         summary = None
         if ruleset.checks:
             df, summary = ruleset.enforce(df, policy, quarantine_writer=self._quarantine_writer(job))
@@ -221,9 +222,7 @@ class Pipeline:
         def sink(batch: DataFrame, epoch: int) -> None:
             if schema is not None:
                 validate_or_throw(
-                    batch.drop("_ingestion_time", "_source_system"),
-                    schema,
-                    context=f"job={job.name} epoch={epoch}",
+                    batch, schema, context=f"job={job.name} epoch={epoch}"
                 )
             writer.write_batch(batch, opts)
 
