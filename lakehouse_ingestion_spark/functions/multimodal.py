@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -127,6 +128,59 @@ def extract_media_features(
                         }
                     )
             yield _pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(id_column, content_column).mapInPandas(_batches, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    content_column: str = "content",
+    id_column: str = "media_id",
+    target_width: int = 32,
+    target_height: int = 32,
+) -> DataFrame:
+    """'Resize' stand-in: map the blob onto a fixed target_width x
+    target_height byte grid by linear index interpolation (a real impl
+    decodes the image and resamples pixels). Output is a binary column of
+    exactly w*h bytes plus dimensions — the schema/batching contract a
+    real resizer would have. Empty/null blobs yield null output (the
+    codec-failure path)."""
+    out_schema = StructType(
+        [
+            StructField(id_column, LongType(), True),
+            StructField("content", BinaryType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("resizer", StringType(), True),
+        ]
+    )
+    w, h = target_width, target_height
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        n_out = w * h
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_column], pdf[content_column]):
+                raw = bytes(blob) if blob is not None else b""
+                if not raw:
+                    rows.append(
+                        {id_column: mid, "content": None, "width": None,
+                         "height": None, "resizer": "error"}
+                    )
+                    continue
+                src = _np.frombuffer(raw, dtype=_np.uint8)
+                idx = _np.linspace(0, len(src) - 1, n_out)
+                resized = _np.interp(idx, _np.arange(len(src)), src).astype(_np.uint8)
+                rows.append(
+                    {id_column: mid, "content": resized.tobytes(),
+                     "width": w, "height": h, "resizer": "stub-interp"}
+                )
+            yield _pd.DataFrame(
+                rows, columns=[id_column, "content", "width", "height", "resizer"]
+            )
 
     return df.select(id_column, content_column).mapInPandas(_batches, out_schema)
 

@@ -49,3 +49,21 @@ def test_sample_frames(spark, media):
     assert out[3].n_frames == 0
     assert out[3].frames == []
     assert out[1].n_frames == 1
+
+
+def test_resize_media(spark):
+    from lakehouse_ingestion_spark.functions.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256))), (2, b"\x00" * 10), (3, b"")],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_media(df, target_width=8, target_height=4).collect()}
+    assert len(out[1]["content"]) == 32  # exactly w*h bytes
+    assert (out[1]["width"], out[1]["height"]) == (8, 4)
+    assert out[1]["resizer"] == "stub-interp"
+    # monotone input stays monotone under index interpolation
+    vals = list(out[1]["content"])
+    assert vals == sorted(vals)
+    assert out[2]["content"] == b"\x00" * 32
+    assert out[3]["content"] is None and out[3]["resizer"] == "error"
