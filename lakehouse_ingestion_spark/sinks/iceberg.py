@@ -14,8 +14,10 @@ from lakehouse_ingestion_spark.sinks.base import BaseWriter, WriteOptions, regis
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # Class.forName, not bare _jvm attribute access: py4j package lookups
+    # return a JavaPackage object without validating the class exists
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False
