@@ -18,16 +18,29 @@ from lakehouse_ingestion_spark.sinks.base import BaseWriter, WriteOptions, regis
 class ParquetWriter(BaseWriter):
     aliases = ["s3-parquet", "file", "files"]
 
+    _CONSUMED = ("format", "repartitionByPartitionCols", "bucket_by", "num_buckets", "sort_by")
+
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         if str(opts.options.get("repartitionByPartitionCols", "false")).lower() == "true" and opts.partition_by:
             df = df.repartition(*opts.partition_by)
         w = df.write.format(opts.options.get("format", "parquet")).mode(opts.mode)
         if opts.partition_by:
             w = w.partitionBy(*opts.partition_by)
+        bucket_by = opts.options.get("bucket_by")
+        if bucket_by:
+            # bucketed writes are catalog tables (co-located join support,
+            # sinks/bucketed.py); bucket count shared across join partners
+            cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+            w = w.bucketBy(int(opts.options.get("num_buckets", 8)), *cols)
+            sort_by = opts.options.get("sort_by")
+            if sort_by:
+                w = w.sortBy(*([sort_by] if isinstance(sort_by, str) else list(sort_by)))
+            if not opts.table:
+                raise ValueError("bucketed writes require 'table' (catalog), not 'path'")
         for k, v in opts.options.items():
-            if k not in ("format", "repartitionByPartitionCols"):
+            if k not in self._CONSUMED:
                 w = w.option(k, v)
-        if opts.path:
+        if opts.path and not bucket_by:
             w.save(opts.path)
         else:
             w.saveAsTable(opts.table)
