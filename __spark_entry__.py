@@ -925,6 +925,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(vectors, queries, centroids, k=3, nprobe=2)
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed catalog tables: both sides bucketed
+    on the join key with a shared bucket count, so the join plans with
+    no exchange on either side at scale (broadcast may still win at
+    tiny SF). The write is part of the query: bucketing is an ingest-
+    time investment amortized over every later join."""
+    from lakehouse_ingestion_spark.sinks.bucketed import write_bucketed
+
+    # explicit location: independent of the session's warehouse dir / cwd;
+    # drop stale table locations (fresh sessions have fresh catalogs, but
+    # the managed-table dirs persist in /tmp)
+    import shutil
+
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS __bt LOCATION '/tmp/spark_graft_bucketed_db'"
+    )
+    for t in ("orders", "customer"):
+        spark.sql(f"DROP TABLE IF EXISTS __bt.{t}")
+        shutil.rmtree(f"/tmp/spark_graft_bucketed_db/{t}", ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, "__bt.orders", ["o_custkey"], 8, sort_columns=["o_custkey"])
+    write_bucketed(c, "__bt.customer", ["c_custkey"], 8, sort_columns=["c_custkey"])
+    joined = spark.table("__bt.orders").join(
+        spark.table("__bt.customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -976,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
         "ann_ivf": q_ann_ivf,
+        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -1539,6 +1573,14 @@ SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM exploded GROUP BY 1, 2
+"""
+
+    qs["bucketed_join"] = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """
 
     qs["ann_ivf"] = """
