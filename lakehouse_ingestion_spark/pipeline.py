@@ -84,10 +84,15 @@ def build_ruleset(job: JobConfig, schema) -> DQRuleSet:
     return DQRuleSet(checks)
 
 
-def apply_transform(df: DataFrame, op: str, o: dict) -> DataFrame:
+def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
     """Config-driven transform dispatch (the reference's declared-only
     ``TransformFn`` hook, ``docs/00-architecture-overview.md:344-355``,
     made real)."""
+    if op == "conform":
+        # type normalization (SURVEY D13) against the job's registry schema
+        if schema is None:
+            raise ConfigError("conform transform requires the job to declare a schema")
+        return conform(df, schema, drop_extra=bool(o.get("drop_extra", False)))
     if op == "dedup":
         if "order_by" in o:
             return dedup_latest_by_key(
@@ -163,7 +168,7 @@ class Pipeline:
             df, job.source_system, kafka_metadata=(job.source.type == "kafka")
         )
         for t in job.transforms:
-            df = apply_transform(df, t.op, t.options)
+            df = apply_transform(df, t.op, t.options, schema=schema)
 
         writer = get_writer(job.target.format)
         opts = self._write_options(job)

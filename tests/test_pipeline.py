@@ -134,3 +134,54 @@ def test_transform_chain(spark, registry, source_file, tmp_path):
     Pipeline(spark, cfg, registry=registry).run()
     got = {r.user: r.total for r in spark.read.parquet(out).collect()}
     assert got == {"a": 30.0}
+
+
+def test_conform_transform(spark, registry, tmp_path):
+    """conform op (D13): casts to declared types and drops extras added
+    by earlier transforms."""
+    import json as _json
+
+    src = tmp_path / "raw.jsonl"
+    src.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"event_id": 1, "user": "a", "amount": 5.5},
+                {"event_id": 2, "user": "b", "amount": 7.0},
+            ]
+        )
+    )
+    cfg = parse_config(
+        {
+            "env": "t",
+            "jobs": [
+                {
+                    "name": "conform-job",
+                    "source_system": "t",
+                    "source": {"type": "json", "options": {"path": str(src), "format": "json"}},
+                    "schema": {"domain": "demo", "dataset": "events", "version": "v1"},
+                    "transforms": [
+                        # scratch column from an upstream step...
+                        {"op": "derive_column", "name": "tmp_flag", "expr": "amount > 6"},
+                        # ...conform drops it and re-asserts declared types
+                        {"op": "conform", "drop_extra": True},
+                    ],
+                    "target": {"format": "parquet", "options": {"path": str(tmp_path / "out"), "mode": "overwrite"}},
+                }
+            ],
+        },
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert "tmp_flag" not in back.columns
+    assert dict(back.dtypes)["amount"] == "double"
+    assert back.count() == 2
+
+
+def test_conform_requires_schema(spark, registry, source_file, tmp_path):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    df = spark.range(1)
+    with pytest.raises(ConfigError, match="schema"):
+        apply_transform(df, "conform", {})
