@@ -111,3 +111,79 @@ def test_stream_manager_nonblocking(spark, stream_dir, tmp_path):
     for q in qs:
         q.awaitTermination(120)
     assert mgr.active == []
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Tumbling-window agg with a 10-min watermark: an event older than
+    the applied watermark is excluded from its already-finalized window.
+
+    Note Spark applies the watermark with a one-batch lag (the value
+    computed from batch N's data takes effect in batch N+2's filter), so
+    the late event goes in a third micro-batch.
+    """
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    from lakehouse_ingestion_spark.streaming.windows import tumbling_window_agg
+    from pyspark.sql import functions as F
+
+    schema = StructType(
+        [StructField("ts", TimestampType(), True), StructField("v", DoubleType(), True)]
+    )
+    src = tmp_path / "wm_in"
+    src.mkdir()
+
+    def _rows(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+        _time.sleep(1.1)  # file listing order = mtime order
+
+    # batch 0: the 10:00 window's real events + a 12:05 event that will
+    # push the watermark to 11:55
+    _rows("f1.jsonl", [
+        {"ts": "2024-01-01T10:10:00", "v": 1.0},
+        {"ts": "2024-01-01T10:20:00", "v": 1.0},
+        {"ts": "2024-01-01T12:05:00", "v": 1.0},
+    ])
+    # batch 1: propagation batch (batch-0 watermark becomes effective next)
+    _rows("f2.jsonl", [{"ts": "2024-01-01T12:10:00", "v": 1.0}])
+    # batch 2: late event for the closed 10:00 window -> dropped
+    _rows("f3.jsonl", [
+        {"ts": "2024-01-01T10:30:00", "v": 100.0},
+        {"ts": "2024-01-01T12:40:00", "v": 1.0},
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", [],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")],
+        watermark_delay="10 minutes",
+    )
+    out = str(tmp_path / "wm_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wm_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["window_start"].isoformat(): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # late v=100 event NOT in the finalized 10:00 window
+    assert got["2024-01-01T10:00:00"] == (2, 2.0)
+    # watermark actually dropped rows (not just never emitted)
+    drops = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert drops >= 1
