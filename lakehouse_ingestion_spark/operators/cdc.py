@@ -39,18 +39,20 @@ def cdc_latest(
     df: DataFrame,
     key_columns: list[str],
     order_by: list[Column | str],
-    strategy: str = "agg",
+    strategy: str = "window",
 ) -> DataFrame:
     """Latest event per key. ``order_by`` columns are interpreted
     newest-first when given as plain strings (wrapped in desc()).
 
-    ``strategy="agg"`` (default, requires plain-string ``order_by``)
-    computes the winner as a ``max_by`` aggregation — map-side partial
-    aggregation collapses each partition to <=1 row/key before the
-    shuffle and hot keys degrade gracefully; null ordering values lose
-    (struct nulls sort smallest), matching desc_nulls_last.
-    ``strategy="window"`` is the row_number formulation for mixed
-    directions / Column expressions.
+    ``strategy="window"`` (default): row_number over a per-key sort —
+    fully codegen'd, measured ~25% faster than the agg form on local[32]
+    at 100k-2M rows (see PLANS.md "formulation trade-off").
+    ``strategy="agg"`` (requires plain-string ``order_by``): ``max_by``
+    aggregation whose map-side partial collapses each partition to <=1
+    row/key BEFORE the shuffle — the right choice when shuffle is
+    network-bound (real clusters) or a key is hot enough to blow a
+    single window partition; null ordering values lose (struct nulls
+    sort smallest), matching desc_nulls_last.
     """
     if strategy == "agg" and all(isinstance(c, str) for c in order_by):
         from lakehouse_ingestion_spark.operators.dedup import dedup_latest_agg
