@@ -51,3 +51,51 @@ def row_count_metrics(df: DataFrame, name: str = "ingest") -> ObservedMetrics:
         name,
         {"rows": F.count(F.lit(1)), "bytes_estimate": F.sum(F.lit(1))},
     )
+
+
+class LoggingStreamListener:
+    """StreamingQueryListener emitting per-batch MetricValues to the log
+    (reference D20: row counts / durations to monitoring; swap the `emit`
+    callable for a Prometheus/StatsD pusher in production).
+
+    Implemented lazily: pyspark's StreamingQueryListener base is imported
+    at attach time so the module stays importable in minimal setups.
+    """
+
+    def __init__(self, emit=None):
+        self.emit = emit or (lambda m: log.info("stream-metric %s", m))
+        self.records: list[MetricValue] = []
+
+    def attach(self, spark) -> object:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                for name, value in (
+                    ("stream_input_rows", p.numInputRows),
+                    ("stream_rows_per_sec", p.processedRowsPerSecond or 0.0),
+                    ("stream_batch_duration_ms", (p.durationMs or {}).get("triggerExecution", 0)),
+                ):
+                    m = MetricValue(
+                        name,
+                        float(value),
+                        tags={"query": p.name or p.id, "batch": str(p.batchId)},
+                    )
+                    outer.records.append(m)
+                    outer.emit(m)
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        listener = _L()
+        spark.streams.addListener(listener)
+        return listener

@@ -53,3 +53,39 @@ def test_lsh_bucket_groups_similar_vectors(spark):
     assert out[1] == out[2]
     assert out[1] != out[3]
     assert len(out[1]) == 6
+
+
+def test_streaming_listener_records_metrics(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_ingestion_spark.metrics import LoggingStreamListener
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f.jsonl").write_text("\n".join(_json.dumps({"id": i}) for i in range(5)))
+
+    lst = LoggingStreamListener()
+    handle = lst.attach(spark)
+    try:
+        q = (
+            spark.readStream.schema(StructType([StructField("id", LongType())]))
+            .json(str(src))
+            .writeStream.format("noop")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener callbacks are async; give the bus a moment
+        for _ in range(20):
+            if any(m.name == "stream_input_rows" and m.value == 5.0 for m in lst.records):
+                break
+            _time.sleep(0.5)
+        assert any(m.name == "stream_input_rows" and m.value == 5.0 for m in lst.records)
+        assert any(m.tags.get("query") == "metrics_probe" for m in lst.records)
+    finally:
+        spark.streams.removeListener(handle)
