@@ -99,3 +99,77 @@ def field_metadata(schema: StructType, column: str) -> dict:
     min_value / max_value ... — reference ``schemas/README.md`` conventions)."""
     f: StructField = schema[column]
     return dict(f.metadata or {})
+
+
+# -- schema evolution (reference policy: schemas/README.md "Schema
+# Evolution" + docs/08-schema-governance.md:389-418 — additive-nullable
+# and widening changes in place; anything else needs a new vN file) -----
+
+_WIDENINGS = {
+    ("integer", "long"),
+    ("float", "double"),
+    ("integer", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _is_widening(old, new) -> bool:
+    if old.typeName() == "decimal" and new.typeName() == "decimal":
+        return (
+            new.precision >= old.precision
+            and new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+        )
+    return (old.typeName(), new.typeName()) in _WIDENINGS
+
+
+def check_evolution(old: StructType, new: StructType) -> list[str]:
+    """Return the list of BREAKING changes from ``old`` to ``new``
+    (empty list = compatible in place). Compatible: adding a nullable
+    column, widening a type, relaxing nullability. Breaking: dropping or
+    renaming a column, narrowing/retyping, adding a NOT-NULL column,
+    tightening nullability."""
+    breaking: list[str] = []
+    old_fields = {f.name: f for f in old.fields}
+    new_fields = {f.name: f for f in new.fields}
+
+    for name, f in old_fields.items():
+        if name not in new_fields:
+            breaking.append(f"dropped column: {name}")
+            continue
+        nf = new_fields[name]
+        if nf.dataType != f.dataType and not _is_widening(f.dataType, nf.dataType):
+            breaking.append(
+                f"type change for {name}: "
+                f"{f.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+            )
+        if f.nullable and not nf.nullable:
+            breaking.append(f"nullability tightened for {name}")
+    for name, nf in new_fields.items():
+        if name not in old_fields and not nf.nullable:
+            breaking.append(f"added NOT NULL column: {name}")
+    return breaking
+
+
+def evolve(
+    registry: SchemaRegistry,
+    domain: str,
+    dataset: str,
+    new_schema: StructType,
+) -> tuple[str, bool]:
+    """Registry-gated evolution: a compatible change overwrites the
+    latest version in place; a breaking change writes the next vN.
+    Returns (version_written, was_breaking)."""
+    try:
+        latest = registry.latest_version(domain, dataset)
+    except SchemaNotFoundError:
+        registry.register(domain, dataset, "v1", new_schema)
+        return "v1", False
+    old = registry.get_schema(domain, dataset, latest)
+    breaking = check_evolution(old, new_schema)
+    if breaking:
+        next_v = f"v{int(latest[1:]) + 1}"
+        registry.register(domain, dataset, next_v, new_schema)
+        return next_v, True
+    registry.register(domain, dataset, latest, new_schema)
+    return latest, False

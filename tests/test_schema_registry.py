@@ -81,3 +81,74 @@ def test_spark_datatype_json_compat(registry, tmp_path):
     """Schema files are Spark's own DataType JSON format."""
     raw = json.loads((tmp_path / "payments" / "transactions" / "v1.json").read_text())
     assert StructType.fromJson(raw) == SCHEMA
+
+
+def test_check_evolution_rules():
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_ingestion_spark.schema_registry import check_evolution
+
+    old = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("amount", DecimalType(10, 2), True),
+            StructField("name", StringType(), True),
+        ]
+    )
+    # compatible: widen int->long, widen decimal precision, add nullable col,
+    # relax nullability
+    ok = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("amount", DecimalType(12, 2), True),
+            StructField("name", StringType(), True),
+            StructField("note", StringType(), True),
+        ]
+    )
+    assert check_evolution(old, ok) == []
+
+    # breaking: drop, narrow, tighten nullability, add NOT NULL
+    bad = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("amount", DoubleType(), True),      # decimal->double: retype
+            StructField("name", StringType(), False),       # tightened
+            StructField("req", StringType(), False),        # new NOT NULL
+        ]
+    )
+    problems = check_evolution(old, bad)
+    assert len(problems) == 3
+    assert any("type change for amount" in p for p in problems)
+    assert any("nullability tightened" in p for p in problems)
+    assert any("NOT NULL column: req" in p for p in problems)
+    # decimal scale reduction is breaking too
+    assert check_evolution(
+        StructType([StructField("d", DecimalType(10, 4), True)]),
+        StructType([StructField("d", DecimalType(10, 2), True)]),
+    )
+
+
+def test_evolve_gates_versions(tmp_path):
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    from lakehouse_ingestion_spark.schema_registry import SchemaRegistry, evolve
+
+    reg = SchemaRegistry(tmp_path)
+    v1 = StructType([StructField("id", IntegerType(), False)])
+    assert evolve(reg, "d", "t", v1) == ("v1", False)
+    # widening: stays v1
+    widened = StructType([StructField("id", LongType(), False)])
+    assert evolve(reg, "d", "t", widened) == ("v1", False)
+    # breaking: bumps to v2
+    renamed = StructType([StructField("ident", LongType(), False)])
+    assert evolve(reg, "d", "t", renamed) == ("v2", True)
+    assert reg.list_versions("d", "t") == ["v1", "v2"]
+    assert reg.get_schema("d", "t", "latest")["ident"].dataType == LongType()
