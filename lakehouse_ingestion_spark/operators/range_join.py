@@ -73,27 +73,28 @@ def range_join(
     if how == "left":
         joined = l_exp.join(r_b, cond & in_range, "left")
         # unmatched left rows survive once per exploded bucket copy ->
-        # keep one copy; matched rows are already unique (see above)
-        right_only = [c for c in right.columns if c not in keys]
-        w_any = F.max(
-            F.when(r_b[right_ts].isNotNull(), 1).otherwise(0)
-        )
-        marked = joined.drop(r_b[_BUCKET]).drop(*[r_b[k] for k in keys])
-        # drop duplicate all-null copies: keep rows that matched, plus the
-        # lowest-bucket copy of never-matched left rows
+        # keep one copy; matched rows are already unique (see above).
+        # All references dataframe-qualified: left and right may share
+        # column names (e.g. both sides' time column called "ts").
         from pyspark.sql.window import Window
 
-        part = Window.partitionBy(
-            *[F.col(c) for c in left.columns]
-        )
-        flagged = marked.withColumn("__rj_has", w_any.over(part)).withColumn(
-            "__rj_minb", F.min(_BUCKET).over(part)
-        )
+        matched_col = r_b[right_ts]
+        part = Window.partitionBy(*[l_exp[c] for c in left.columns])
+        flagged = joined.withColumn(
+            "__rj_has",
+            F.max(F.when(matched_col.isNotNull(), 1).otherwise(0)).over(part),
+        ).withColumn("__rj_minb", F.min(l_exp[_BUCKET]).over(part))
         return (
             flagged.filter(
-                (F.col("__rj_has") == 1) & F.col(right_ts).isNotNull()
-                | (F.col("__rj_has") == 0) & (F.col(_BUCKET) == F.col("__rj_minb"))
+                ((F.col("__rj_has") == 1) & matched_col.isNotNull())
+                | (
+                    (F.col("__rj_has") == 0)
+                    & (l_exp[_BUCKET] == F.col("__rj_minb"))
+                )
             )
-            .drop("__rj_has", "__rj_minb", _BUCKET)
+            .drop("__rj_has", "__rj_minb")
+            .drop(l_exp[_BUCKET])
+            .drop(r_b[_BUCKET])
+            .drop(*[r_b[k] for k in keys])
         )
     raise ValueError(f"unsupported how={how!r}")

@@ -82,3 +82,17 @@ def test_invalid_bounds(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError):
         range_join(left, right, "ts", "rts", 300.0, -300.0)
+
+
+def test_left_join_with_shared_column_names(spark):
+    # regression: both sides call their time column "ts"
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (2, _ts("2024-01-01 20:00:00"))],
+        "lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:01:00"))], "rid int, ts timestamp"
+    )
+    out = range_join(left, right, "ts", "ts", -300.0, 300.0, how="left")
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 10), (2, None)]
