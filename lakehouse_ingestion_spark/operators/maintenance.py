@@ -1,0 +1,98 @@
+"""Table maintenance: small-file compaction and statistics collection.
+
+The small-files problem is endemic to streaming ingest (every micro-batch
+writes a file per partition); compaction rewrites a path/partition into
+~target-sized files so scans stop paying per-file open costs. The
+reference's docs prescribe 128 MB-1 GB files
+(``docs/07-developer-guide.md:504-507``) but ship no tooling; Delta/
+Iceberg have native OPTIMIZE — this is the plain-parquet equivalent.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+DEFAULT_TARGET_BYTES = 256 * 1024 * 1024
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES
+) -> dict:
+    """Inspect a parquet path: file count, total bytes, and the output
+    file count a compaction would produce. Driver-side file listing via
+    the input_file_name of a metadata-only scan."""
+    files = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    import os
+
+    sizes = []
+    for r in files:
+        p = r["f"].removeprefix("file:")
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            pass
+    total = sum(sizes)
+    target_files = max(1, round(total / target_file_bytes)) if total else 0
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "target_files": target_files,
+        "worth_it": len(sizes) > max(1, target_files) * 2,
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ``path`` into ~target-sized parquet files (coalesce to the
+    planned file count; repartition by partition columns when given so
+    each Hive partition compacts independently). Rewrites via a temp
+    sibling directory then atomic-ish rename, so a crash mid-compact
+    leaves the original intact."""
+    import shutil
+
+    stats = plan_compaction(spark, path, target_file_bytes)
+    if stats["target_files"] == 0:
+        return {**stats, "rewritten": False}
+
+    df: DataFrame = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(*partition_by)
+    else:
+        out = df.coalesce(stats["target_files"])
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+
+    backup = path.rstrip("/") + "__compact_old"
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    log.info("compacted %s: %s files -> %s", path, stats["n_files"], stats["target_files"])
+    return {**stats, "rewritten": True}
+
+
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Collect table (and optionally column) statistics for the
+    cost-based optimizer: ndv/min/max/null counts feed join reordering
+    and broadcast decisions."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
