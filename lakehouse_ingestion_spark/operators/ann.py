@@ -60,10 +60,16 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors per query among vectors indexed in the
     query's ``nprobe`` nearest cells. Returns
-    (q_id, neighbor_id, cos_sim, rk)."""
+    (q_id, neighbor_id, cos_sim, rk).
+
+    ``exclude_same_id`` removes candidates whose id equals the query id —
+    correct when queries are drawn FROM the corpus (self-match
+    suppression); set False when queries and corpus are distinct datasets
+    whose id spaces overlap (an equal id is then a different vector)."""
     index = ivf_assign(vectors, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
@@ -78,7 +84,11 @@ def ivf_topk(
     cand = (
         F.broadcast(probes)
         .join(index, "cell")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .filter(
+            (F.col("q_id") != F.col("neighbor_id"))
+            if exclude_same_id
+            else F.lit(True)
+        )
         .select("q_id", "neighbor_id")
         .distinct()
     )

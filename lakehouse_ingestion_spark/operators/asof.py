@@ -53,21 +53,39 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in value_columns
     }
 
+    # the entire right-row image travels as ONE struct: last(ignorenulls)
+    # over separate columns would stitch values from DIFFERENT right rows
+    # whenever the true match has a NULL field (an older non-null value
+    # would leak through). The struct itself is non-null for every right
+    # row, so the fill is atomic per matched row.
+    from pyspark.sql.types import StructField, StructType
+
+    payload_type = StructType(
+        [
+            *[
+                StructField(out_names[c], right.schema[c].dataType, True)
+                for c in value_columns
+            ],
+            StructField(_RTIME, right.schema[right_on].dataType, True),
+        ]
+    )
+
     l_tagged = left.select(
         *by,
         F.col(left_on).alias(_TIME),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in left.columns if c not in by],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in value_columns],
-        F.lit(None).cast(right.schema[right_on].dataType).alias(_RTIME),
+        F.lit(None).cast(payload_type).alias("__asof_payload"),
     )
     r_tagged = right.select(
         *by,
         F.col(right_on).alias(_TIME),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by],
-        *[F.col(c).alias(out_names[c]) for c in value_columns],
-        F.col(right_on).alias(_RTIME),
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in value_columns],
+            F.col(right_on).alias(_RTIME),
+        ).alias("__asof_payload"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -77,15 +95,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias("__f_" + out_names[c]) for c in value_columns],
-        F.last(_RTIME, ignorenulls=True).over(w).alias("__f_" + _RTIME),
+        "*", F.last("__asof_payload", ignorenulls=True).over(w).alias("__f")
     )
 
-    matched = F.col("__f_" + _RTIME).isNotNull()
+    matched = F.col("__f").isNotNull() & F.col(f"__f.{_RTIME}").isNotNull()
     if tolerance_seconds is not None:
         matched = matched & (
-            F.col(_TIME).cast("double") - F.col("__f_" + _RTIME).cast("double")
+            F.col(_TIME).cast("double") - F.col(f"__f.{_RTIME}").cast("double")
             <= tolerance_seconds
         )
 
@@ -94,10 +110,12 @@ def asof_join(
         *by,
         *left_cols,
         *[
-            F.when(matched, F.col("__f_" + out_names[c]))
+            F.when(matched, F.col(f"__f.{out_names[c]}"))
             .otherwise(F.lit(None))
             .alias(out_names[c])
             for c in value_columns
         ],
-        F.when(matched, F.col("__f_" + _RTIME)).otherwise(F.lit(None)).alias("_asof_matched_time"),
+        F.when(matched, F.col(f"__f.{_RTIME}"))
+        .otherwise(F.lit(None))
+        .alias("_asof_matched_time"),
     )

@@ -54,7 +54,13 @@ def cdc_latest(
     single window partition; null ordering values lose (struct nulls
     sort smallest), matching desc_nulls_last.
     """
-    if strategy == "agg" and all(isinstance(c, str) for c in order_by):
+    if strategy == "agg":
+        if not all(isinstance(c, str) for c in order_by):
+            raise ValueError(
+                "strategy='agg' requires plain-string order_by columns "
+                "(max_by cannot honor per-column sort directions); use "
+                "strategy='window' for Column expressions"
+            )
         from lakehouse_ingestion_spark.operators.dedup import dedup_latest_agg
 
         return dedup_latest_agg(df, key_columns, list(order_by))

@@ -38,10 +38,17 @@ def dedup_latest_by_key(
 
     ``order_by`` should end with a unique tiebreaker for full determinism
     (e.g. ``[F.desc("ts"), F.desc("event_id")]``).
+    ``keep="last"`` inverts the ordering; it requires plain-string
+    ``order_by`` (a pre-built Column's direction can't be flipped).
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     if keep == "last":
-        cols = [c.desc() if isinstance(c, str) else c for c in cols]  # caller handles direction
+        if not all(isinstance(c, str) for c in order_by):
+            raise ValueError("keep='last' requires plain-string order_by columns")
+        cols = [F.col(c).desc() for c in order_by]
+    else:
+        cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(*key_columns).orderBy(*cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -52,6 +52,11 @@ def enrich(fact: DataFrame, *enrichments: Enrichment) -> DataFrame:
                 c = out[fact_col] == dim[dim_col]
                 cond = c if cond is None else (cond & c)
             out = out.join(dim, on=cond, how=e.how)
+            # drop the dim-side key copies: when fact_col == dim_col the
+            # output would otherwise carry two identically-named columns
+            # (prefix mode exempts keys from renaming, guaranteeing it)
+            for _, dim_col in e.on:
+                out = out.drop(dim[dim_col])
         else:
             out = out.join(dim, on=list(e.on), how=e.how)
     return out

@@ -20,12 +20,26 @@ log = logging.getLogger(__name__)
 DEFAULT_TARGET_BYTES = 256 * 1024 * 1024
 
 
+def _require_local_path(path: str) -> None:
+    # sizes come from os.path.getsize and the swap from shutil.move —
+    # both local-FS only. Silently returning n_files=0 for s3a://hdfs://
+    # would misreport "nothing to compact"; fail loudly instead.
+    if "://" in path and not path.startswith("file:"):
+        from lakehouse_ingestion_spark.errors import UnsupportedFeatureError
+
+        raise UnsupportedFeatureError(
+            f"compaction supports local filesystem paths only, got {path!r}; "
+            "use Delta/Iceberg OPTIMIZE (or a Hadoop-FS rewrite job) for object stores"
+        )
+
+
 def plan_compaction(
     spark: SparkSession, path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES
 ) -> dict:
     """Inspect a parquet path: file count, total bytes, and the output
     file count a compaction would produce. Driver-side file listing via
     the input_file_name of a metadata-only scan."""
+    _require_local_path(path)
     files = (
         spark.read.parquet(path)
         .select(F.input_file_name().alias("f"))
@@ -70,7 +84,12 @@ def compact_parquet(
 
     df: DataFrame = spark.read.parquet(path)
     if partition_by:
-        out = df.repartition(*partition_by)
+        # hash on (partition cols + rand) with the planned task count:
+        # plain repartition(*partition_by) would route each Hive
+        # partition value to ONE task/file regardless of its size
+        out = df.repartition(
+            max(stats["target_files"], 1), *partition_by, F.rand(seed=42)
+        )
     else:
         out = df.coalesce(stats["target_files"])
 

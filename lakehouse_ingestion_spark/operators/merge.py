@@ -38,8 +38,12 @@ def upsert(
     (use dedup_latest_by_key for deterministic winners).
     """
     if delete_condition is not None:
-        deletes = source.filter(delete_condition).select(*key_columns)
-        source = source.filter(~delete_condition)
+        # three-valued logic: a NULL condition must mean "not a delete",
+        # else the row matches neither filter(cond) nor filter(~cond)
+        # and silently vanishes from the merge
+        cond = F.coalesce(delete_condition.cast("boolean"), F.lit(False))
+        deletes = source.filter(cond).select(*key_columns)
+        source = source.filter(~cond)
         target = target.join(deletes, on=key_columns, how="left_anti")
     kept = target.join(source.select(*key_columns), on=key_columns, how="left_anti")
     return kept.unionByName(source.select(*target.columns))

@@ -110,48 +110,61 @@ def scd2_merge(
     # latest state per key in the batch, with intra-batch versioning
     batch_versions = scd2_from_history(updates, key_columns, ts_column, attr_columns)
 
-    # join current dim rows with the FIRST batch version per key to decide change
-    first_batch = batch_versions.withColumn(
-        "__rn", F.row_number().over(Window.partitionBy(*key_columns).orderBy(F.col(ts_column).asc()))
-    ).filter(F.col("__rn") == 1).drop("__rn")
-
-    cur_h = cur.withColumn("__h", _attr_hash(attr_columns))
-    fb = first_batch.select(
-        *[F.col(c).alias(f"__u_{c}") for c in key_columns],
-        upd_hash.alias("__uh"),
-        F.col(ts_column).alias("__uts"),
+    # drop the LEADING batch version when it merely repeats the current
+    # dim attributes (a no-op replay); later versions for the same key
+    # must still apply — comparing only the first version and declaring
+    # the whole key unchanged would silently discard them
+    cur_keyed = cur.select(
+        *[F.col(c).alias(f"__c_{c}") for c in key_columns],
+        _attr_hash(attr_columns).alias("__ch"),
     )
-    cond = None
+    key_cond = None
     for c in key_columns:
-        e = F.col(c) == F.col(f"__u_{c}")
-        cond = e if cond is None else (cond & e)
-    joined = cur_h.join(fb, on=cond, how="left")
+        e = F.col(c) == F.col(f"__c_{c}")
+        key_cond = e if key_cond is None else (key_cond & e)
+    bv = (
+        batch_versions.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_columns).orderBy(F.col(ts_column).asc())
+            ),
+        )
+        .join(cur_keyed, on=key_cond, how="left")
+    )
+    effective = bv.filter(
+        ~((F.col("__rn") == 1) & F.col("__ch").isNotNull() & (upd_hash == F.col("__ch")))
+    )
 
-    unchanged_cur = joined.filter(
-        F.col("__uh").isNull() | (F.col("__uh") == F.col("__h"))
-    ).select(*dim.columns)
-
+    # close current rows at the first effective version's timestamp
+    closure = (
+        effective.withColumn(
+            "__ern",
+            F.row_number().over(
+                Window.partitionBy(*key_columns).orderBy(F.col(ts_column).asc())
+            ),
+        )
+        .filter((F.col("__ern") == 1) & F.col("__ch").isNotNull())
+        .select(
+            *[F.col(f"__c_{c}").alias(f"__k_{c}") for c in key_columns],
+            F.col(ts_column).alias("__close_ts"),
+        )
+    )
+    close_cond = None
+    for c in key_columns:
+        e = F.col(c) == F.col(f"__k_{c}")
+        close_cond = e if close_cond is None else (close_cond & e)
     closed = (
-        joined.filter(F.col("__uh").isNotNull() & (F.col("__uh") != F.col("__h")))
-        .withColumn("valid_to", F.col("__uts"))
+        cur.join(closure, on=close_cond, how="inner")
+        .withColumn("valid_to", F.col("__close_ts"))
         .withColumn("is_current", F.lit(False))
         .select(*dim.columns)
     )
-
-    # batch versions for keys that actually changed (or are new)
-    changed_keys = (
-        joined.filter(F.col("__uh").isNotNull() & (F.col("__uh") != F.col("__h")))
-        .select(*[F.col(f"__u_{c}").alias(c) for c in key_columns])
-    )
-    new_keys = fb.join(
-        cur.select(*key_columns),
-        on=[F.col(f"__u_{c}") == F.col(c) for c in key_columns],
+    unchanged_cur = cur.join(
+        closure.select(*[F.col(f"__k_{c}").alias(c) for c in key_columns]),
+        on=key_columns,
         how="left_anti",
-    ).select(*[F.col(f"__u_{c}").alias(c) for c in key_columns])
+    ).select(*dim.columns)
 
-    inserting_keys = changed_keys.unionByName(new_keys)
-    inserts = batch_versions.join(inserting_keys, on=key_columns, how="left_semi").select(
-        *[c for c in dim.columns]
-    )
+    inserts = effective.select(*dim.columns)
 
     return hist.unionByName(unchanged_cur).unionByName(closed).unionByName(inserts)

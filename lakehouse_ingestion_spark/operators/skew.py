@@ -66,7 +66,16 @@ def salted_broadcast_left(
 ) -> DataFrame:
     """Skew-safe shuffle join: left gets a random salt in [0, S); right is
     replicated S times with every salt value; join on keys + salt. One hot
-    left key now lands on S reducers instead of one."""
+    left key now lands on S reducers instead of one.
+
+    Only ``inner`` and ``left`` joins are valid: the right side is
+    replicated S times, so right/full outer would emit S null-padded
+    copies of every unmatched right row."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_broadcast_left supports how='inner'/'left' only, got {how!r} "
+            "(right rows are replicated per salt; outer-right semantics would duplicate them)"
+        )
     salt_l = (F.spark_partition_id() + F.monotonically_increasing_id()) % num_salts
     l = left.withColumn("__salt", salt_l.cast("int"))
     r = right.withColumn(

@@ -1,0 +1,153 @@
+"""Regression tests for the round-1 code-review findings."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_null_value_in_matched_row_not_stitched(spark):
+    """The matched right row's NULL field must come through as NULL, not
+    be back-filled from an older right row."""
+    from lakehouse_ingestion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:03:00"))], "key int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:01:00"), 100.0),
+            (1, _ts("2024-01-01 10:02:00"), None),  # the true match
+        ],
+        "key int, ts timestamp, price double",
+    )
+    row = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts",
+        value_columns=["price"],
+    ).collect()[0]
+    assert row["_asof_matched_time"] == _ts("2024-01-01 10:02:00")
+    assert row["price"] is None  # NOT 100.0 from the older row
+
+
+def test_asof_tolerance_checks_matched_row(spark):
+    from lakehouse_ingestion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:10:00"))], "key int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0)], "key int, ts timestamp, v double"
+    )
+    row = asof_join(
+        left, right, by=["key"], left_on="ts", right_on="ts",
+        value_columns=["v"], tolerance_seconds=60.0,
+    ).collect()[0]
+    assert row["v"] is None and row["_asof_matched_time"] is None
+
+
+def test_dedup_keep_last(spark):
+    from lakehouse_ingestion_spark.operators.dedup import dedup_latest_by_key
+
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 30, "new")], "key int, ts int, tag string"
+    )
+    last = dedup_latest_by_key(df, ["key"], ["ts"], keep="last").collect()[0]
+    assert last["tag"] == "new"
+    first = dedup_latest_by_key(df, ["key"], ["ts"], keep="first").collect()[0]
+    assert first["tag"] == "old"
+    with pytest.raises(ValueError, match="plain-string"):
+        dedup_latest_by_key(df, ["key"], [F.col("ts").desc()], keep="last")
+
+
+def test_upsert_null_delete_condition_upserts(spark):
+    from lakehouse_ingestion_spark.operators.merge import upsert
+
+    target = spark.createDataFrame([(1, "t1"), (2, "t2")], "id int, v string")
+    source = spark.createDataFrame(
+        [(1, "s1", "d"), (2, "s2", None), (3, "s3", "u")],
+        "id int, v string, op string",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in upsert(
+            target, source.select("id", "v"), ["id"],
+            delete_condition=None,
+        ).collect()
+    }
+    assert out == {1: "s1", 2: "s2", 3: "s3"}
+    # NULL op row must UPSERT (not vanish)
+    merged = upsert(
+        target,
+        source,
+        ["id"],
+        delete_condition=F.col("op") == "d",
+    )
+    got = {r["id"]: r["v"] for r in merged.select("id", "v").collect()}
+    assert got == {2: "s2", 3: "s3"}  # 1 deleted, 2 upserted (NULL op), 3 inserted
+
+
+def test_scd2_merge_applies_later_versions_after_noop_replay(spark):
+    from lakehouse_ingestion_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 00:00:00"), None, True)],
+        "id int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-02 00:00:00")),  # no-op replay of current
+            (1, "B", _ts("2024-01-03 00:00:00")),  # real change
+        ],
+        "id int, attr string, ts timestamp",
+    )
+    out = scd2_merge(dim, updates, ["id"], "ts", ["attr"]).orderBy("valid_from")
+    rows = out.collect()
+    assert [(r["attr"], r["is_current"]) for r in rows] == [("A", False), ("B", True)]
+    # old row closed exactly at the change timestamp
+    assert rows[0]["valid_to"] == _ts("2024-01-03 00:00:00")
+
+
+def test_scd2_merge_pure_noop_batch_keeps_current(spark):
+    from lakehouse_ingestion_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 00:00:00"), None, True)],
+        "id int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-02 00:00:00"))], "id int, attr string, ts timestamp"
+    )
+    rows = scd2_merge(dim, updates, ["id"], "ts", ["attr"]).collect()
+    assert len(rows) == 1 and rows[0]["is_current"]
+
+
+def test_enrich_pair_join_drops_dim_key_copy(spark):
+    from lakehouse_ingestion_spark.operators.enrich import Enrichment, enrich
+
+    fact = spark.createDataFrame([(1, 10.0)], "cust_id int, amount double")
+    dim = spark.createDataFrame([(1, "gold")], "cust_id int, tier string")
+    out = enrich(fact, Enrichment(dim, on=[("cust_id", "cust_id")], prefix="c_"))
+    assert out.columns.count("cust_id") == 1
+    assert out.collect()[0]["c_tier"] == "gold"
+
+
+def test_salted_join_rejects_outer(spark):
+    from lakehouse_ingestion_spark.operators.skew import salted_broadcast_left
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="inner"):
+        salted_broadcast_left(df, df, ["k"], how="full")
+
+
+def test_compaction_rejects_remote_paths(spark):
+    from lakehouse_ingestion_spark.errors import UnsupportedFeatureError
+    from lakehouse_ingestion_spark.operators.maintenance import plan_compaction
+
+    with pytest.raises(UnsupportedFeatureError, match="local filesystem"):
+        plan_compaction(spark, "s3a://bucket/table")
