@@ -349,24 +349,21 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused single-pass DQ metrics (A7-A11 + D16) — N checks, ONE scan."""
     e = _t(spark, sf_dir, "events")
-    rs = DQRuleSet(
-        [
-            NotNullCheck(column="user_id"),
-            RangeCheck(column="value", min_value=0.0, max_value=400.0),
-            SetMembershipCheck(
-                column="event_type",
-                allowed_values=["click", "view", "purchase", "signup"],
-            ),
-            UniqueKeyCheck(key_columns=["event_id"]),
-        ]
+    nn = NotNullCheck(column="user_id")
+    rg = RangeCheck(column="value", min_value=0.0, max_value=400.0)
+    st = SetMembershipCheck(
+        column="event_type", allowed_values=["click", "view", "purchase", "signup"]
     )
+    uk = UniqueKeyCheck(key_columns=["event_id"])
+    rs = DQRuleSet([nn, rg, st, uk])
     m = rs.metrics_df(e)
+    # aliases are per-instance (see DQCheck._alias) — ask the checks
     return m.select(
-        F.col("`not_null[user_id]__total`").alias("total_rows"),
-        F.col("`not_null[user_id]__violations`").alias("user_id_nulls"),
-        F.col("`range[value]__violations`").alias("value_out_of_range"),
-        F.col("`in_set[event_type]__violations`").alias("event_type_invalid"),
-        F.col("`unique_key[event_id]__distinct`").alias("event_id_distinct"),
+        F.col(f"`{nn._alias('total')}`").alias("total_rows"),
+        F.col(f"`{nn._alias('violations')}`").alias("user_id_nulls"),
+        F.col(f"`{rg._alias('violations')}`").alias("value_out_of_range"),
+        F.col(f"`{st._alias('violations')}`").alias("event_type_invalid"),
+        F.col(f"`{uk._alias('distinct')}`").alias("event_id_distinct"),
     )
 
 

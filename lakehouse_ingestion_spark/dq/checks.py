@@ -16,6 +16,7 @@ pass/fail rows without re-deriving logic.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
@@ -67,8 +68,17 @@ class DQCheck:
         return self.evaluate(row)
 
     # -- shared helpers -----------------------------------------------------
+    _uid_counter = itertools.count()
+
     def _alias(self, metric: str) -> str:
-        return f"{self.name}__{metric}"
+        # per-INSTANCE unique aliases: two checks may share a name (e.g.
+        # two RangeChecks on one column with different bounds) and
+        # name-only aliases would clobber each other in the fused agg row,
+        # silently evaluating one check against the other's metrics
+        uid = self.__dict__.get("_uid")
+        if uid is None:
+            uid = self.__dict__["_uid"] = next(DQCheck._uid_counter)
+        return f"{self.name}__{uid}__{metric}"
 
 
 @dataclass
@@ -234,15 +244,28 @@ class UniqueKeyCheck(DQCheck):
     def required_columns(self):
         return list(self.key_columns)
 
+    def _all_nonnull(self) -> Column:
+        pred = None
+        for c in self.key_columns:
+            e = F.col(c).isNotNull()
+            pred = e if pred is None else (pred & e)
+        return pred
+
     def agg_exprs(self) -> list[Column]:
         cols = [F.col(c) for c in self.key_columns]
+        all_nonnull = self._all_nonnull()
+        # count_distinct skips rows with any null key; total must match
+        # that population or null-key rows get miscounted as duplicates
+        # (the approx path masks null-key rows for the same reason)
         distinct = (
-            F.approx_count_distinct(F.struct(*cols))
+            F.approx_count_distinct(
+                F.when(all_nonnull, F.struct(*cols)).otherwise(F.lit(None))
+            )
             if self.approx
             else F.count_distinct(*cols)
         )
         return [
-            F.count(F.lit(1)).alias(self._alias("total")),
+            F.sum(all_nonnull.cast("long")).alias(self._alias("total")),
             distinct.alias(self._alias("distinct")),
         ]
 
@@ -316,11 +339,14 @@ class ReferentialIntegrityCheck(DQCheck):
         for i, fk in enumerate(self.fk_columns):
             c = F.col(fk) == F.col(f"__parent_{i}")
             cond = c if cond is None else (cond & c)
-        non_null = df.filter(
-            F.greatest(*[F.col(c).isNotNull() for c in self.fk_columns])
-            if len(self.fk_columns) > 1
-            else F.col(self.fk_columns[0]).isNotNull()
-        )
+        # SQL MATCH SIMPLE semantics: only rows with ALL fk columns
+        # non-null participate — a partially-null composite key can never
+        # satisfy the equality join and would always count as an orphan
+        all_nonnull = None
+        for c in self.fk_columns:
+            e = F.col(c).isNotNull()
+            all_nonnull = e if all_nonnull is None else (all_nonnull & e)
+        non_null = df.filter(all_nonnull)
         # one job: count total + orphans together via left join + agg
         joined = non_null.join(parent, on=cond, how="left")
         row = joined.agg(

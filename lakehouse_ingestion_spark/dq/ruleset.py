@@ -65,11 +65,18 @@ class DQRuleSet:
         return DQSummary.fold(results)
 
     # -- quarantine ---------------------------------------------------------
-    def violation_column(self) -> "F.Column":
+    def violation_column(self, df: DataFrame | None = None) -> "F.Column":
         """Array column of names of checks the row violates (empty = clean).
-        Only row-expressible checks participate."""
+        Only row-expressible checks participate; when ``df`` is given,
+        checks whose required columns are missing are skipped (their
+        predicate could never resolve — apply() already reports them as
+        FAIL, but the quarantine split must not crash on them)."""
         pairs = []
         for check in self.checks:
+            if df is not None and any(
+                c not in df.columns for c in check.required_columns()
+            ):
+                continue
             pred = check.violation_predicate()
             if pred is not None:
                 pairs.append(F.when(pred, F.lit(check.name)))
@@ -80,7 +87,7 @@ class DQRuleSet:
     def split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(good, bad) — bad rows carry ``_dq_failures: array<string>``.
         SURVEY.md D14 quarantine routing."""
-        tagged = df.withColumn("_dq_failures", self.violation_column())
+        tagged = df.withColumn("_dq_failures", self.violation_column(df))
         good = tagged.filter(F.size("_dq_failures") == 0).drop("_dq_failures")
         bad = tagged.filter(F.size("_dq_failures") > 0)
         return good, bad
@@ -127,4 +134,6 @@ class DQRuleSet:
                 exprs.extend(c.agg_exprs())
             except NotImplementedError:
                 pass
+        if not exprs:
+            return df.agg(F.count(F.lit(1)).alias("total_rows"))
         return df.agg(*exprs)

@@ -37,11 +37,13 @@ class IcebergWriter(BaseWriter):
             spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
         if opts.mode == "overwrite":
             df.writeTo(table).createOrReplace()
+        elif spark.catalog.tableExists(table):
+            # no try/except fallback: swallowing a real append failure
+            # (schema mismatch, commit conflict) and re-raising create()'s
+            # "table already exists" would mask the root cause
+            df.writeTo(table).append()
         else:
-            try:
-                df.writeTo(table).append()
-            except Exception:
-                df.writeTo(table).create()
+            df.writeTo(table).create()
 
     def write_streaming(self, df: DataFrame, opts: WriteOptions):
         spark = df.sparkSession

@@ -65,10 +65,13 @@ class FileReader(BaseReader):
 def _avro_available(spark: SparkSession) -> bool:
     """Probe the same data-source lookup Spark's reader performs (some
     avro library jars ship without the spark-avro data source, so a bare
-    class-presence check false-positives)."""
+    class-presence check false-positives). lookupDataSource takes a
+    SQLConf — passing SparkConf throws on every call and would make the
+    probe permanently False even with spark-avro installed."""
     try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsc.sc().conf()
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
         )
         return True
     except Exception:

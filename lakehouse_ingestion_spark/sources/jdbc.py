@@ -39,10 +39,13 @@ class JdbcReader(BaseReader):
         watermark_from = opts.pop("watermarkFrom", None)
         if watermark_col and watermark_from and "dbtable" in opts:
             # incremental read: push the watermark filter into the dbtable
-            # subquery so the DB does the pruning
+            # subquery so the DB does the pruning. The value is quoted into
+            # the SQL text, so escape embedded quotes (checkpoint/config
+            # provenance does not guarantee clean values)
             table = opts["dbtable"]
+            escaped = str(watermark_from).replace("'", "''")
             opts["dbtable"] = (
-                f"(SELECT * FROM {table} WHERE {watermark_col} > '{watermark_from}') AS _inc"
+                f"(SELECT * FROM {table} WHERE {watermark_col} > '{escaped}') AS _inc"
             )
 
         reader = spark.read.format("jdbc")

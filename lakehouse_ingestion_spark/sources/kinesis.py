@@ -26,10 +26,13 @@ REQUIRED = ("streamName", "region")
 
 
 def _kinesis_format(spark: SparkSession) -> str | None:
+    # lookupDataSource requires a SQLConf (a SparkConf raises on every
+    # call, which would report the connector missing even when installed)
+    jvm = spark._jvm
     for fmt in _CONNECTOR_FORMATS:
         try:
-            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-                fmt, spark._jsc.sc().conf()
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                fmt, jvm.org.apache.spark.sql.internal.SQLConf.get()
             )
             return fmt
         except Exception:

@@ -151,3 +151,65 @@ def test_compaction_rejects_remote_paths(spark):
 
     with pytest.raises(UnsupportedFeatureError, match="local filesystem"):
         plan_compaction(spark, "s3a://bucket/table")
+
+
+def test_dq_same_name_checks_do_not_clobber(spark):
+    from lakehouse_ingestion_spark.dq.checks import RangeCheck
+    from lakehouse_ingestion_spark.dq.model import DQStatus
+    from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet
+
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    rs = DQRuleSet(
+        [RangeCheck(column="id", min_value=100.0), RangeCheck(column="id", max_value=1000.0)]
+    )
+    summary = rs.apply(df)
+    # min-bound check must FAIL (both rows < 100); the max-bound passes
+    assert summary.status is DQStatus.FAIL
+    assert sorted(r.status.name for r in summary.results) == ["FAIL", "PASS"]
+    failed = [r for r in summary.results if r.status is DQStatus.FAIL][0]
+    assert failed.metrics["violations"] == 2
+
+
+def test_quarantine_with_missing_column_check(spark):
+    from lakehouse_ingestion_spark.dq.checks import NotNullCheck
+    from lakehouse_ingestion_spark.dq.model import DQStatus
+    from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet, OnFailPolicy
+
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "id int, v double")
+    rs = DQRuleSet([NotNullCheck(column="nope"), NotNullCheck(column="v")])
+    routed = []
+    good, summary = rs.enforce(
+        df, OnFailPolicy.QUARANTINE, quarantine_writer=lambda b: routed.extend(b.collect())
+    )
+    assert summary.status is DQStatus.FAIL  # missing column reported
+    assert good.count() == 1               # v-null row routed, no crash
+    assert len(routed) == 1 and routed[0].id == 1
+
+
+def test_unique_key_ignores_null_keys(spark):
+    from lakehouse_ingestion_spark.dq.checks import UniqueKeyCheck
+    from lakehouse_ingestion_spark.dq.model import DQStatus
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, None)], "id int, k string"
+    )
+    res = UniqueKeyCheck(key_columns=["k"]).run(df)
+    assert res.status is DQStatus.PASS  # null keys are not duplicates
+    res_approx = UniqueKeyCheck(key_columns=["k"], approx=True).run(df)
+    assert res_approx.status is DQStatus.PASS
+
+
+def test_ref_integrity_partial_null_composite_fk(spark):
+    from lakehouse_ingestion_spark.dq.checks import ReferentialIntegrityCheck
+    from lakehouse_ingestion_spark.dq.model import DQStatus
+
+    child = spark.createDataFrame(
+        [(1, "x"), (1, None), (None, "x")], "a int, b string"
+    )
+    parent = spark.createDataFrame([(1, "x")], "a int, b string")
+    res = ReferentialIntegrityCheck(
+        fk_columns=["a", "b"], parent_df=parent, parent_key_columns=["a", "b"]
+    ).run(child)
+    # partially-null FKs are out of scope (MATCH SIMPLE); the one full FK resolves
+    assert res.status is DQStatus.PASS
+    assert res.metrics["total_rows"] == 1

@@ -144,3 +144,32 @@ def test_stateful_running_aggregate(spark, tmp_path):
         for r in spark.read.parquet(sink_dir).filter("tag = 'r2'").collect()
     }
     assert got2["a"] == (3, 13.0)
+
+
+def test_stateful_long_key_and_timeout_validation(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.stateful import running_aggregate
+
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [{"uid": 7, "v": 1.5}, {"uid": 7, "v": 2.5}])
+    )
+    stream = spark.readStream.schema("uid long, v double").format("json").load(str(indir))
+    out = running_aggregate(stream, "uid", "v")
+    assert dict(out.dtypes)["uid"] == "bigint"  # key keeps input name+type
+    sink = str(tmp_path / "out2")
+    q = (
+        out.writeStream.foreachBatch(lambda b, e: b.write.mode("append").parquet(sink))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.read.parquet(sink).collect()[0]
+    assert (row.uid, row.n_events, row.total_value, row.is_final) == (7, 2, 4.0, False)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="timeout"):
+        running_aggregate(stream, "uid", "v", timeout="EventTimeTimeout?!")
