@@ -94,6 +94,11 @@ def load_config(path: str | Path, schema_registry: SchemaRegistry | None = None)
 def parse_config(raw: dict, schema_registry: SchemaRegistry | None = None) -> PipelineConfig:
     if not isinstance(raw, dict) or "jobs" not in raw:
         raise ConfigError("pipeline config must be a mapping with a 'jobs' list")
+    if not isinstance(raw["jobs"], list):
+        raise ConfigError(
+            f"'jobs' must be a list, got {type(raw['jobs']).__name__} "
+            "(a bare 'jobs:' key in YAML parses as null)"
+        )
     jobs = []
     for i, j in enumerate(raw["jobs"]):
         try:

@@ -20,6 +20,12 @@ class SchemaNotFoundError(EngineError):
     """Schema registry lookup failed for (domain, dataset, version)."""
 
 
+class SchemaParseError(EngineError):
+    """A schema file exists but is malformed — distinct from absence so
+    callers (schema_exists, config validation) don't misreport a corrupt
+    file as a missing one."""
+
+
 class SchemaValidationError(EngineError):
     """DataFrame schema does not conform to the registered schema."""
 

@@ -61,7 +61,11 @@ def shingles(text: Column | str, n: int = 3, mode: str = "word") -> Column:
     """
     t = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     if mode == "word":
-        toks = F.split(t, " ")
+        # split("", " ") yields [""], not [] — empty text must produce
+        # zero tokens or every empty doc becomes a near-dup of every other
+        toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(t, " ")
+        )
         count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
         sh = F.transform(
             F.sequence(F.lit(1), count),

@@ -112,6 +112,28 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
     if op == "aggregate":
         aggs = [AggSpec(a["func"], a["column"], a.get("alias")) for a in o["aggs"]]
         return aggregate(df, list(o["group_by"]), aggs)
+    if op == "enrich":
+        from lakehouse_ingestion_spark.operators.enrich import Enrichment, enrich
+
+        spark = df.sparkSession
+        if "dim_path" in o:
+            dim = spark.read.parquet(o["dim_path"])
+        elif "dim_table" in o:
+            dim = spark.table(o["dim_table"])
+        else:
+            raise ConfigError("enrich transform requires 'dim_path' or 'dim_table'")
+        on = [tuple(p) if isinstance(p, (list, tuple)) else p for p in o["on"]]
+        return enrich(
+            df,
+            Enrichment(
+                dim,
+                on=on,
+                how=o.get("how", "left"),
+                select=o.get("select"),
+                broadcast=bool(o.get("broadcast", True)),
+                prefix=o.get("prefix", ""),
+            ),
+        )
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":
@@ -165,7 +187,7 @@ class Pipeline:
         reader = get_reader(job.source.type)
         df = reader.read(self.spark, job.source.options, schema)
         df = add_audit_columns(
-            df, job.source_system, kafka_metadata=(job.source.type == "kafka")
+            df, job.source_system, kafka_metadata=(job.source.type.lower() == "kafka")
         )
         for t in job.transforms:
             df = apply_transform(df, t.op, t.options, schema=schema)
@@ -184,7 +206,14 @@ class Pipeline:
             # warnings only (SchemaValidator treats extras as warnings)
             validate_or_throw(df, schema, context=f"job={job.name}")
         summary = None
+        persisted = None
         if ruleset.checks:
+            if policy is OnFailPolicy.QUARANTINE:
+                # QUARANTINE runs three actions over df (metrics agg, bad
+                # write, good write); pin the input so a non-deterministic
+                # source (JDBC, changing files) can't route a row into
+                # both outputs or neither
+                persisted = df = df.persist()
             df, summary = ruleset.enforce(df, policy, quarantine_writer=self._quarantine_writer(job))
         # row count rides the write action via observe() — no extra scan
         from lakehouse_ingestion_spark.metrics import ObservedMetrics
@@ -192,7 +221,11 @@ class Pipeline:
         obs = ObservedMetrics.attach(
             df, f"write:{job.name}", {"rows": F.count(F.lit(1))}
         )
-        writer.write_batch(obs.df, opts)
+        try:
+            writer.write_batch(obs.df, opts)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         rows = int(obs.get().get("rows", 0))
         return JobResult(job.name, streaming=False, rows_written=rows, dq_summary=summary)
 
@@ -233,10 +266,12 @@ class Pipeline:
 
         if ruleset.checks:
             q_writer = self._quarantine_writer(job)
+            # the DQ path must still go through `sink` (schema validation
+            # per micro-batch), not straight to the writer
             fn = dq_foreach_batch(
                 ruleset,
                 policy,
-                sink=lambda b, e: writer.write_batch(b, opts),
+                sink=sink,
                 quarantine_sink=(lambda b, e: q_writer(b)) if q_writer else None,
             )
         else:

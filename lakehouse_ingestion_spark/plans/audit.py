@@ -71,13 +71,44 @@ class PlanAudit:
         )
 
 
+def _extract_bracketed(plan: str, marker: str) -> list[str]:
+    """Bracket-matched extraction: a plain ``\\[[^\\]]*\\]`` regex truncates
+    at the first ``]`` inside nested lists (e.g. ``In(id, [1,2,3])``)."""
+    out = []
+    start = 0
+    while True:
+        i = plan.find(marker, start)
+        if i < 0:
+            return out
+        j = i + len(marker)
+        if j >= len(plan) or plan[j] != "[":
+            start = j
+            continue
+        depth = 0
+        for k in range(j, len(plan)):
+            if plan[k] == "[":
+                depth += 1
+            elif plan[k] == "]":
+                depth -= 1
+                if depth == 0:
+                    out.append(plan[j : k + 1])
+                    break
+        else:
+            return out
+        start = k + 1
+
+
 def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
-    """``execute=True`` runs the plan (collect) first so AQE finalizes —
-    required for codegen-span counts and runtime re-plan effects
-    (AQEShuffleRead, skew splits); leave False for static properties
-    (pushdown, join strategy, exchange count)."""
+    """``execute=True`` runs the plan first so AQE finalizes — required
+    for codegen-span counts and runtime re-plan effects (AQEShuffleRead,
+    skew splits); leave False for static properties (pushdown, join
+    strategy, exchange count). Execution drains ``toLocalIterator`` (one
+    partition in driver memory at a time — ``collect`` would OOM on large
+    frames; noop-sink writes create a NEW query execution and leave this
+    DataFrame's plan unfinalized)."""
     if execute:
-        df.collect()
+        for _ in df.toLocalIterator():
+            pass
     plan = df._jdf.queryExecution().executedPlan().toString()
     # finalized adaptive plans append "== Initial Plan ==" — audit only
     # the final section, else every node double-counts
@@ -99,6 +130,6 @@ def audit(df: DataFrame, execute: bool = False) -> PlanAudit:
     span_ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     span_ids |= set(re.findall(r"\*\((\d+)\)", plan))
     a.codegen_spans = len(span_ids)
-    a.pushed_filters = re.findall(r"PushedFilters: (\[[^\]]*\])", plan)
+    a.pushed_filters = _extract_bracketed(plan, "PushedFilters: ")
     a.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
     return a

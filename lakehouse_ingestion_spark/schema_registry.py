@@ -17,7 +17,7 @@ from pathlib import Path
 
 from pyspark.sql.types import StructField, StructType
 
-from lakehouse_ingestion_spark.errors import SchemaNotFoundError
+from lakehouse_ingestion_spark.errors import SchemaNotFoundError, SchemaParseError
 
 _VERSION_RE = re.compile(r"^v(\d+)$")
 
@@ -89,8 +89,11 @@ class SchemaRegistry:
         try:
             raw = json.loads(path.read_text())
             parsed = StructType.fromJson(raw)
-        except Exception as e:  # malformed file -> registry error, fail early
-            raise SchemaNotFoundError(f"failed to parse schema {path}: {e}") from e
+        except Exception as e:
+            # NOT SchemaNotFoundError: schema_exists() swallows that and
+            # config validation would report a present-but-corrupt file
+            # as missing
+            raise SchemaParseError(f"failed to parse schema {path}: {e}") from e
         return parsed
 
 

@@ -40,7 +40,19 @@ def validate(df: DataFrame, expected: StructType) -> ValidationResult:
     for exp in expected.fields:
         act = actual.get(exp.name)
         if act is None:
-            errors.append(f"missing column: {exp.name} ({exp.dataType.simpleString()})")
+            # a missing NULLABLE column is an additive-evolution artifact
+            # (schema grew, old data hasn't) — warn, don't fail; missing
+            # NOT NULL columns remain hard errors. Keeps the registry's
+            # compatible-in-place evolution (schema_registry.evolve) from
+            # breaking running jobs.
+            if exp.nullable:
+                warnings.append(
+                    f"missing nullable column: {exp.name} ({exp.dataType.simpleString()})"
+                )
+            else:
+                errors.append(
+                    f"missing column: {exp.name} ({exp.dataType.simpleString()})"
+                )
             continue
         if not _types_match(act.dataType, exp.dataType):
             errors.append(
@@ -82,10 +94,18 @@ def conform(df: DataFrame, expected: StructType, drop_extra: bool = True) -> Dat
     """Type normalization (reference declared op D13): cast every schema
     column to its declared type, preserving schema order; optionally drop
     extra columns. Pure projection — stays in whole-stage codegen."""
-    cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in expected.fields if f.name in df.columns]
-    missing = [f.name for f in expected.fields if f.name not in df.columns]
+    cols = []
+    missing = []
+    for f in expected.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.nullable:
+            # additive evolution: inject the new nullable column as null
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            missing.append(f.name)
     if missing:
-        raise SchemaValidationError(f"cannot conform, missing columns: {missing}")
+        raise SchemaValidationError(f"cannot conform, missing NOT NULL columns: {missing}")
     if not drop_extra:
         extra = [F.col(c) for c in df.columns if c not in {f.name for f in expected.fields}]
         cols = cols + extra

@@ -213,3 +213,40 @@ def test_ref_integrity_partial_null_composite_fk(spark):
     # partially-null FKs are out of scope (MATCH SIMPLE); the one full FK resolves
     assert res.status is DQStatus.PASS
     assert res.metrics["total_rows"] == 1
+
+
+def test_config_jobs_null_raises_config_error():
+    from lakehouse_ingestion_spark.config import parse_config
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="list"):
+        parse_config({"jobs": None})
+
+
+def test_shingles_empty_text_has_no_shingles(spark):
+    from lakehouse_ingestion_spark.functions.similarity import shingles
+
+    df = spark.createDataFrame([("",), ("   ",), ("one",)], "t string")
+    got = [r[0] for r in df.select(shingles("t", 1, "word")).collect()]
+    assert got == [[], [], ["one"]]
+
+
+def test_enrich_transform_op(spark, tmp_path):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "gold")], "cust_id int, tier string").write.parquet(dim_path)
+    fact = spark.createDataFrame([(1, 10.0), (2, 5.0)], "cust_id int, amount double")
+    out = apply_transform(
+        fact, "enrich", {"dim_path": dim_path, "on": ["cust_id"], "how": "left"}
+    )
+    got = {r["cust_id"]: r["tier"] for r in out.collect()}
+    assert got == {1: "gold", 2: None}
+
+
+def test_pushed_filters_nested_brackets():
+    from lakehouse_ingestion_spark.plans.audit import _extract_bracketed
+
+    plan = "Scan parquet [id] PushedFilters: [In(id, [1,2,3]), IsNotNull(id)], ReadSchema: x"
+    got = _extract_bracketed(plan, "PushedFilters: ")
+    assert got == ["[In(id, [1,2,3]), IsNotNull(id)]"]

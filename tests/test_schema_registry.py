@@ -66,8 +66,13 @@ def test_malformed_file_raises(tmp_path):
     d = tmp_path / "x" / "y"
     d.mkdir(parents=True)
     (d / "v1.json").write_text("{not json")
-    with pytest.raises(SchemaNotFoundError):
+    from lakehouse_ingestion_spark.errors import SchemaParseError
+
+    with pytest.raises(SchemaParseError):
         r.get_schema("x", "y", "v1")
+    # corrupt-but-present must NOT report as absent
+    with pytest.raises(SchemaParseError):
+        r.schema_exists("x", "y", "v1")
 
 
 def test_field_metadata(registry):

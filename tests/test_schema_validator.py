@@ -33,12 +33,19 @@ def test_valid(spark):
 
 
 def test_missing_column(spark):
+    # missing NULLABLE column = additive-evolution artifact -> warning only
     df = spark.createDataFrame([(1, "a")], schema="id long, name string")
     res = validate(df, EXPECTED)
-    assert not res.is_valid
-    assert any("missing column: score" in e for e in res.errors)
+    assert res.is_valid
+    assert any("missing nullable column: score" in w for w in res.warnings)
+
+    # missing NOT NULL column stays a hard error
+    df2 = spark.createDataFrame([("a", 1.0)], schema="name string, score double")
+    res2 = validate(df2, EXPECTED)
+    assert not res2.is_valid
+    assert any("missing column: id" in e for e in res2.errors)
     with pytest.raises(SchemaValidationError):
-        validate_or_throw(df, EXPECTED)
+        validate_or_throw(df2, EXPECTED)
 
 
 def test_type_mismatch(spark):
