@@ -1024,7 +1024,9 @@ def _duck_shingles_cte() -> str:
     return f"""
 toks AS (
   SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         END AS tk
   FROM documents
 ),
 sh_t AS (
@@ -1054,20 +1056,23 @@ def _duck_quality_sql() -> str:
 WITH base AS (
   SELECT doc_id,
          text,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
-         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         x -> x IN ({sw}))) AS sw_hits
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> x IN ({sw}))) END AS sw_hits
   FROM documents
 )
 SELECT doc_id,
        n_tok::BIGINT AS n_tokens,
        round(
          0.25 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
-         + 0.25 * (CASE WHEN n_chars::DOUBLE / n_tok >= 2.0
+         + 0.25 * (CASE WHEN n_tok > 0 AND n_chars::DOUBLE / n_tok >= 2.0
                          AND n_chars::DOUBLE / n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
-         + 0.25 * least(alpha_chars::DOUBLE / n_chars * 1.25, 1.0)
+         + 0.25 * (CASE WHEN n_chars = 0 THEN 0.0
+                        ELSE least(alpha_chars::DOUBLE / n_chars * 1.25, 1.0) END)
          + 0.25 * (CASE WHEN sw_hits > 0 THEN 1.0 ELSE 0.0 END),
        6) AS quality
 FROM base
@@ -1108,7 +1113,7 @@ def _duck_simhash_sql() -> str:
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ),
 h AS (SELECT doc_id, {_H60.format(x='tok')} AS th FROM toks),
 votes AS (
@@ -1116,7 +1121,9 @@ votes AS (
          {votes}
   FROM h GROUP BY doc_id
 )
-SELECT doc_id, ({weighted})::BIGINT AS simhash FROM votes
+-- empty documents have no tokens -> simhash 0 (Spark emits 0 for them)
+SELECT d.doc_id, coalesce(({weighted})::BIGINT, 0) AS simhash
+FROM documents d LEFT JOIN votes USING (doc_id)
 """
 
 

@@ -26,13 +26,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from lakehouse_ingestion_spark.session import get_spark, SparkConfig
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    spark = get_spark(
-        SparkConfig(
-            master=f"local[{cpus}]" if cpus else None,
-            app_name="lakehouse-bench",
-        )
-    )
+    # master resolution (SPARK_GRAFT_CPUS -> local[N]) lives in get_spark
+    spark = get_spark(SparkConfig(app_name="lakehouse-bench"))
 
     # warm up the JVM / codegen / python-worker pool so the first measured
     # query doesn't absorb session startup
@@ -46,8 +41,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        df = fn(spark, sf_dir)
+        # timer wraps fn() too: some queries do eager work inside
+        # (bucketed_join's table writes are part of its contract), and a
+        # query must not pin cache into its successors' measurements
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

@@ -41,10 +41,12 @@ def _cmd_run(args: argparse.Namespace) -> int:
                     }
                 )
             )
-        if args.await_streams and pipeline.stream_manager.active:
+        if args.await_streams:
             # all streams launched non-blocking (unlike the reference,
-            # which serialized on awaitTermination per job); block once
-            pipeline.stream_manager.await_any()
+            # which serialized on awaitTermination per job); block until
+            # every registered stream finishes — falling through on the
+            # FIRST termination would let spark.stop() kill the rest
+            pipeline.stream_manager.await_all()
         return 0
     finally:
         if not args.keep_session:

@@ -58,8 +58,11 @@ class SparkCatalogAdapter(CatalogAdapter):
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
         ddl = f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}) USING {self.table_format}"
         if partition_columns:
-            ddl += " PARTITIONED BY (" + ", ".join(partition_columns) + ")"
+            ddl += " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_columns) + ")"
         if properties:
-            props = ", ".join(f"'{k}'='{v}'" for k, v in properties.items())
+            props = ", ".join(
+                "'{}'='{}'".format(str(k).replace("'", "''"), str(v).replace("'", "''"))
+                for k, v in properties.items()
+            )
             ddl += f" TBLPROPERTIES ({props})"
         self.spark.sql(ddl)

@@ -46,11 +46,7 @@ class ObservedMetrics:
 
 
 def row_count_metrics(df: DataFrame, name: str = "ingest") -> ObservedMetrics:
-    return ObservedMetrics.attach(
-        df,
-        name,
-        {"rows": F.count(F.lit(1)), "bytes_estimate": F.sum(F.lit(1))},
-    )
+    return ObservedMetrics.attach(df, name, {"rows": F.count(F.lit(1))})
 
 
 class LoggingStreamListener:
@@ -85,7 +81,7 @@ class LoggingStreamListener:
                     m = MetricValue(
                         name,
                         float(value),
-                        tags={"query": p.name or p.id, "batch": str(p.batchId)},
+                        tags={"query": str(p.name or p.id), "batch": str(p.batchId)},
                     )
                     outer.records.append(m)
                     outer.emit(m)

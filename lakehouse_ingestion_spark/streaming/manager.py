@@ -24,6 +24,14 @@ class StreamManager:
         return query
 
     def await_any(self, timeout: float | None = None) -> bool:
+        """Block until one of THIS manager's registered queries
+        terminates. resetTerminated first: awaitAnyTermination otherwise
+        returns immediately if ANY query in the session ever terminated
+        (e.g. an earlier availableNow catch-up job), which would let a
+        caller fall through and stop still-active streams."""
+        self.spark.streams.resetTerminated()
+        if not self.active:
+            return True
         return self.spark.streams.awaitAnyTermination(timeout)
 
     def await_all(self) -> None:

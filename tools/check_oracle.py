@@ -65,7 +65,11 @@ def main():
             print(f"[SPARK-ERROR] {name}: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(sdf)} rows")
+            if len(sdf) == 0:
+                failures.append(name)
+                print(f"[FAIL rows-only] {name}: 0 rows (must be > 0)")
+            else:
+                print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()

@@ -47,8 +47,9 @@ def main() -> None:
     for name, fn in em.queries().items():
         if only and name not in only:
             continue
-        df = fn(spark, sf_dir)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         spark_s = time.perf_counter() - t0
 
@@ -68,7 +69,8 @@ def main() -> None:
         tot_d += d or 0.0
         ratio = f"{s / d:.1f}x" if d else "—"
         print(f"| {name} | {s:.3f} | {d:.3f} | {ratio} |" if d else f"| {name} | {s:.3f} | — | — |")
-    print(f"| **total** | **{tot_s:.2f}** | **{tot_d:.2f}** | **{tot_s / tot_d:.1f}x** |")
+    total_ratio = f"{tot_s / tot_d:.1f}x" if tot_d else "—"
+    print(f"| **total** | **{tot_s:.2f}** | **{tot_d:.2f}** | **{total_ratio}** |")
     spark.stop()
 
 
