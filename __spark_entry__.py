@@ -956,6 +956,61 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training data: documents (ordered by doc_id)
+    are packed into contiguous fixed-token-budget bins — pack_id =
+    tokens-before-this-doc div budget (deterministic, overflow-tolerant
+    packing; the greedy first-fit variant is order-dependent and not
+    cross-engine checkable). Emits per-pack stats.
+
+    Scale note: the global ORDER BY window serializes; at real scale
+    pack per shard (repartitionByRange on doc_id, then the same window
+    PARTITION BY shard) — pack ids then interleave shard-locally, which
+    training loaders don't care about."""
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = d.select("doc_id", token_count("text").alias("n_tokens"))
+    packed = toks.withColumn(
+        "pack_id",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture curation: cap each language's contribution
+    (top-N docs per lang by quality, tie-broken by doc_id) — the
+    dataset-mixing step of a training pipeline, as pure window ops."""
+    caps = {"en": 100, "de": 50, "es": 50, "fr": 25}
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text", stopwords=QUALITY_STOPWORDS).alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    cap_expr = F.create_map(
+        *[x for k, v in caps.items() for x in (F.lit(k), F.lit(v))]
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cap", F.coalesce(cap_expr[F.col("lang")], F.lit(0))
+    )
+    picked = ranked.filter(F.col("rk") <= F.col("cap"))
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1008,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "ann_ivf": q_ann_ivf,
         "bucketed_join": q_bucketed_join,
+        "seq_pack": q_seq_pack,
+        "mixture": q_mixture,
     }
 
 
@@ -1050,11 +1107,13 @@ def _duck_minhash_exprs(prefix: str = "sh") -> list[str]:
     return exprs
 
 
-def _duck_quality_sql() -> str:
+def _duck_quality_base() -> str:
+    """CTE `qbase` with per-doc token/char stats (empty-text guarded to
+    match functions.text.tokens)."""
     sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
-    return f"""
-WITH base AS (
+    return f"""qbase AS (
   SELECT doc_id,
+         lang,
          text,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
@@ -1064,18 +1123,26 @@ WITH base AS (
               ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                                    x -> x IN ({sw}))) END AS sw_hits
   FROM documents
-)
-SELECT doc_id,
-       n_tok::BIGINT AS n_tokens,
-       round(
+)"""
+
+
+_DUCK_QUALITY_EXPR = """round(
          0.25 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
          + 0.25 * (CASE WHEN n_tok > 0 AND n_chars::DOUBLE / n_tok >= 2.0
                          AND n_chars::DOUBLE / n_tok <= 12.0 THEN 1.0 ELSE 0.0 END)
          + 0.25 * (CASE WHEN n_chars = 0 THEN 0.0
                         ELSE least(alpha_chars::DOUBLE / n_chars * 1.25, 1.0) END)
          + 0.25 * (CASE WHEN sw_hits > 0 THEN 1.0 ELSE 0.0 END),
-       6) AS quality
-FROM base
+       6)"""
+
+
+def _duck_quality_sql() -> str:
+    return f"""
+WITH {_duck_quality_base()}
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       {_DUCK_QUALITY_EXPR} AS quality
+FROM qbase
 """
 
 
@@ -1578,6 +1645,47 @@ SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM exploded GROUP BY 1, 2
+"""
+
+    qs["seq_pack"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {PACK_BUDGET}) AS pack_id
+  FROM toks
+)
+SELECT pack_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed GROUP BY pack_id
+"""
+
+    qs["mixture"] = f"""
+WITH {_duck_quality_base()},
+scored AS (
+  SELECT doc_id, lang, {_DUCK_QUALITY_EXPR} AS q FROM qbase
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rk,
+         CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                   WHEN 'es' THEN 50 WHEN 'fr' THEN 25 ELSE 0 END AS cap
+  FROM scored
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(q), 6) AS avg_quality,
+       min(doc_id) AS min_doc
+FROM ranked WHERE rk <= cap GROUP BY lang
 """
 
     qs["bucketed_join"] = """
