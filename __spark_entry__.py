@@ -1011,6 +1011,45 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts spread across event_type columns
+    (explicit value list — Spark then skips the extra distinct-values
+    job and the plan is one aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            *[F.col(t).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit semi/anti joins: per market segment, customers WITH at
+    least one urgent order (left_semi) and customers with NO orders at
+    all (left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    with_urgent = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_urgent"))
+    )
+    no_orders = (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_no_orders"))
+    )
+    return with_urgent.join(no_orders, "c_mktsegment", "outer").na.fill(0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1065,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "seq_pack": q_seq_pack,
         "mixture": q_mixture,
+        "pivot": q_pivot,
+        "semi_anti": q_semi_anti,
     }
 
 
@@ -1645,6 +1686,36 @@ SELECT strftime(s, '{TS_FMT_DUCK}') AS win_start,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM exploded GROUP BY 1, 2
+"""
+
+    qs["pivot"] = """
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY 1
+"""
+
+    qs["semi_anti"] = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with_urgent
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  GROUP BY 1
+),
+n AS (
+  SELECT c_mktsegment, count(*) AS n_no_orders
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+)
+SELECT c_mktsegment,
+       coalesce(n_with_urgent, 0) AS n_with_urgent,
+       coalesce(n_no_orders, 0) AS n_no_orders
+FROM w FULL JOIN n USING (c_mktsegment)
 """
 
     qs["seq_pack"] = f"""
