@@ -957,27 +957,43 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARDS = 8  # deterministic doc_id-range shards; scale with cluster size
 
 
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for training data: documents (ordered by doc_id)
-    are packed into contiguous fixed-token-budget bins — pack_id =
-    tokens-before-this-doc div budget (deterministic, overflow-tolerant
-    packing; the greedy first-fit variant is order-dependent and not
-    cross-engine checkable). Emits per-pack stats.
+    """Sharded sequence packing for training data: doc_id space is cut
+    into PACK_SHARDS contiguous ranges (width = ceil((max_id+1)/shards),
+    deterministic, so the DuckDB oracle reproduces it), and each shard
+    packs its own docs in doc_id order into fixed-token-budget bins —
+    pack_id = shard-local tokens-before-this-doc div budget.
 
-    Scale note: the global ORDER BY window serializes; at real scale
-    pack per shard (repartitionByRange on doc_id, then the same window
-    PARTITION BY shard) — pack ids then interleave shard-locally, which
-    training loaders don't care about."""
+    The cumulative-sum window is PARTITION BY shard, so the work spreads
+    across PACK_SHARDS tasks instead of serializing onto one (the round-1
+    unpartitioned window was the only WindowExec-warning plan in the
+    repo). Pack ids are shard-local, which training loaders don't care
+    about; at real scale set PACK_SHARDS ~ executor count."""
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     toks = d.select("doc_id", token_count("text").alias("n_tokens"))
-    packed = toks.withColumn(
+    width = toks.agg(
+        F.ceil((F.max("doc_id") + 1) / F.lit(float(PACK_SHARDS)))
+        .cast("long")
+        .alias("__w")
+    )
+    sharded = (
+        toks.crossJoin(F.broadcast(width))
+        .withColumn("shard", F.floor(F.col("doc_id") / F.col("__w")).cast("long"))
+        .drop("__w")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sharded.withColumn(
         "pack_id",
         (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET).cast("long"),
     )
-    return packed.groupBy("pack_id").agg(
+    return packed.groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -1262,7 +1278,8 @@ ranked AS (
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
   FROM pairs
 )
-SELECT q_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+SELECT q_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
 """
 
 
@@ -1423,18 +1440,23 @@ WITH ranked AS (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders
 )
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(rk AS INTEGER) AS rk
 FROM ranked WHERE rk <= 3
 """
 
+    # NOTE: DuckDB's sum() over integers yields HUGEINT (int128); the
+    # driver's hash compare is dtype-exact, so every integer sum that
+    # reaches the output must be CAST to BIGINT to match Spark's long.
     qs["dq_summary"] = """
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-       sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 400.0)
-                THEN 1 ELSE 0 END) AS value_out_of_range,
-       sum(CASE WHEN event_type IS NOT NULL
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS user_id_nulls,
+       CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 400.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS value_out_of_range,
+       CAST(sum(CASE WHEN event_type IS NOT NULL
                  AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
-                THEN 1 ELSE 0 END) AS event_type_invalid,
+                THEN 1 ELSE 0 END) AS BIGINT) AS event_type_invalid,
        count(DISTINCT event_id) AS event_id_distinct
 FROM events
 """
@@ -1456,7 +1478,8 @@ WHERE (value IS NOT NULL AND (value < 0.0 OR value > 400.0))
 
     qs["ref_integrity"] = """
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphans
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """
 
@@ -1551,12 +1574,12 @@ SELECT o_orderkey,
        upper(o_orderstatus) AS status_upper,
        lower(o_orderpriority) AS prio_lower,
        substr(o_orderpriority, 1, 3) AS prio_prefix,
-       length(o_orderpriority) AS prio_len,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
        concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
        replace(o_orderpriority, '-', '_') AS prio_underscore,
-       extract(year FROM o_orderdate)::BIGINT AS order_year,
-       extract(month FROM o_orderdate)::BIGINT AS order_month,
-       extract(day FROM o_orderdate)::BIGINT AS order_day,
+       extract(year FROM o_orderdate)::INTEGER AS order_year,
+       extract(month FROM o_orderdate)::INTEGER AS order_month,
+       extract(day FROM o_orderdate)::INTEGER AS order_day,
        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
 FROM orders WHERE o_orderkey % 7 = 0
 """
@@ -1611,8 +1634,8 @@ SELECT o_custkey, o_orderkey,
        round(avg(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
-       row_number() OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate ASC, o_orderkey ASC) AS seq
+       CAST(row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS seq
 FROM orders WHERE o_custkey % 10 = 0
 """
 
@@ -1725,19 +1748,27 @@ WITH toks AS (
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
   FROM documents
 ),
-packed AS (
-  SELECT doc_id, n_tokens,
-         (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          // {PACK_BUDGET}) AS pack_id
+mx AS (
+  SELECT CAST(ceil((max(doc_id) + 1) / {float(PACK_SHARDS)}) AS BIGINT) AS w
   FROM toks
+),
+sharded AS (
+  SELECT doc_id, n_tokens, CAST(doc_id // w AS BIGINT) AS shard
+  FROM toks, mx
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM sharded
 )
-SELECT pack_id,
+SELECT shard, pack_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS pack_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
-FROM packed GROUP BY pack_id
+FROM packed GROUP BY shard, pack_id
 """
 
     qs["mixture"] = f"""
@@ -1799,7 +1830,8 @@ scored AS (
   FROM cand JOIN qs q ON q.vec_id = cand.q_id
             JOIN vecs n ON n.vec_id = cand.neighbor_id)
 SELECT q_id, neighbor_id, cos_sim,
-       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rk
 FROM scored QUALIFY rk <= 3
 """
 
@@ -1851,7 +1883,8 @@ ranked AS (
                                ORDER BY cos_sim DESC, vec_id ASC) AS rk
   FROM pairs
 )
-SELECT q_id, vec_id AS neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 10
+SELECT q_id, vec_id AS neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
 """
 
     return qs

@@ -82,8 +82,17 @@ def main():
         s_rows = canon(sdf)
         o_rows = canon(odf)
         ok_vals = s_rows == o_rows
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "MISMATCH"
+        # The driver's hash is dtype-exact (DuckDB HUGEINT broke 3 rows in
+        # round 1), so flag any per-column pandas dtype divergence too.
+        ok_dtypes = ok_cols and all(
+            str(sdf[c].dtype) == str(odf[c].dtype) for c in sdf.columns
+        )
+        status = "OK" if (ok_rows and ok_cols and ok_vals and ok_dtypes) else "MISMATCH"
         print(f"[{status}] {name}: spark={len(sdf)} duck={len(odf)} cols_ok={ok_cols}")
+        if ok_cols and not ok_dtypes:
+            for c in sdf.columns:
+                if str(sdf[c].dtype) != str(odf[c].dtype):
+                    print(f"   dtype {c}: spark={sdf[c].dtype} duck={odf[c].dtype}")
         if status == "MISMATCH":
             failures.append(name)
             if not ok_cols:
