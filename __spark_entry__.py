@@ -476,22 +476,35 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over embeddings (the
-    exact baseline; LSH-bucketed variant is the scale path)."""
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+    exact baseline; LSH-bucketed variant is the scale path). Scoring is
+    the broadcast-queries + per-partition BLAS matmul operator — one
+    Arrow batch per matmul, local top-k before any shuffle — replacing
+    the round-1 crossJoin + interpreted higher-order-function dot
+    (77x DuckDB; the worst compute ratio in BASELINE.md).
+
+    No ensure_parallelism here: the matmul path wants big Arrow batches,
+    not a pre-shuffle — at scale the corpus arrives pre-split by
+    maxPartitionBytes, and locally one batch IS the fastest shape."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_ingestion_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    pairs = q.crossJoin(emb.filter(F.col("vec_id") >= 5)).withColumn(
-        "cos_sim", F.round(cosine_similarity(F.col("qv"), F.col("v")), 6)
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rk")
-    )
+    # the 5 query vectors are a driver-side request: read them with a
+    # pyarrow row-group-pushdown scan instead of a dedicated Spark job
+    qpd = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    ).to_pandas()
+    qpd["v"] = qpd["embedding"]
+    return brute_force_topk(
+        corpus=emb.filter(F.col("vec_id") >= 5),
+        queries=qpd,
+        k=10,
+    ).select("q_id", "neighbor_id", "cos_sim", "rk")
 
 
 def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,11 +16,87 @@ across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lakehouse_ingestion_spark.functions.similarity import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame | pd.DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query via broadcast + BLAS scoring.
+
+    The query set is collected and broadcast as one normalized float64
+    matrix (top-k search presumes a small query set; the corpus side
+    stays fully distributed and never shuffles until the final
+    ``partitions x queries x ~k``-row candidate window). Each corpus
+    partition is scored against ALL queries with a single ``matmul``
+    per Arrow batch, then reduced to a local top-k per query before
+    anything leaves the executor — the global window only ranks the
+    surviving sliver. Returns (q_id, neighbor_id, cos_sim, rk).
+
+    Determinism: the final order is (cosine rounded to ``round_to``
+    desc, neighbor_id asc). The local cut keeps every row within
+    ``10**-round_to`` of the k-th raw score; rounding is monotone and
+    moves a value by at most half that, so no row that could enter the
+    global top-k after rounding is dropped early.
+
+    ``queries`` may be a pandas DataFrame (columns id_col, vec_col) when
+    the caller already holds the query set driver-side — a top-k search
+    request IS a driver-side input, so skipping the collect job is the
+    normal serving shape.
+    """
+    if isinstance(queries, pd.DataFrame):
+        qpd = queries[[id_col, vec_col]]
+    else:
+        qpd = queries.select(id_col, vec_col).toPandas()
+    qids = qpd[id_col].to_numpy().astype("int64")
+    qmat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat / qnorm))
+    eps = 0.0 if round_to is None else 10.0 ** (-round_to)
+
+    def _score(batches):
+        q_ids, q_n = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy().astype("int64")
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mnorm = np.linalg.norm(m, axis=1, keepdims=True)
+            mnorm[mnorm == 0.0] = 1.0
+            sims = q_n @ (m / mnorm).T  # (n_queries, batch)
+            n = sims.shape[1]
+            if n > k:
+                cut = np.partition(sims, n - k, axis=1)[:, n - k] - eps
+            else:
+                cut = np.full(sims.shape[0], -2.0)
+            qi, ni = np.nonzero(sims >= cut[:, None])
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi],
+                    "neighbor_id": ids[ni],
+                    "cos_sim": sims[qi, ni],
+                }
+            )
+
+    scored = corpus.mapInPandas(_score, "q_id long, neighbor_id long, cos_sim double")
+    if round_to is not None:
+        scored = scored.withColumn("cos_sim", F.round("cos_sim", round_to))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def ivf_assign(

@@ -90,3 +90,60 @@ def test_ivf_topk_finds_in_cell_neighbors(spark):
         (10, 20, 1),
         (10, 21, 2),
     ]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    from lakehouse_ingestion_spark.operators.ann import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    corpus = {i: rng.normal(size=8) for i in range(5, 80)}
+    queries = {i: rng.normal(size=8) for i in range(3)}
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in corpus.items()], "vec_id long, v array<double>"
+    ).repartition(7)  # several partitions: exercises the local-top-k merge
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in queries.items()], "vec_id long, v array<double>"
+    )
+    k = 4
+    got = [
+        (r["q_id"], r["rk"], r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(cdf, qdf, k=k).collect()
+    ]
+    exp = []
+    for qid, qv in queries.items():
+        sims = sorted(
+            (
+                (
+                    round(
+                        float(
+                            qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))
+                        ),
+                        6,
+                    ),
+                    cid,
+                )
+                for cid, cv in corpus.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (s, cid) in enumerate(sims[:k], start=1):
+            exp.append((qid, rk, cid, s))
+    assert sorted(got) == sorted(exp)
+
+
+def test_brute_force_topk_pandas_queries_and_zero_vec(spark):
+    import pandas as pd
+
+    from lakehouse_ingestion_spark.operators.ann import brute_force_topk
+
+    cdf = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    qpd = pd.DataFrame({"vec_id": [100], "v": [[1.0, 1.0]]})
+    rows = brute_force_topk(cdf, qpd, k=2).collect()
+    # zero-norm corpus vector scores 0.0 (not nan/error); top-2 of 3 kept
+    assert [(r["q_id"], r["neighbor_id"], r["rk"]) for r in rows] == [
+        (100, 2, 1),
+        (100, 3, 2),
+    ]
