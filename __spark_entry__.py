@@ -652,8 +652,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary content column -> mapInPandas feature
-    extraction (stub decoder) + frame sampling. Not SQL-expressible
-    (mapInPandas) -> rows-only check."""
+    extraction (stub decoder) + frame sampling. The md5-seeded embedding
+    stays internal (not DuckDB-reproducible); every emitted column is
+    byte arithmetic, so the DuckDB oracle reproduces the full output by
+    hex-expanding the UTF-8 blob."""
     from lakehouse_ingestion_spark.functions.multimodal import (
         extract_media_features,
         sample_frames,
@@ -1698,6 +1700,39 @@ WITH fp AS (
   FROM documents
 )
 SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same FROM fp
+"""
+
+    # multimodal: every output column except the (internal) embedding is
+    # byte arithmetic — reproduce the UTF-8 byte stream in DuckDB by hex-
+    # expanding the encoded blob, one row per byte, then aggregating.
+    qs["multimodal"] = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         lower(hex(encode(coalesce(text, '')))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT media_id, n,
+         (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS bv
+  FROM h, unnest(generate_series(1, n)) AS t(i)
+  WHERE n > 0
+),
+stats AS (
+  SELECT media_id,
+         round(avg(bv), 6) AS byte_mean,
+         round(coalesce(stddev_pop(bv), 0.0), 6) AS byte_std
+  FROM bytes GROUP BY media_id
+)
+SELECT h.media_id,
+       CAST(CASE WHEN h.n = 0 THEN 0 ELSE h.n END AS BIGINT) AS n_bytes,
+       CASE WHEN h.n = 0 THEN NULL ELSE s.byte_mean END AS byte_mean,
+       CASE WHEN h.n = 0 THEN NULL ELSE s.byte_std END AS byte_std,
+       CAST(CASE WHEN h.n = 0 THEN 0
+                 ELSE least(ceil(h.n / 64.0), 8) END AS INTEGER) AS n_frames,
+       CASE WHEN h.n = 0 THEN 'error' ELSE 'stub-md5' END AS decoder
+FROM h LEFT JOIN stats s USING (media_id)
 """
 
     qs["tumbling_window"] = f"""
