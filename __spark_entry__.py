@@ -679,6 +679,68 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka ingest decode chain (SURVEY.md A3+A4) end-to-end: events are
+    serialized into the exact frame spark-sql-kafka delivers — key bytes,
+    JSON value bytes (Debezium-style epoch-micros timestamp), topic,
+    partition, offset, timestamp — then decoded by the production
+    ``decode_json_value`` (CAST -> from_json(schema) -> flatten) with
+    Kafka metadata retained. The oracle is the identity formulation:
+    decode(encode(row)) == row, plus the derived metadata columns.
+
+    == reference ``io/KafkaReader.scala:40-53`` (decode chain) against a
+    broker-free raw frame, closing the no-broker-in-container test gap."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_ingestion_spark.sources.kafka import decode_json_value
+
+    e = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("event_ts_us"),
+        )
+    )
+    raw = e.select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(payload, "UTF-8").alias("value"),
+        F.lit("events").alias("topic"),
+        F.pmod("user_id", F.lit(4)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("event_ts_us", LongType()),
+        ]
+    )
+    flat = decode_json_value(raw, schema, keep_kafka_meta=True)
+    return flat.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.date_format(F.timestamp_micros("event_ts_us"), TS_FMT).alias("event_ts"),
+        "topic",
+        "partition",
+        "offset",
+        F.date_format("timestamp", TS_FMT).alias("kafka_ts"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (beyond rollup/cube: arbitrary grouping combinations)."""
     o = _t(spark, sf_dir, "orders")
@@ -1119,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup": q_cosine_dup,
         "ann_lsh": q_ann_lsh,
         "multimodal": q_multimodal,
+        "kafka_decode": q_kafka_decode,
         "grouping_sets": q_grouping_sets,
         "percentiles": q_percentiles,
         "salted_agg": q_salted_agg,
@@ -1733,6 +1796,18 @@ SELECT h.media_id,
                  ELSE least(ceil(h.n / 64.0), 8) END AS INTEGER) AS n_frames,
        CASE WHEN h.n = 0 THEN 'error' ELSE 'stub-md5' END AS decoder
 FROM h LEFT JOIN stats s USING (media_id)
+"""
+
+    # kafka_decode oracle: decode(encode(row)) == row — the original
+    # columns plus the deterministically derived Kafka metadata.
+    qs["kafka_decode"] = f"""
+SELECT event_id, user_id, event_type, round(value, 2) AS value,
+       strftime(ts, '{TS_FMT_DUCK}') AS event_ts,
+       'events' AS topic,
+       CAST(user_id % 4 AS INTEGER) AS "partition",
+       event_id AS "offset",
+       strftime(ts, '{TS_FMT_DUCK}') AS kafka_ts
+FROM events
 """
 
     qs["tumbling_window"] = f"""
