@@ -1,0 +1,249 @@
+"""Replay-equivalence scrutiny for the gated Delta merge paths.
+
+delta-spark cannot be installed in this container, so the Delta twins
+(`DeltaWriter.merge_upsert`, incremental `scd2_merge`) are exercised
+against independent formulations of the same semantics:
+
+1. ``FakeDeltaTable`` implements Delta's MERGE contract from scratch in
+   pandas (matched-update-all, not-matched-insert-all, matched-delete,
+   and the multiple-source-rows-per-target error). It is monkeypatched
+   into ``sinks.delta`` so the REAL ``merge_upsert`` code path runs —
+   condition building, delete routing, path dispatch — and its result is
+   compared against the oracle-green DataFrame-algebra ``upsert``.
+
+2. Incremental ``scd2_merge`` applied batch-by-batch over a randomized
+   change stream must land on the same dimension as one-shot
+   ``scd2_from_history`` over the concatenated stream (reference SCD2
+   contract: docs/00-architecture-overview.md:230).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lakehouse_ingestion_spark.operators.merge import upsert
+from lakehouse_ingestion_spark.operators.scd import scd2_from_history, scd2_merge
+
+
+# ---------------------------------------------------------------------------
+# Fake DeltaTable: independent MERGE semantics
+# ---------------------------------------------------------------------------
+
+class FakeDeltaTable:
+    """Pandas reimplementation of the DeltaTable.merge API surface used by
+    ``DeltaWriter.merge_upsert``. Semantics written from the public Delta
+    MERGE contract, NOT by delegating to operators/merge.py (that would be
+    circular)."""
+
+    _store: dict[str, pd.DataFrame] = {}
+
+    def __init__(self, pdf: pd.DataFrame, path: str):
+        self._pdf = pdf
+        self._path = path
+        self._source = None
+        self._keys = None
+        self._delete_cond = None
+
+    # -- API surface -------------------------------------------------------
+    @classmethod
+    def forPath(cls, spark, path):
+        return cls(cls._store[path].copy(), path)
+
+    def alias(self, _):
+        return self
+
+    def merge(self, source_df, cond: str):
+        # source arrives aliased; unwrap to pandas
+        self._source = source_df.toPandas()
+        self._keys = re.findall(r"t\.(\w+) = s\.\1", cond)
+        assert self._keys, f"unparseable merge condition: {cond}"
+        return self
+
+    def whenMatchedDelete(self, condition: str):
+        self._delete_cond = condition
+        return self
+
+    def whenMatchedUpdateAll(self):
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        return self
+
+    def execute(self):
+        tgt, src, keys = self._pdf, self._source, self._keys
+        # Delta errors when >1 source row matches one target row
+        if src.duplicated(subset=keys).any():
+            dup_keys = src[src.duplicated(subset=keys, keep=False)][keys]
+            matched_dups = tgt.merge(dup_keys.drop_duplicates(), on=keys)
+            if len(matched_dups):
+                raise ValueError(
+                    "multiple source rows matched the same target row"
+                )
+
+        def _is_delete(row) -> bool:
+            if self._delete_cond is None:
+                return False
+            expr = re.sub(r"\bs\.(\w+)", r"\1", self._delete_cond)
+            expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+            return bool(row.to_frame().T.eval(expr).iloc[0])
+
+        src_keyed = src.set_index(keys)
+        out_rows = []
+        for _, trow in tgt.iterrows():
+            k = tuple(trow[c] for c in keys)
+            k = k[0] if len(keys) == 1 else k
+            if k in src_keyed.index:
+                srow = src[
+                    np.logical_and.reduce(
+                        [src[c].to_numpy() == trow[c] for c in keys]
+                    )
+                ].iloc[0]
+                if _is_delete(srow):
+                    continue  # whenMatchedDelete
+                out_rows.append(srow[tgt.columns])  # whenMatchedUpdateAll
+            else:
+                out_rows.append(trow)
+        matched = tgt[keys].merge(src[keys].drop_duplicates(), on=keys)
+        unmatched_src = src.merge(
+            matched.drop_duplicates(), on=keys, how="left", indicator=True
+        )
+        unmatched_src = unmatched_src[unmatched_src["_merge"] == "left_only"]
+        for _, srow in unmatched_src.iterrows():
+            if not _is_delete(srow):
+                out_rows.append(srow[tgt.columns])  # whenNotMatchedInsertAll
+        result = (
+            pd.DataFrame(out_rows, columns=tgt.columns).reset_index(drop=True)
+            if out_rows
+            else tgt.iloc[0:0]
+        )
+        FakeDeltaTable._store[self._path] = result
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(r) for _, r in pdf[cols].iterrows()]
+    return sorted(rows, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.fixture()
+def fake_delta(monkeypatch):
+    import lakehouse_ingestion_spark.sinks.delta as delta_mod
+
+    monkeypatch.setattr(delta_mod, "DeltaTable", FakeDeltaTable)
+    monkeypatch.setattr(delta_mod, "DELTA_AVAILABLE", True)
+    FakeDeltaTable._store = {}
+    yield FakeDeltaTable._store
+
+
+def test_merge_upsert_equals_algebra_upsert(spark, fake_delta):
+    from lakehouse_ingestion_spark.sinks.delta import DeltaWriter
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amount double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 22.0), (4, "d", 40.0)],
+        "id long, name string, amount double",
+    )
+    fake_delta["/fake/t1"] = target.toPandas()
+    DeltaWriter.merge_upsert(spark, "/fake/t1", source, ["id"])
+
+    expected = upsert(target, source, ["id"]).toPandas()
+    assert _canon(fake_delta["/fake/t1"]) == _canon(expected)
+
+
+def test_merge_upsert_delete_condition_equivalence(spark, fake_delta):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.sinks.delta import DeltaWriter
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amount double",
+    )
+    # op column drives CDC-style deletes; target has no op column, so the
+    # algebra twin projects it away via select(*target.columns)
+    source = spark.createDataFrame(
+        [(2, "B", 22.0, "u"), (3, "c", 30.0, "d"), (5, "e", 50.0, "u")],
+        "id long, name string, amount double, op string",
+    )
+    fake_delta["/fake/t2"] = target.toPandas()
+    DeltaWriter.merge_upsert(
+        spark, "/fake/t2", source, ["id"], delete_condition="s.op = 'd'"
+    )
+
+    algebra = upsert(
+        target,
+        source,
+        ["id"],
+        delete_condition=F.col("op") == "d",
+    ).toPandas()
+    assert _canon(fake_delta["/fake/t2"]) == _canon(algebra)
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, fake_delta):
+    from lakehouse_ingestion_spark.sinks.delta import DeltaWriter
+
+    target = spark.createDataFrame([(1, "a")], "id long, name string")
+    dup_source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, name string"
+    )
+    fake_delta["/fake/t3"] = target.toPandas()
+    with pytest.raises(ValueError, match="multiple source rows"):
+        DeltaWriter.merge_upsert(spark, "/fake/t3", dup_source, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# scd2_merge replay equivalence vs scd2_from_history rebuild
+# ---------------------------------------------------------------------------
+
+def _scd2_canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = ["key", "attr", "ts", "valid_from", "valid_to", "is_current"]
+    rows = [tuple(str(r[c]) for c in cols) for _, r in pdf.iterrows()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scd2_incremental_replay_equals_rebuild(spark, seed):
+    """Random change stream, random batch boundaries: applying batches
+    incrementally with scd2_merge must produce the same dimension as one
+    scd2_from_history rebuild over the full stream. Covers multi-version
+    batches, no-op replays (attr equal to current), new keys, reverts."""
+    rng = np.random.default_rng(seed)
+    n_events, n_keys = 40, 6
+    events = []
+    for ts in range(n_events):
+        key = int(rng.integers(0, n_keys))
+        # small attr alphabet -> frequent no-op repeats and reverts
+        attr = ["red", "green", "blue"][int(rng.integers(0, 3))]
+        events.append((key, attr, ts))
+
+    full = spark.createDataFrame(events, "key long, attr string, ts long")
+    rebuilt = scd2_from_history(
+        full, ["key"], "ts", attr_columns=["attr"]
+    ).toPandas()
+
+    # split the SAME stream at random boundaries into 1..5 batches
+    n_batches = int(rng.integers(2, 6))
+    bounds = sorted(rng.choice(range(1, n_events), n_batches - 1, replace=False))
+    spans = list(zip([0, *bounds], [*bounds, n_events]))
+
+    first = spark.createDataFrame(
+        events[spans[0][0] : spans[0][1]], "key long, attr string, ts long"
+    )
+    dim = scd2_from_history(first, ["key"], "ts", attr_columns=["attr"])
+    for lo, hi in spans[1:]:
+        batch = spark.createDataFrame(
+            events[lo:hi], "key long, attr string, ts long"
+        )
+        dim = scd2_merge(dim, batch, ["key"], "ts", ["attr"])
+        # materialize between batches like a real sink would (also keeps
+        # the lineage from compounding across iterations)
+        dim = spark.createDataFrame(dim.toPandas(), dim.schema)
+
+    assert _scd2_canon(dim.toPandas()) == _scd2_canon(rebuilt)
