@@ -1000,6 +1000,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(vectors, queries, centroids, k=3, nprobe=2)
 
 
+EMB_DIM = 64  # testdata embeddings dimension (shared with the oracle mirror)
+
+
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one Lloyd k-means refinement pass over the sampled seed
+    centroids (kmeans_refine: assignment by broadcast join, per-dim avg
+    aggregates, one shuffle on cell id), then the same probed top-k
+    search as ann_ivf. Centroid components are rounded to 6 dp so the
+    DuckDB mirror reproduces the refined centroids exactly."""
+    from lakehouse_ingestion_spark.operators.ann import ivf_topk, kmeans_refine
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18))
+    vectors = emb.filter(F.col("vec_id") >= 18)
+    refined = kmeans_refine(vectors, seeds, dim=EMB_DIM, iterations=1)
+    return ivf_topk(vectors, queries, refined, k=3, nprobe=2)
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via bucketed catalog tables: both sides bucketed
     on the join key with a shared bucket count, so the join plans with
@@ -1195,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_refined": q_ann_ivf_refined,
         "bucketed_join": q_bucketed_join,
         "seq_pack": q_seq_pack,
         "mixture": q_mixture,
@@ -1298,6 +1322,61 @@ def _duck_lang_sql() -> str:
 WITH c AS (SELECT doc_id, lang, {', '.join(count_exprs)} FROM documents),
 b AS (SELECT *, {best} AS best FROM c)
 SELECT doc_id, lang, {case} AS pred_lang FROM b
+"""
+
+
+def _duck_ann_ivf_refined_sql() -> str:
+    """ann_ivf_refined mirror: one Lloyd pass (nearest-seed assignment,
+    per-dimension rounded avg per cell, empty cells keep their seed) then
+    the standard IVF probe/score/top-k. The 64 avg expressions are
+    generated mechanically, like the simhash bit votes."""
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    means = ", ".join(f"round(avg(x.v[{i + 1}]), 6)" for i in range(EMB_DIM))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+vecs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 18),
+qs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 8 AND vec_id < 18),
+assign0 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             {cos.format(a="x.v", b="c.cv")} DESC, c.cid ASC) AS r
+    FROM vecs x CROSS JOIN cent0 c) WHERE r = 1),
+means AS (
+  SELECT a.cell AS cid, [{means}] AS mv
+  FROM assign0 a JOIN vecs x USING (vec_id) GROUP BY a.cell),
+cent AS (
+  SELECT c0.cid, coalesce(m.mv, c0.cv) AS cv
+  FROM cent0 c0 LEFT JOIN means m USING (cid)),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             {cos.format(a="x.v", b="c.cv")} DESC, c.cid ASC) AS r
+    FROM vecs x CROSS JOIN cent c) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             {cos.format(a="x.v", b="c.cv")} DESC, c.cid ASC) AS r
+    FROM qs x CROSS JOIN cent c) WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT p.q_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.q_id <> a.neighbor_id),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         {cos.format(a="q.v", b="n.v")} AS cos_sim
+  FROM cand JOIN qs q ON q.vec_id = cand.q_id
+            JOIN vecs n ON n.vec_id = cand.neighbor_id)
+SELECT q_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rk
+FROM scored QUALIFY rk <= 3
 """
 
 
@@ -1920,6 +1999,8 @@ SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+    qs["ann_ivf_refined"] = _duck_ann_ivf_refined_sql()
 
     qs["ann_ivf"] = """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -128,6 +128,59 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Lloyd k-means refinement of IVF centroids as pure aggregations.
+
+    Each iteration: assign every vector to its nearest centroid (broadcast
+    join — the N-row side never shuffles for assignment), then recompute
+    each cell's centroid as the per-dimension mean via ``dim`` built-in
+    ``avg`` aggregates — partial aggregation map-side, ONE shuffle per
+    iteration keyed on cell id, nothing leaves the JVM. Cells that lost
+    all members keep their previous centroid (the classic empty-cluster
+    guard). Assignment is by cosine, so means are left unnormalized
+    (cosine is scale-invariant).
+
+    ``round_to`` pins centroid components to a fixed precision so a
+    cross-engine oracle reproduces the refined centroids bit-for-bit.
+    """
+    cents = centroids
+    for _ in range(iterations):
+        assign = ivf_assign(
+            vectors, cents, id_col, vec_col, centroid_id_col, centroid_vec_col
+        )
+        member = assign.join(vectors, id_col).select("cell", vec_col)
+        means = member.groupBy("cell").agg(
+            *[F.avg(F.col(vec_col)[i]).alias(f"_m{i}") for i in range(dim)]
+        )
+        comps = [
+            F.round(F.col(f"_m{i}"), round_to) if round_to is not None
+            else F.col(f"_m{i}")
+            for i in range(dim)
+        ]
+        new = means.select(
+            F.col("cell").alias(centroid_id_col),
+            F.array(*comps).alias("__new_cv"),
+        )
+        cents = (
+            cents.join(new, on=centroid_id_col, how="left")
+            .select(
+                centroid_id_col,
+                F.coalesce("__new_cv", centroid_vec_col).alias(centroid_vec_col),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

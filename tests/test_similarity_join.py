@@ -5,6 +5,7 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from lakehouse_ingestion_spark.operators.similarity_join import (
     cosine_allpairs_blocked,
@@ -147,3 +148,70 @@ def test_brute_force_topk_pandas_queries_and_zero_vec(spark):
         (100, 2, 1),
         (100, 3, 2),
     ]
+
+
+def test_kmeans_refinement_improves_recall(spark):
+    """recall@k of IVF search vs brute-force ground truth, before and
+    after one Lloyd refinement pass. Seeds are drawn from a single true
+    cluster (worst case); refinement must not hurt and must clear a
+    recall floor on well-clustered data."""
+    from lakehouse_ingestion_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, k = 16, 5
+    centers = rng.normal(size=(4, dim)) * 5.0
+    corpus = {
+        100 + i: (centers[i % 4] + rng.normal(size=dim) * 0.3) for i in range(80)
+    }
+    queries = {i: (centers[i % 4] + rng.normal(size=dim) * 0.3) for i in range(8)}
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in corpus.items()], "vec_id long, v array<double>"
+    )
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in queries.items()], "vec_id long, v array<double>"
+    )
+    # degenerate seeds: 4 corpus points from the SAME true cluster
+    seed_ids = [100, 104, 108, 112]  # all cluster 0
+    seeds = cdf.filter(F.col("vec_id").isin(seed_ids)).selectExpr(
+        "vec_id as cid", "v as cv"
+    )
+
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(cdf, qdf, k=k).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                cdf, qdf, cents, k=k, nprobe=1, exclude_same_id=False
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed = recall(seeds)
+    r_refined = recall(kmeans_refine(cdf, seeds, dim=dim, iterations=2))
+    print(f"recall@{k}: seeds={r_seed:.3f} refined={r_refined:.3f}")
+    assert r_refined >= r_seed
+    assert r_refined >= 0.7
+
+
+def test_kmeans_refine_empty_cell_keeps_seed(spark):
+    from lakehouse_ingestion_spark.operators.ann import kmeans_refine
+
+    # both vectors are nearest seed 0; seed 1's cell is empty and must
+    # survive refinement with its original centroid
+    vec = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1])], "vec_id long, v array<double>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "cid long, cv array<double>"
+    )
+    out = {r["cid"]: r["cv"] for r in kmeans_refine(vec, seeds, dim=2).collect()}
+    assert out[1] == [-1.0, 0.0]
+    assert out[0] == [0.95, 0.05]
