@@ -112,8 +112,9 @@ def cdc_apply_incremental(
             lifted = lifted.withColumn(c, F.lit(None))
     lifted = lifted.withColumn(op_column, F.lit("r")).select(*evt_cols)
     combined = events.unionByName(lifted)
-    # plain-string order_by -> agg strategy; null ordering values (the
-    # lifted snapshot rows) lose, same as desc_nulls_last under window
+    # cdc_apply ranks with the default window strategy (desc_nulls_last),
+    # so the lifted snapshot rows' null ordering values sort last and
+    # lose to any real event for the same key
     return cdc_apply(
         combined, key_columns, list(order_by), op_column=op_column, delete_ops=delete_ops
     ).drop(op_column)

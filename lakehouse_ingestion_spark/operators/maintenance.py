@@ -73,9 +73,15 @@ def compact_parquet(
 ) -> dict:
     """Rewrite ``path`` into ~target-sized parquet files (coalesce to the
     planned file count; repartition by partition columns when given so
-    each Hive partition compacts independently). Rewrites via a temp
-    sibling directory then atomic-ish rename, so a crash mid-compact
-    leaves the original intact."""
+    each Hive partition compacts independently).
+
+    Crash safety: the rewrite lands in a temp sibling first, so a crash
+    BEFORE the swap leaves the original untouched. The swap itself is two
+    renames, NOT atomic — a crash between them leaves no data at ``path``,
+    but the full original survives at ``<path>__compact_old`` for manual
+    rollback; that backup is only deleted after the new ``path`` has been
+    verified readable. (True atomicity needs a transactional table format
+    — the Delta/Iceberg sinks' OPTIMIZE path at scale.)"""
     import shutil
 
     stats = plan_compaction(spark, path, target_file_bytes)
@@ -102,6 +108,9 @@ def compact_parquet(
     backup = path.rstrip("/") + "__compact_old"
     shutil.move(path, backup)
     shutil.move(tmp, path)
+    # verify the swapped-in data is readable before destroying the only
+    # rollback copy; on failure the backup directory remains for recovery
+    spark.read.parquet(path).schema
     shutil.rmtree(backup)
     log.info("compacted %s: %s files -> %s", path, stats["n_files"], stats["target_files"])
     return {**stats, "rewritten": True}

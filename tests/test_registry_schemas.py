@@ -32,11 +32,11 @@ def test_payments_config_end_to_end(spark, tmp_path):
         # good
         {"transaction_id": "t1", "customer_id": "c1", "merchant_id": "m1",
          "amount": 10.50, "currency": "USD", "transaction_status": "completed",
-         "payment_method": "card", "transaction_time": "2024-01-01T10:00:00Z"},
+         "payment_method": "credit_card", "transaction_time": "2024-01-01T10:00:00Z"},
         # bad: negative amount AND unknown currency
         {"transaction_id": "t2", "customer_id": "c2", "merchant_id": "m2",
          "amount": -5.00, "currency": "XXX", "transaction_status": "completed",
-         "payment_method": "card", "transaction_time": "2024-01-01T11:00:00Z"},
+         "payment_method": "credit_card", "transaction_time": "2024-01-01T11:00:00Z"},
     ]
     src = tmp_path / "incoming"
     src.mkdir()
@@ -93,3 +93,42 @@ def test_debezium_decode_with_shipped_schema(spark):
     applied = parse_debezium(decoded, row_schema)
     got = applied.select("__row.id", "__row.name", "op").collect()[0]
     assert (got.id, got.name, got.op) == (1, "new", "u")
+
+
+def test_pii_mask_from_registry_metadata(spark):
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.operators.pii import (
+        REDACTED,
+        mask_pii,
+        pii_columns,
+    )
+
+    reg = SchemaRegistry(REGISTRY)
+    schema = reg.get_schema("payments", "transactions", "v1")
+    assert pii_columns(schema) == ["customer_id"]
+
+    df = spark.createDataFrame(
+        [("t1", "c1", 10.0), ("t2", "c1", 20.0), ("t3", None, 30.0)],
+        "transaction_id string, customer_id string, amount double",
+    )
+    hashed = mask_pii(df, schema, strategy="hash", salt="s1").collect()
+    vals = {r.transaction_id: r.customer_id for r in hashed}
+    assert vals["t3"] is None
+    assert vals["t1"] == vals["t2"]          # joinability preserved
+    assert vals["t1"] != "c1" and len(vals["t1"]) == 64
+    # different salt -> different pseudonyms
+    other = mask_pii(df, schema, strategy="hash", salt="s2").collect()
+    assert {r.customer_id for r in other if r.customer_id} != {vals["t1"]}
+
+    red = mask_pii(df, schema, strategy="redact").collect()
+    assert {r.customer_id for r in red} == {REDACTED, None}
+
+    nulled = mask_pii(df, schema, strategy="null").collect()
+    assert all(r.customer_id is None for r in nulled)
+    # untouched columns survive every strategy
+    assert sorted(r.amount for r in nulled) == [10.0, 20.0, 30.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError):
+        mask_pii(df, schema, strategy="rot13")
