@@ -82,5 +82,15 @@ class DeltaWriter(BaseWriter):
         cond = " AND ".join(f"t.{k} = s.{k}" for k in key_columns)
         m = tgt.alias("t").merge(source.alias("s"), cond)
         if delete_condition:
+            # whenMatchedDelete only fires for MATCHED rows; an unmatched
+            # delete-marked source row (out-of-order CDC delete) must not
+            # be resurrected by the insert clause — gate the insert too,
+            # matching the algebra twin (operators/merge.upsert filters
+            # delete rows out of the source entirely)
             m = m.whenMatchedDelete(condition=delete_condition)
-        m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+            m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll(
+                condition=f"NOT ({delete_condition})"
+            )
+        else:
+            m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        m.execute()

@@ -47,6 +47,7 @@ class FakeDeltaTable:
         self._source = None
         self._keys = None
         self._delete_cond = None
+        self._insert_cond = None
 
     # -- API surface -------------------------------------------------------
     @classmethod
@@ -70,7 +71,11 @@ class FakeDeltaTable:
     def whenMatchedUpdateAll(self):
         return self
 
-    def whenNotMatchedInsertAll(self):
+    def whenNotMatchedInsertAll(self, condition: str | None = None):
+        # Delta contract: unmatched source rows insert UNLESS an explicit
+        # insert condition excludes them (whenMatchedDelete never applies
+        # to unmatched rows)
+        self._insert_cond = condition
         return self
 
     def execute(self):
@@ -84,12 +89,19 @@ class FakeDeltaTable:
                     "multiple source rows matched the same target row"
                 )
 
-        def _is_delete(row) -> bool:
-            if self._delete_cond is None:
-                return False
-            expr = re.sub(r"\bs\.(\w+)", r"\1", self._delete_cond)
+        def _eval_cond(row, cond: str | None, default: bool) -> bool:
+            if cond is None:
+                return default
+            expr = re.sub(r"\bs\.(\w+)", r"\1", cond)
             expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+            expr = re.sub(r"\bNOT\b", "not", expr)
             return bool(row.to_frame().T.eval(expr).iloc[0])
+
+        def _is_delete(row) -> bool:
+            return _eval_cond(row, self._delete_cond, False)
+
+        def _should_insert(row) -> bool:
+            return _eval_cond(row, self._insert_cond, True)
 
         src_keyed = src.set_index(keys)
         out_rows = []
@@ -113,7 +125,7 @@ class FakeDeltaTable:
         )
         unmatched_src = unmatched_src[unmatched_src["_merge"] == "left_only"]
         for _, srow in unmatched_src.iterrows():
-            if not _is_delete(srow):
+            if _should_insert(srow):
                 out_rows.append(srow[tgt.columns])  # whenNotMatchedInsertAll
         result = (
             pd.DataFrame(out_rows, columns=tgt.columns).reset_index(drop=True)
@@ -184,6 +196,31 @@ def test_merge_upsert_delete_condition_equivalence(spark, fake_delta):
         delete_condition=F.col("op") == "d",
     ).toPandas()
     assert _canon(fake_delta["/fake/t2"]) == _canon(algebra)
+
+
+def test_merge_upsert_unmatched_delete_not_resurrected(spark, fake_delta):
+    """Out-of-order CDC delete: source carries a delete for a key absent
+    from the target. Neither formulation may insert it (round-2 review
+    caught merge_upsert's unconditioned insert clause doing exactly
+    that)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.sinks.delta import DeltaWriter
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "id long, name string, amount double")
+    source = spark.createDataFrame(
+        [(9, "ghost", 0.0, "d"), (2, "b", 20.0, "u")],
+        "id long, name string, amount double, op string",
+    )
+    fake_delta["/fake/t4"] = target.toPandas()
+    DeltaWriter.merge_upsert(
+        spark, "/fake/t4", source, ["id"], delete_condition="s.op = 'd'"
+    )
+    algebra = upsert(
+        target, source, ["id"], delete_condition=F.col("op") == "d"
+    ).toPandas()
+    assert _canon(fake_delta["/fake/t4"]) == _canon(algebra)
+    assert 9 not in set(fake_delta["/fake/t4"]["id"])
 
 
 def test_merge_upsert_rejects_duplicate_source_keys(spark, fake_delta):
