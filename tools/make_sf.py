@@ -39,6 +39,36 @@ KEY_OF = {
 }
 
 
+def _mirror_types(src_path: str, dst_path: str) -> None:
+    """Re-encode ``dst_path`` so every column carries the SOURCE's exact
+    arrow type. DuckDB's parquet writer normalizes timestamps to
+    microseconds without the UTC flag, so a scaled events.ts would read
+    back in Spark as TIMESTAMP_NTZ instead of the driver testdata's
+    nanos-as-long — a different dtype than the fixtures the driver
+    grades against. Casting us->ns is exact (x1000), and sub-microsecond
+    precision was already gone in both engines' read paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_schema = pq.read_schema(src_path)
+    tbl = pq.read_table(dst_path)
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        sf = (
+            src_schema.field(f.name)
+            if src_schema.get_field_index(f.name) >= 0
+            else f
+        )
+        if sf.type != f.type and pa.types.is_timestamp(sf.type):
+            fields.append(pa.field(f.name, sf.type, f.nullable))
+            changed = True
+        else:
+            fields.append(f)
+    if changed:
+        pq.write_table(tbl.cast(pa.schema(fields)), dst_path)
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
@@ -46,6 +76,7 @@ def main() -> None:
     os.makedirs(dst, exist_ok=True)
 
     con = duckdb.connect()
+    con.execute("SET timezone = 'UTC'")
     offsets: dict[str, int] = {}
     for t, key in KEY_OF.items():
         offsets[t] = con.execute(
@@ -57,17 +88,18 @@ def main() -> None:
 
     for t, (pk, fks) in SHIFTS.items():
         src_path, dst_path = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
-        if pk is None and not fks:
-            con.execute(
-                f"COPY (SELECT * FROM read_parquet('{src_path}')) TO '{dst_path}'"
-            )
-            continue
         cols = [
             r[0]
             for r in con.execute(
                 f"describe select * from read_parquet('{src_path}')"
             ).fetchall()
         ]
+        if pk is None and not fks:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src_path}')) TO '{dst_path}'"
+            )
+            _mirror_types(src_path, dst_path)
+            continue
         own_off = con.execute(
             f"SELECT max({pk}) + 1 FROM read_parquet('{src_path}')"
         ).fetchone()[0] if pk else None
@@ -86,6 +118,7 @@ def main() -> None:
                    unnest(generate_series(0, {factor - 1})) AS g(i)
               ) TO '{dst_path}'"""
         )
+        _mirror_types(src_path, dst_path)
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst_path}')").fetchone()[0]
         print(f"{t}: {n} rows")
 
