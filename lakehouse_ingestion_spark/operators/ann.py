@@ -141,24 +141,39 @@ def kmeans_refine(
 ) -> DataFrame:
     """Lloyd k-means refinement of IVF centroids as pure aggregations.
 
-    Each iteration: assign every vector to its nearest centroid (broadcast
-    join — the N-row side never shuffles for assignment), then recompute
-    each cell's centroid as the per-dimension mean via ``dim`` built-in
-    ``avg`` aggregates — partial aggregation map-side, ONE shuffle per
-    iteration keyed on cell id, nothing leaves the JVM. Cells that lost
-    all members keep their previous centroid (the classic empty-cluster
-    guard). Assignment is by cosine, so means are left unnormalized
-    (cosine is scale-invariant).
+    Each iteration: explode vectors against the broadcast centroid set,
+    pick each vector's best cell with one ``max_by`` aggregation that
+    carries the vector itself through (no window, no join back to
+    ``vectors`` — the window+join form pays an extra N-row shuffle per
+    iteration), then recompute each cell's centroid as the per-dimension
+    mean via ``dim`` built-in ``avg`` aggregates — partial aggregation
+    map-side, nothing leaves the JVM. Cells that lost all members keep
+    their previous centroid (the classic empty-cluster guard).
+    Assignment is by cosine, so means are left unnormalized (cosine is
+    scale-invariant).
+
+    Tie-break matches ``ivf_assign`` and the DuckDB oracle: rounded
+    cosine desc, then cell id asc (``max_by`` over (c_sim, -cell)).
 
     ``round_to`` pins centroid components to a fixed precision so a
     cross-engine oracle reproduces the refined centroids bit-for-bit.
     """
     cents = centroids
     for _ in range(iterations):
-        assign = ivf_assign(
-            vectors, cents, id_col, vec_col, centroid_id_col, centroid_vec_col
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            F.col(vec_col),
+            F.col(centroid_id_col).alias("cell"),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6
+            ).alias("c_sim"),
         )
-        member = assign.join(vectors, id_col).select("cell", vec_col)
+        member = scored.groupBy(id_col).agg(
+            F.max_by(
+                "cell", F.struct(F.col("c_sim"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first(vec_col).alias(vec_col),
+        )
         means = member.groupBy("cell").agg(
             *[F.avg(F.col(vec_col)[i]).alias(f"_m{i}") for i in range(dim)]
         )
