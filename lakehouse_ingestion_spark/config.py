@@ -78,14 +78,25 @@ class PipelineConfig:
 
 
 def load_config(path: str | Path, schema_registry: SchemaRegistry | None = None) -> PipelineConfig:
-    """Parse + validate a pipeline spec file (.yaml/.yml/.json)."""
+    """Parse + validate a pipeline spec file (.yaml/.yml/.json/.conf).
+
+    ``.conf`` files are HOCON — the reference's native config format
+    (``configs/cdc-postgres-to-delta.conf``), parsed by the dependency-free
+    subset parser in ``hocon.py``."""
     p = Path(path)
     if not p.is_file():
         raise ConfigError(f"config file not found: {p}")
     try:
-        raw = (
-            json.loads(p.read_text()) if p.suffix == ".json" else yaml.safe_load(p.read_text())
-        )
+        if p.suffix == ".json":
+            raw = json.loads(p.read_text())
+        elif p.suffix == ".conf":
+            from lakehouse_ingestion_spark.hocon import parse_hocon
+
+            raw = parse_hocon(p.read_text())
+        else:
+            raw = yaml.safe_load(p.read_text())
+    except ConfigError:
+        raise
     except Exception as e:
         raise ConfigError(f"failed to parse {p}: {e}") from e
     return parse_config(raw, schema_registry)
@@ -128,7 +139,51 @@ def parse_config(raw: dict, schema_registry: SchemaRegistry | None = None) -> Pi
     return cfg
 
 
+def _normalize_reference_job(j: dict) -> dict:
+    """Accept the reference's HOCON job shape
+    (``configs/cdc-postgres-to-delta.conf``: domain/dataset instead of
+    name, ``target.lakehouse_format``/``table``/``layer``,
+    ``schema.registry_domain``/``registry_dataset``) by rewriting it to
+    the canonical shape. Canonical keys always win; this only fills
+    gaps."""
+    j = dict(j)
+    if "name" not in j and ("domain" in j or "dataset" in j):
+        j["name"] = "_".join(
+            str(j[k]) for k in ("domain", "dataset") if k in j
+        )
+    tgt = j.get("target")
+    if isinstance(tgt, dict) and "format" not in tgt and "lakehouse_format" in tgt:
+        tgt = dict(tgt)
+        fmt = tgt.pop("lakehouse_format")
+        if "layer" in tgt and "layer" not in j:
+            j["layer"] = tgt.pop("layer")
+        opts = dict(tgt.pop("options", {}))
+        for k in ("table", "catalog", "partitions"):
+            if k in tgt:
+                opts.setdefault(k, tgt.pop(k))
+        opts.update(tgt)
+        j["target"] = {"format": fmt, "options": opts}
+    sch = j.get("schema")
+    if isinstance(sch, dict) and "domain" not in sch and "registry_domain" in sch:
+        j["schema"] = {
+            "domain": sch["registry_domain"],
+            "dataset": sch.get("registry_dataset", sch.get("dataset")),
+            "version": sch.get("version", "latest"),
+        }
+    src = j.get("source")
+    if isinstance(src, dict) and isinstance(src.get("options"), dict):
+        # HOCON dotted keys (kafka.security.protocol) parse as nested
+        # objects; Spark option maps want them flat again
+        from lakehouse_ingestion_spark.hocon import flatten_keys
+
+        src = dict(src)
+        src["options"] = flatten_keys(src["options"])
+        j["source"] = src
+    return j
+
+
 def _parse_job(j: dict) -> JobConfig:
+    j = _normalize_reference_job(j)
     for req in ("name", "source", "target"):
         if req not in j:
             raise ConfigError(f"job missing required key '{req}'")
