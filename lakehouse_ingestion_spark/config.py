@@ -158,9 +158,20 @@ def _normalize_reference_job(j: dict) -> dict:
         if "layer" in tgt and "layer" not in j:
             j["layer"] = tgt.pop("layer")
         opts = dict(tgt.pop("options", {}))
-        for k in ("table", "catalog", "partitions"):
-            if k in tgt:
-                opts.setdefault(k, tgt.pop(k))
+        if "partitions" in tgt:
+            # reference `partitions = [..]` is the canonical partition_by;
+            # leaving it as an opaque writer option would silently drop
+            # the partitioning
+            opts.setdefault("partition_by", tgt.pop("partitions"))
+        if "table" in tgt:
+            t = str(tgt["table"])
+            # the reference's `table` often holds a storage LOCATION
+            # (s3a://.../bronze/...), not a catalog identifier; routing a
+            # URI to saveAsTable() crashes at first write
+            key = "path" if ("://" in t or t.startswith("/")) else "table"
+            opts.setdefault(key, tgt.pop("table"))
+        if "catalog" in tgt:
+            opts.setdefault("catalog", tgt.pop("catalog"))
         opts.update(tgt)
         j["target"] = {"format": fmt, "options": opts}
     sch = j.get("schema")
@@ -170,15 +181,17 @@ def _normalize_reference_job(j: dict) -> dict:
             "dataset": sch.get("registry_dataset", sch.get("dataset")),
             "version": sch.get("version", "latest"),
         }
-    src = j.get("source")
-    if isinstance(src, dict) and isinstance(src.get("options"), dict):
-        # HOCON dotted keys (kafka.security.protocol) parse as nested
-        # objects; Spark option maps want them flat again
-        from lakehouse_ingestion_spark.hocon import flatten_keys
+    # HOCON dotted keys (kafka.security.protocol, delta.appendOnly) parse
+    # as nested objects; Spark option maps want them flat again — on BOTH
+    # the source and target sides, and inside transform entries
+    from lakehouse_ingestion_spark.hocon import flatten_keys
 
-        src = dict(src)
-        src["options"] = flatten_keys(src["options"])
-        j["source"] = src
+    for side in ("source", "target"):
+        node = j.get(side)
+        if isinstance(node, dict) and isinstance(node.get("options"), dict):
+            node = dict(node)
+            node["options"] = flatten_keys(node["options"])
+            j[side] = node
     return j
 
 

@@ -99,7 +99,7 @@ class _Parser:
             if self._peek() in ",":
                 self.i += 1
                 continue
-            key = self._parse_key()
+            key, quoted = self._parse_key()
             self._skip_ws(newlines=False)
             c = self._peek()
             if c == "{":
@@ -110,11 +110,13 @@ class _Parser:
                 val = self._parse_value()
             else:
                 raise self._err(f"expected '=', ':' or '{{' after key {key!r}")
-            _assign_path(obj, key.split("."), val, self._err)
+            # HOCON: a QUOTED key is one literal path segment —
+            # "bootstrap.servers" must not expand into nested objects
+            _assign_path(obj, [key] if quoted else key.split("."), val, self._err)
 
-    def _parse_key(self) -> str:
+    def _parse_key(self) -> tuple[str, bool]:
         if self._peek() == '"':
-            return self._parse_quoted()
+            return self._parse_quoted(), True
         start = self.i
         while self.i < self.n and (
             self.s[self.i].isalnum() or self.s[self.i] in "._-"
@@ -122,7 +124,7 @@ class _Parser:
             self.i += 1
         if self.i == start:
             raise self._err(f"expected a key, found {self._peek()!r}")
-        return self.s[start:self.i]
+        return self.s[start:self.i], False
 
     def _parse_value(self):
         c = self._peek()

@@ -59,6 +59,17 @@ def brute_force_topk(
         qpd = queries[[id_col, vec_col]]
     else:
         qpd = queries.select(id_col, vec_col).toPandas()
+    if qpd.empty:
+        # np.stack on zero arrays raises; an empty query set is a valid
+        # (if degenerate) request and should return an empty frame
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, cos_sim double, rk int"
+        )
+    if not pd.api.types.is_integer_dtype(qpd[id_col]):
+        raise TypeError(
+            f"brute_force_topk requires integral ids; {id_col!r} is "
+            f"{qpd[id_col].dtype} (the broadcast/mapInPandas schema is long)"
+        )
     qids = qpd[id_col].to_numpy().astype("int64")
     qmat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -160,13 +171,14 @@ def kmeans_refine(
     """
     cents = centroids
     for _ in range(iterations):
+        sim = cosine_similarity(F.col(vec_col), F.col(centroid_vec_col))
+        if round_to is not None:
+            sim = F.round(sim, round_to)
         scored = vectors.crossJoin(F.broadcast(cents)).select(
             id_col,
             F.col(vec_col),
             F.col(centroid_id_col).alias("cell"),
-            F.round(
-                cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6
-            ).alias("c_sim"),
+            sim.alias("c_sim"),
         )
         member = scored.groupBy(id_col).agg(
             F.max_by(

@@ -105,12 +105,22 @@ def compact_parquet(
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
 
+    # footer-only count (no data scan) — baseline for post-swap verification
+    expected = spark.read.parquet(tmp).count()
+
     backup = path.rstrip("/") + "__compact_old"
     shutil.move(path, backup)
     shutil.move(tmp, path)
-    # verify the swapped-in data is readable before destroying the only
-    # rollback copy; on failure the backup directory remains for recovery
-    spark.read.parquet(path).schema
+    # verify the swapped-in data before destroying the only rollback copy:
+    # count() touches EVERY file's footer (schema inference alone can
+    # succeed on a partially-copied directory when move degrades to
+    # copy+delete across filesystems); on failure the backup remains
+    actual = spark.read.parquet(path).count()
+    if actual != expected:
+        raise RuntimeError(
+            f"compact_parquet: post-swap row count {actual} != {expected}; "
+            f"original preserved at {backup}"
+        )
     shutil.rmtree(backup)
     log.info("compacted %s: %s files -> %s", path, stats["n_files"], stats["target_files"])
     return {**stats, "rewritten": True}

@@ -51,7 +51,10 @@ def mask_pii(
         raise ConfigError(
             f"unknown pii strategy {strategy!r}; expected one of {_STRATEGIES}"
         )
-    targets = [c for c in (columns or pii_columns(schema)) if c in df.columns]
+    # `columns is None` means "use the schema flags"; an explicit [] means
+    # "mask nothing" and must not fall through to the schema list
+    wanted = pii_columns(schema) if columns is None else columns
+    targets = [c for c in wanted if c in df.columns]
     out = df
     for c in targets:
         if strategy == "hash":

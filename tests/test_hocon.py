@@ -159,8 +159,12 @@ jobs = [
     assert job.source.options["bootstrap.servers"] == "broker:9092"
     assert job.source.options["kafka.security.protocol"] == "PLAINTEXT"
     assert job.target.format == "delta"
-    assert job.target.options["table"].startswith("s3a://")
-    assert job.target.options["partitions"] == []
+    # a URI-valued reference `table` is a LOCATION: it must land on the
+    # path option (saveAsTable on an s3a:// string crashes at write time)
+    assert job.target.options["path"].startswith("s3a://")
+    assert "table" not in job.target.options
+    # reference `partitions` is the canonical partition_by
+    assert job.target.options["partition_by"] == []
     assert job.data_quality.on_fail.value == "LOG_ONLY"
 
 
@@ -180,3 +184,54 @@ def test_canonical_keys_win_over_aliases():
     cfg = parse_config(raw)
     assert cfg.jobs[0].name == "explicit"
     assert cfg.jobs[0].target.format == "parquet"
+
+
+def test_quoted_keys_stay_literal():
+    """HOCON quoted keys are ONE path segment — no dot expansion."""
+    assert parse_hocon('"bootstrap.servers" = "b:9092"') == {
+        "bootstrap.servers": "b:9092"
+    }
+    # mixed: unquoted dotted expands, quoted sibling does not
+    out = parse_hocon('a.b = 1\n"a.b" = 2')
+    assert out == {"a": {"b": 1}, "a.b": 2}
+
+
+def test_reference_table_vs_catalog_table():
+    """A non-URI reference `table` stays a catalog table identifier."""
+    raw = {
+        "jobs": [
+            {
+                "domain": "d",
+                "dataset": "s",
+                "source": {"type": "parquet", "options": {"path": "/in"}},
+                "target": {
+                    "lakehouse_format": "delta",
+                    "table": "bronze.events",
+                    "partitions": ["event_date"],
+                },
+            }
+        ]
+    }
+    cfg = parse_config(raw)
+    opts = cfg.jobs[0].target.options
+    assert opts["table"] == "bronze.events"
+    assert "path" not in opts
+    assert opts["partition_by"] == ["event_date"]
+
+
+def test_target_options_reflattened():
+    """Dotted keys inside target.options come back flat, like source's."""
+    raw = {
+        "jobs": [
+            {
+                "name": "j",
+                "source": {"type": "parquet", "options": {"path": "/in"}},
+                "target": {
+                    "format": "delta",
+                    "options": {"path": "/out", "delta": {"appendOnly": "true"}},
+                },
+            }
+        ]
+    }
+    cfg = parse_config(raw)
+    assert cfg.jobs[0].target.options["delta.appendOnly"] == "true"

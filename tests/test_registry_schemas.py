@@ -132,3 +132,8 @@ def test_pii_mask_from_registry_metadata(spark):
 
     with _pytest.raises(ConfigError):
         mask_pii(df, schema, strategy="rot13")
+
+    # explicit empty override means "mask nothing" — must not fall back
+    # to the schema-flagged list
+    untouched = mask_pii(df, schema, strategy="redact", columns=[]).collect()
+    assert {r.customer_id for r in untouched} == {"c1", None}

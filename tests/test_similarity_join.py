@@ -215,3 +215,44 @@ def test_kmeans_refine_empty_cell_keeps_seed(spark):
     out = {r["cid"]: r["cv"] for r in kmeans_refine(vec, seeds, dim=2).collect()}
     assert out[1] == [-1.0, 0.0]
     assert out[0] == [0.95, 0.05]
+
+
+def test_brute_force_topk_empty_and_nonint_queries(spark):
+    import pandas as pd
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.ann import brute_force_topk
+
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    # empty query set: valid degenerate request, not an np.stack crash
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "v": []})
+    assert brute_force_topk(cdf, empty, k=2).count() == 0
+    assert brute_force_topk(
+        cdf, cdf.filter("vec_id < 0"), k=2
+    ).count() == 0
+    # non-integral ids fail loudly, not with a numpy cast error
+    bad = pd.DataFrame({"vec_id": ["a"], "v": [[1.0, 0.0]]})
+    with pytest.raises(TypeError, match="integral ids"):
+        brute_force_topk(cdf, bad, k=1)
+
+
+def test_kmeans_refine_honors_round_to(spark):
+    from lakehouse_ingestion_spark.operators.ann import kmeans_refine
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(9)],
+        "vec_id long, v array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [0.1, 1.0]), (1, [2.0, 1.0])], "cid int, cv array<double>"
+    )
+    # round_to=None must run end-to-end with unrounded assignment + means
+    out = {
+        r["cid"]: r["cv"]
+        for r in kmeans_refine(vecs, seeds, dim=2, round_to=None).collect()
+    }
+    assert set(out) == {0, 1}
+    # unrounded means keep full precision (mean of {0,1} memberships)
+    assert all(len(v) == 2 for v in out.values())
