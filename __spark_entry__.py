@@ -700,7 +700,9 @@ def q_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_ingestion_spark.sources.kafka import decode_json_value
 
-    e = _t(spark, sf_dir, "events")
+    # to_json + from_json are per-row CPU; a single-row-group fixture file
+    # must fan out first (no-op on an already-split source)
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
     payload = F.to_json(
         F.struct(
             "event_id",
