@@ -127,8 +127,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via md5 fingerprint (D5 + text fingerprinting)."""
-    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    """Exact dedup via md5 fingerprint (D5 + text fingerprinting).
+
+    No ensure_parallelism here: lower/regexp/md5 are whole-stage-codegen
+    JVM work, and shuffling full text bodies to fan the scan out costs
+    3x more than the single-task pass (measured at sf1) — the fan-out
+    guard is only for interpreted/Python per-row pipelines."""
+    d = _t(spark, sf_dir, "documents")
     return (
         d.select(fingerprint_md5("text").alias("fp"), "doc_id")
         .groupBy("fp")

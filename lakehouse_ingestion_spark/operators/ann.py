@@ -149,6 +149,7 @@ def kmeans_refine(
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cv",
     round_to: int | None = 6,
+    cache: bool = True,
 ) -> DataFrame:
     """Lloyd k-means refinement of IVF centroids as pure aggregations.
 
@@ -168,6 +169,12 @@ def kmeans_refine(
 
     ``round_to`` pins centroid components to a fixed precision so a
     cross-engine oracle reproduces the refined centroids bit-for-bit.
+
+    ``cache`` persists each iteration's K-row centroid frame. Without it
+    the lineage doubles per iteration (``cents`` is referenced by both
+    the scoring cross join and the empty-cluster guard) and every
+    downstream use of the result re-runs the whole refinement — measured
+    2x on the cold ann_ivf_refined query even at iterations=1.
     """
     cents = centroids
     for _ in range(iterations):
@@ -205,6 +212,10 @@ def kmeans_refine(
                 F.coalesce("__new_cv", centroid_vec_col).alias(centroid_vec_col),
             )
         )
+        if cache:
+            # K rows; prior iterations' frames are left to the cache
+            # eviction policy rather than racing lazy materialization
+            cents = cents.cache()
     return cents
 
 
