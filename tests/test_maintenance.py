@@ -52,3 +52,45 @@ def test_analyze_table_feeds_cbo(spark):
         assert stats_row and "rows" in stats_row[0]["data_type"]
     finally:
         spark.sql("DROP TABLE IF EXISTS mt_stats")
+
+
+def test_compact_sorted_clusters_for_pruning(spark, tmp_path):
+    """sort_by rewrites into range-disjoint files whose row-group min/max
+    stats admit file-level pruning on the cluster column."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "clust")
+    # write shuffled keys across many tiny files: every file spans almost
+    # the full key range, so nothing can prune
+    spark.range(0, 20000, 1, 20).selectExpr(
+        "pmod(id * 2654435761, 20000) as k", "id as v"
+    ).write.parquet(path)
+
+    result = compact_parquet(
+        spark, path, target_file_bytes=64 * 1024, sort_by=["k"]
+    )
+    assert result["rewritten"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(path).glob("*.parquet")
+    )
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = [
+            md.row_group(g).column(
+                next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(g).column(i).path_in_schema == "k"
+                )
+            ).statistics
+            for g in range(md.num_row_groups)
+        ]
+        spans.append((min(s.min for s in ci), max(s.max for s in ci)))
+    spans.sort()
+    # disjoint key ranges: each file's max stays below the next file's min
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b
