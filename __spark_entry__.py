@@ -1134,6 +1134,45 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_RATES = {"en": 0.25, "zh": 1.0}  # cap dominant lang, keep all zh
+STRATA_DEFAULT = 0.5
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash of the
+    document key (operators/sampling.hash_split): a pure projection —
+    no shuffle, no RNG — so re-runs, backfills, and corpus growth never
+    migrate a document across splits. Summarized per (split, lang)."""
+    from lakehouse_ingestion_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", SPLIT_FRACTIONS, seed="split")
+    return s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling
+    (operators/sampling.stratified_sample): rebalance a skewed training
+    mixture in one shuffle-free filter pass. id_sum pins the exact
+    sampled membership for the oracle, not just the counts."""
+    from lakehouse_ingestion_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, "lang", STRATA_RATES, "doc_id", seed="strat",
+        default_fraction=STRATA_DEFAULT,
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-day event counts spread across event_type columns
     (explicit value list — Spark then skips the extra distinct-values
@@ -1231,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture": q_mixture,
         "pivot": q_pivot,
         "semi_anti": q_semi_anti,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2096,6 +2137,41 @@ ranked AS (
 )
 SELECT q_id, vec_id AS neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
 FROM ranked WHERE rk <= 10
+"""
+
+    # mirror of operators/sampling.hash_uniform: 60-bit md5 of
+    # key || US || seed, reduced mod 2^20, projected to [0,1). The
+    # cumulative split thresholds use the SAME Python-float arithmetic as
+    # hash_split (0.8 + 0.1 != 0.9 exactly), serialized via repr.
+    def _duck_u(seed: str) -> str:
+        h = _H60.format(x=f"doc_id::VARCHAR || chr(31) || '{seed}'")
+        return f"(({h} % 1048576)::DOUBLE / 1048576.0)"
+
+    _cums = []
+    _c = 0.0
+    for _name in list(SPLIT_FRACTIONS)[:-1]:
+        _c += SPLIT_FRACTIONS[_name]
+        _cums.append((_name, _c))
+    _split_case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN '{n}'" for n, c in _cums
+    ) + f" ELSE '{list(SPLIT_FRACTIONS)[-1]}' END"
+    qs["sample_split"] = f"""
+WITH u AS (SELECT *, {_duck_u('split')} AS u FROM documents)
+SELECT {_split_case} AS split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc
+FROM u GROUP BY 1, 2
+"""
+
+    _rate = f"{STRATA_DEFAULT!r}"
+    for _v, _f in STRATA_RATES.items():
+        _rate = f"CASE WHEN lang = '{_v}' THEN {float(_f)!r} ELSE {_rate} END"
+    qs["stratified_sample"] = f"""
+WITH u AS (SELECT *, {_duck_u('strat')} AS u FROM documents)
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM u WHERE u < {_rate}
+GROUP BY lang
 """
 
     return qs

@@ -1,0 +1,109 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+Train/val/test assignment must be a pure function of a stable row key —
+not of partitioning, row order, or Spark's RNG — so that re-runs,
+backfills, and different cluster sizes produce the SAME split, and so a
+document never migrates between train and eval when the corpus grows.
+``randomSplit`` guarantees none of that; a content-hash bucket does.
+
+Everything here is a stateless projection/filter over built-in JVM
+expressions (md5 arithmetic, no UDFs, no shuffle, no state): it
+parallelizes embarrassingly at any scale and is cross-engine
+reproducible (DuckDB mirror: ``('0x' || substr(md5(x),1,15))::BIGINT``,
+the same 60-bit reduction as ``functions.text.md5_hash60``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+from lakehouse_ingestion_spark.functions.similarity import md5_hash60
+
+# denominator for the hash -> [0, 1) projection; 2^20 buckets keeps the
+# quantization error (~1e-6) far below any realistic split fraction
+HASH_BUCKETS = 1 << 20
+
+
+def hash_uniform(key: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform-ish draw in [0, 1) from a row key.
+
+    ``seed`` is folded into the hashed string so independent draws (one
+    per purpose: split, sampling, shard) decorrelate — the same key gets
+    unrelated positions under different seeds.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = md5_hash60(F.concat(k.cast("string"), F.lit(f"\x1f{seed}")))
+    return (h % HASH_BUCKETS).cast("double") / F.lit(float(HASH_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing ``key_col``.
+
+    ``fractions`` maps split name -> fraction; they must sum to 1 (±1e-9).
+    Assignment is the half-open interval partition of [0, 1) in the
+    given dict order, so adding rows later never reassigns existing keys.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ConfigError(f"split fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ConfigError("split fractions must be non-negative")
+    u = hash_uniform(key_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash — stable
+    under re-runs and corpus growth (a kept key stays kept)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ConfigError(f"sample fraction must be in [0,1], got {fraction}")
+    return df.filter(hash_uniform(key_col, seed) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    seed: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps a stratum
+    value (e.g. language) to its keep-rate; strata absent from the map
+    keep ``default_fraction``. The per-row draw depends only on
+    (key, seed), so changing one stratum's rate never perturbs another's
+    sample. Used to rebalance skewed training mixtures (cap the dominant
+    language, keep all of the rare ones) in one shuffle-free pass.
+    """
+    for v, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ConfigError(f"fraction for stratum {v!r} must be in [0,1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ConfigError("default_fraction must be in [0,1]")
+    s = F.col(strata_col)
+    rate = F.lit(float(default_fraction))
+    for v, frac in fractions.items():
+        rate = F.when(s == F.lit(v), F.lit(float(frac))).otherwise(rate)
+    return df.filter(hash_uniform(key_col, seed) < rate)

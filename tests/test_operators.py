@@ -178,3 +178,66 @@ def test_dedup_latest_agg_has_partial_aggregation(spark):
     out = dedup_latest_agg(df, ["key"], ["ts", "payload"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan  # map-side combine before the shuffle
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", fr).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", fr).collect()}
+    assert a == b  # same keys always land in the same split
+    # roughly proportional (hash-uniform, 2000 keys)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert c["train"] + c["val"] + c["test"] == 2000
+    # growth stability: assignments of existing keys never change when
+    # the corpus doubles
+    grown = spark.range(0, 4000).withColumnRenamed("id", "k")
+    g = {r["k"]: r["split"] for r in hash_split(grown, "k", fr).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # a different seed decorrelates
+    s2 = {r["k"]: r["split"] for r in hash_split(df, "k", fr, seed="x").collect()}
+    assert s2 != a
+
+    import pytest
+
+    with pytest.raises(ConfigError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.6})
+
+    kept = set(r["k"] for r in hash_sample(df, "k", 0.3).collect())
+    kept_grown = set(r["k"] for r in hash_sample(grown, "k", 0.3).collect())
+    assert kept <= kept_grown  # kept keys stay kept as data grows
+    assert 0.2 < len(kept) / 2000 < 0.4
+
+
+def test_stratified_sample_independent_strata(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    base = stratified_sample(df, "s", {"0": 0.2, "1": 1.0}, "k",
+                             default_fraction=0.5)
+    rows = {r["k"] for r in base.collect()}
+    per = {
+        r["s"]: r["n"]
+        for r in base.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per["1"] == 1000            # rate 1.0 keeps every row
+    assert 100 < per["0"] < 300        # ~0.2 of 1000
+    assert 400 < per["2"] < 600        # default 0.5
+    # changing one stratum's rate must not perturb another's sample
+    changed = stratified_sample(df, "s", {"0": 0.9, "1": 1.0}, "k",
+                                default_fraction=0.5)
+    changed_s2 = {r["k"] for r in changed.filter(F.col("s") == "2").collect()}
+    assert changed_s2 == {k for k in rows if k % 3 == 2}
