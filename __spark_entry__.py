@@ -2141,8 +2141,10 @@ FROM ranked WHERE rk <= 10
 
     # mirror of operators/sampling.hash_uniform: 60-bit md5 of
     # key || US || seed, reduced mod 2^20, projected to [0,1). The
-    # cumulative split thresholds use the SAME Python-float arithmetic as
-    # hash_split (0.8 + 0.1 != 0.9 exactly), serialized via repr.
+    # cumulative split thresholds reuse hash_split's Python-float sums,
+    # serialized via repr, so both engines compare against bit-identical
+    # literals for ANY fraction choice (cumulative float sums are not
+    # generally representable the way their decimal shorthand suggests).
     def _duck_u(seed: str) -> str:
         h = _H60.format(x=f"doc_id::VARCHAR || chr(31) || '{seed}'")
         return f"(({h} % 1048576)::DOUBLE / 1048576.0)"

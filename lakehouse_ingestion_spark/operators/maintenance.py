@@ -110,8 +110,15 @@ def compact_parquet(
         if sort_by:
             out = out.sortWithinPartitions(*partition_by, *sort_by)
     elif sort_by:
+        # deterministic per-row salt as the LAST range key: a range
+        # partitioner cannot split rows with equal sort keys, so one hot
+        # key value would otherwise become one enormous file no matter
+        # what target_file_bytes says; the salt spreads equal keys over
+        # adjacent partitions while keeping inter-file key ranges
+        # disjoint-or-touching (min/max pruning still works)
+        salt = F.pmod(F.hash(*df.columns), F.lit(1 << 20))
         out = df.repartitionByRange(
-            max(stats["target_files"], 1), *sort_by
+            stats["target_files"], *sort_by, salt
         ).sortWithinPartitions(*sort_by)
     else:
         out = df.coalesce(stats["target_files"])

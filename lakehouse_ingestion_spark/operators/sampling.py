@@ -10,7 +10,11 @@ Everything here is a stateless projection/filter over built-in JVM
 expressions (md5 arithmetic, no UDFs, no shuffle, no state): it
 parallelizes embarrassingly at any scale and is cross-engine
 reproducible (DuckDB mirror: ``('0x' || substr(md5(x),1,15))::BIGINT``,
-the same 60-bit reduction as ``functions.text.md5_hash60``).
+the same 60-bit reduction as ``functions.similarity.md5_hash60``).
+
+NULL keys fail loudly at execution time (``raise_error``): a NULL can
+neither hash stably nor be dropped silently — either choice corrupts a
+training/eval split without a trace.
 """
 
 from __future__ import annotations
@@ -31,11 +35,17 @@ def hash_uniform(key: Column | str, seed: str = "") -> Column:
 
     ``seed`` is folded into the hashed string so independent draws (one
     per purpose: split, sampling, shard) decorrelate — the same key gets
-    unrelated positions under different seeds.
+    unrelated positions under different seeds. A NULL key raises at
+    execution time rather than silently vanishing from (or flooding
+    into) a split.
     """
     k = F.col(key) if isinstance(key, str) else key
     h = md5_hash60(F.concat(k.cast("string"), F.lit(f"\x1f{seed}")))
-    return (h % HASH_BUCKETS).cast("double") / F.lit(float(HASH_BUCKETS))
+    u = (h % HASH_BUCKETS).cast("double") / F.lit(float(HASH_BUCKETS))
+    return F.when(
+        k.isNull(),
+        F.raise_error(F.lit("sampling/split key must not be NULL")),
+    ).otherwise(u)
 
 
 def hash_split(
@@ -62,8 +72,10 @@ def hash_split(
     names = list(fractions)
     for name in names[:-1]:
         cum += fractions[name]
-        branch = F.when(u < F.lit(cum), F.lit(name))
-        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)

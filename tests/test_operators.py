@@ -241,3 +241,21 @@ def test_stratified_sample_independent_strata(spark):
                                 default_fraction=0.5)
     changed_s2 = {r["k"] for r in changed.filter(F.col("s") == "2").collect()}
     assert changed_s2 == {k for k in rows if k % 3 == 2}
+
+
+def test_sampling_null_keys_fail_loudly(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from lakehouse_ingestion_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k long, v string"
+    )
+    with pytest.raises(PySparkException, match="NULL"):
+        hash_split(df, "k", {"train": 0.5, "test": 0.5}).collect()
+    with pytest.raises(PySparkException, match="NULL"):
+        hash_sample(df, "k", 0.5).collect()
