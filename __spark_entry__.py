@@ -479,6 +479,18 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the verified LSH pairs from q_near_dup resolved
+    into transitive groups by iterative min-label connected components
+    (operators/graph.py), each summarized as (canonical doc = min id,
+    member count, membership checksum). Pairs alone under-dedup: A~B and
+    B~C must collapse even when A-C never shared a bucket."""
+    from lakehouse_ingestion_spark.operators.graph import dedup_clusters
+
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over embeddings (the
     exact baseline; LSH-bucketed variant is the scale path). Scoring is
@@ -1272,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "sample_split": q_sample_split,
         "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2175,5 +2188,51 @@ SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM u WHERE u < {_rate}
 GROUP BY lang
 """
+
+    # connected components as a recursive transitive closure over the
+    # near_dup pair set (tractable at oracle scale because near-dup
+    # components are small); cluster id = min reachable node, the same
+    # fixpoint the iterative min-label propagation converges to
+    qs["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _duck_shingles_cte()
+        + ",\nsig AS (SELECT doc_id, "
+        + ", ".join(_duck_minhash_exprs("sh"))
+        + " FROM sh_t),\nbands AS ("
+        + _duck_bands_select()
+        + f"""),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh_t sa ON sa.doc_id = c.doc_a
+  JOIN sh_t sb ON sb.doc_id = c.doc_b
+  WHERE round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                   THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                        / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                   ELSE 0.0 END, 6) >= {NEAR_DUP_THRESHOLD}
+),
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT cluster_id, count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS members_sum
+FROM comp GROUP BY cluster_id
+"""
+    )
 
     return qs

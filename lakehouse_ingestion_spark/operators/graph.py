@@ -1,0 +1,109 @@
+"""Connected components over candidate-pair edges — the cluster-formation
+step of near-duplicate deduplication.
+
+Pair finders (MinHash-LSH banding, SimHash, embedding blocking) emit
+EDGES; production dedup needs CLUSTERS: transitively connected groups
+from which one canonical document survives. A doc similar to B and B to
+C must collapse to one cluster even when A-C was never a candidate pair.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round every node takes the min of its own label and
+its neighbors' labels; at fixpoint every member of a component carries
+the component's minimum node id (which doubles as a stable canonical
+id). Rounds needed = graph diameter — near-dup components are shallow
+(pairs share LSH buckets), so convergence is fast; each round is one
+shuffle join + one aggregation, all JVM-side. For planet-scale graphs
+with long chains the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond") halves
+round counts; the propagation loop below is the right tool for dedup
+workloads and stays simple enough to oracle-check.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve ``edges`` (undirected; direction of the input pairs is
+    ignored) into (node, cluster_id) where ``cluster_id`` is the minimum
+    node id of the component — a deterministic canonical id.
+
+    Only nodes that appear in an edge are returned (singletons have no
+    edges; callers union them back with cluster_id = own id if needed).
+    Each iteration ``localCheckpoint``s the label frame: plain persist()
+    caches data but leaves the logical plan growing (it doubles per
+    round — by round 12 merely *formatting* the plan OOMs the driver),
+    while checkpointing truncates lineage so plan size stays constant no
+    matter the diameter. localCheckpoint stores blocks on executors; on
+    a cluster with dynamic allocation use a reliable checkpoint dir
+    instead. Raises if ``max_iterations`` rounds don't converge
+    (diameter larger than the budget) rather than returning
+    half-propagated labels.
+    """
+    bi = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bi.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    try:
+        for it in range(max_iterations):
+            nbr = (
+                bi.join(labels, bi["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node0"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            merged = (
+                labels.join(nbr, labels["node"] == nbr["node0"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                    (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+                )
+                .localCheckpoint()  # eager: materializes AND truncates lineage
+            )
+            changed = merged.filter(F.col("__changed")).count()
+            labels = merged.drop("__changed")
+            if changed == 0:
+                log.info("connected_components converged after %d rounds", it + 1)
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the budget); raise max_iterations"
+        )
+    finally:
+        bi.unpersist()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Cluster verified near-dup pairs and summarize each cluster:
+    (cluster_id = canonical doc, n_members, members_sum). ``members_sum``
+    pins the exact membership for cross-engine checks."""
+    cc = connected_components(pairs, src=left, dst=right)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("members_sum"),
+    )

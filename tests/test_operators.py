@@ -259,3 +259,39 @@ def test_sampling_null_keys_fail_loudly(spark):
         hash_split(df, "k", {"train": 0.5, "test": 0.5}).collect()
     with pytest.raises(PySparkException, match="NULL"):
         hash_sample(df, "k", 0.5).collect()
+
+
+def test_connected_components_chain_and_clusters(spark):
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # two components: a 4-chain (1-2-3-4, where 1-4 never pair directly)
+    # and a triangle (10,11,12); direction of input pairs is arbitrary
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (12, 10), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    stats = {
+        r["cluster_id"]: (r["n_members"], r["members_sum"])
+        for r in dedup_clusters(edges).collect()
+    }
+    assert stats == {1: (4, 10), 10: (3, 33)}
+
+    # a long chain must refuse to return half-propagated labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, "doc_a", "doc_b", max_iterations=2)
+    full = connected_components(chain, "doc_a", "doc_b")
+    assert {r["cluster_id"] for r in full.collect()} == {0}
