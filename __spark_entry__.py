@@ -50,6 +50,7 @@ from lakehouse_ingestion_spark.functions.text import (
     quality_score,
     token_count,
 )
+from lakehouse_ingestion_spark.functions.timeutil import epoch_micros, epoch_seconds
 from lakehouse_ingestion_spark.operators.cdc import cdc_apply, cdc_apply_incremental
 from lakehouse_ingestion_spark.operators.dedup import dedup_latest_by_key
 from lakehouse_ingestion_spark.operators.enrich import Enrichment, enrich
@@ -83,14 +84,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
-    read ns-as-long and convert to a microsecond timestamp — exactly what
-    DuckDB sees (it truncates ns->us on read), keeping both engines'
-    ordering and rendering identical."""
+    """Read events.parquet with a normalized TIMESTAMP ``ts`` column,
+    whatever physical flavor the fixture was written with:
+
+    - TIMESTAMP(NANOS): Spark has no nanos type — read ns-as-long and
+      convert to a microsecond timestamp (DuckDB truncates ns->us too).
+    - plain-microsecond (no isAdjustedToUTC): Spark 4 decodes it as
+      TIMESTAMP_NTZ, which rejects ``unix_micros``/``cast("double")`` —
+      pin the session tz to UTC and cast to TIMESTAMP so the wall clock
+      becomes the same UTC instant DuckDB's naive read produces.
+
+    Either way both engines see identical ordering, epoch values, and
+    rendering."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -726,7 +739,7 @@ def q_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "value",
-            F.unix_micros("ts").alias("event_ts_us"),
+            epoch_micros("ts").alias("event_ts_us"),
         )
     )
     raw = e.select(
@@ -891,7 +904,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
         "click_id",
         F.round(
-            F.col("ts").cast("double") - F.col("_asof_matched_time").cast("double"), 6
+            epoch_seconds("ts") - epoch_seconds("_asof_matched_time"), 6
         ).alias("secs_since_click"),
     )
 

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_seconds
+
 _SIDE = "__asof_side"
 _TIME = "__asof_time"
 _RTIME = "__asof_rtime"
@@ -100,8 +102,9 @@ def asof_join(
 
     matched = F.col("__f").isNotNull() & F.col(f"__f.{_RTIME}").isNotNull()
     if tolerance_seconds is not None:
+        # NTZ-safe: the session-tz offset cancels in the difference
         matched = matched & (
-            F.col(_TIME).cast("double") - F.col(f"__f.{_RTIME}").cast("double")
+            epoch_seconds(F.col(_TIME)) - epoch_seconds(F.col(f"__f.{_RTIME}"))
             <= tolerance_seconds
         )
 

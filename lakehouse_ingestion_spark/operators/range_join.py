@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 _BUCKET = "__rj_bucket"
 
 
@@ -45,8 +47,11 @@ def range_join(
     width = float(upper_seconds - lower_seconds)
     keys = list(extra_keys or [])
 
-    l_sec = F.col(left_ts).cast("double")
-    r_sec = F.col(right_ts).cast("double")
+    # epoch_seconds is NTZ-safe (TIMESTAMP_NTZ can't cast straight to
+    # double); only differences/bucket containment matter here, so the
+    # session-tz interpretation offset cancels.
+    l_sec = epoch_seconds(left_ts)
+    r_sec = epoch_seconds(right_ts)
 
     # left explodes to every bucket its window [ts+lo, ts+hi] overlaps
     lo_b = F.floor((l_sec + lower_seconds) / width).cast("long")
@@ -58,9 +63,11 @@ def range_join(
     for k in keys:
         cond = cond & (l_exp[k] == r_b[k])
     in_range = (
-        r_b[right_ts].cast("double") >= l_exp[left_ts].cast("double") + lower_seconds
+        epoch_seconds(r_b[right_ts])
+        >= epoch_seconds(l_exp[left_ts]) + lower_seconds
     ) & (
-        r_b[right_ts].cast("double") <= l_exp[left_ts].cast("double") + upper_seconds
+        epoch_seconds(r_b[right_ts])
+        <= epoch_seconds(l_exp[left_ts]) + upper_seconds
     )
 
     if how == "inner":
