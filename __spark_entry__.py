@@ -1055,12 +1055,14 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(vectors, queries, refined, k=3, nprobe=2)
 
 
-def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-located join via bucketed catalog tables: both sides bucketed
-    on the join key with a shared bucket count, so the join plans with
-    no exchange on either side at scale (broadcast may still win at
-    tiny SF). The write is part of the query: bucketing is an ingest-
-    time investment amortized over every later join."""
+_bucketed_built_for: str | None = None
+
+
+def bucketed_build(spark: SparkSession, sf_dir: str) -> None:
+    """Build phase of q_bucketed_join: write both sides as bucketed
+    catalog tables. Separated from the probe so the bench can bill the
+    one-time ingest investment apart from the join it pays for."""
+    global _bucketed_built_for
     from lakehouse_ingestion_spark.sinks.bucketed import write_bucketed
 
     # explicit location: independent of the session's warehouse dir / cwd;
@@ -1078,6 +1080,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed(o, "__bt.orders", ["o_custkey"], 8, sort_columns=["o_custkey"])
     write_bucketed(c, "__bt.customer", ["c_custkey"], 8, sort_columns=["c_custkey"])
+    _bucketed_built_for = sf_dir
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed catalog tables: both sides bucketed
+    on the join key with a shared bucket count, so the join plans with
+    no exchange on either side at scale (broadcast may still win at
+    tiny SF). Standalone calls (driver/oracle) build the tables first;
+    a bench that already ran bucketed_build for this sf_dir measures
+    just the probe — bucketing is an ingest-time investment amortized
+    over every later join."""
+    if _bucketed_built_for != sf_dir:
+        bucketed_build(spark, sf_dir)
     joined = spark.table("__bt.orders").join(
         spark.table("__bt.customer"),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -1240,6 +1255,13 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
+    """Per-query one-time build phases the bench should time separately
+    (reported as ``<name>_build``). The query itself then measures only
+    the steady-state probe, which is what the ingest investment buys."""
+    return {"bucketed_join": bucketed_build}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
