@@ -29,15 +29,11 @@ from lakehouse_ingestion_spark.dq.checks import (
 from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet
 from lakehouse_ingestion_spark.functions.similarity import (
     MERSENNE_P,
-    cosine_similarity,
-    dot_product,
-    l2_norm,
     minhash_bands,
     minhash_coeffs,
     minhash_from_hashes,
     minhash_min,
     ngram_jaccard,
-    lsh_bucket,
     random_hyperplanes,
     shingle_hashes,
     shingles,
@@ -658,26 +654,31 @@ def q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the scale path): random-hyperplane sign buckets,
-    then exact cosine only within the query's bucket."""
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+    then exact cosine only within the query's bucket — fused single
+    corpus pass (operators/ann.lsh_topk; the bucket convention matches
+    functions/similarity.lsh_bucket, which the DuckDB oracle mirrors).
+    The 20-query side is a serving request: read it with a pyarrow
+    pushdown scan, not a Spark job. No corpus fan-out — the BLAS pass
+    wants big Arrow batches (same rationale as q_ann_cosine)."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_ingestion_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("bucket", lsh_bucket("v", LSH_PLANES))
-    q = bucketed.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
-    )
-    cand = bucketed.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
-    )
-    pairs = q.join(cand, "bucket").withColumn(
-        "cos_sim", F.round(cosine_similarity("qv", "cv"), 6)
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("q_id", "neighbor_id", "cos_sim", "rk")
-    )
+    qpd = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 20)],
+    ).to_pandas()
+    qpd["v"] = qpd["embedding"]
+    return lsh_topk(
+        corpus=emb.filter(F.col("vec_id") >= 20),
+        queries=qpd[["vec_id", "v"]],
+        planes=LSH_PLANES,
+        k=3,
+    ).select("q_id", "neighbor_id", "cos_sim", "rk")
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,21 +1016,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("err_id").agg(F.count("click_id").alias("n_clicks"))
 
 
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """Corpus as a distributed frame; centroid seeds + query set as
+    driver-side pandas (they are a serving request, 8+10 rows — read
+    with a pyarrow row-group-pushdown scan instead of Spark jobs that
+    would each repay the corpus fan-out shuffle).
+
+    No ensure_parallelism on the corpus: the fused IVF pass is one BLAS
+    matmul per Arrow batch, which wants big batches, not a pre-shuffle —
+    at scale the scan arrives pre-split by maxPartitionBytes, and
+    locally one batch IS the fastest shape (same rationale as
+    q_ann_cosine)."""
+    import pyarrow.parquet as pq
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 18)],
+    ).to_pandas()
+    head["v"] = head["embedding"]
+    seeds = head[head["vec_id"] < 8].rename(
+        columns={"vec_id": "cid", "v": "cv"}
+    )[["cid", "cv"]]
+    queries = head[head["vec_id"] >= 8][["vec_id", "v"]]
+    vectors = emb.filter(F.col("vec_id") >= 18)
+    return vectors, queries, seeds
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse-quantization scale path #2): assign vectors to
     nearest-centroid cells, probe nprobe=2 cells per query, exact cosine
-    only within probed cells."""
+    only within probed cells — one fused corpus pass (operators/ann.py)."""
     from lakehouse_ingestion_spark.operators.ann import ivf_topk
 
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18))
-    vectors = emb.filter(F.col("vec_id") >= 18)
-    return ivf_topk(vectors, queries, centroids, k=3, nprobe=2)
+    vectors, queries, seeds = _ivf_parts(spark, sf_dir)
+    return ivf_topk(vectors, queries, seeds, k=3, nprobe=2)
 
 
 EMB_DIM = 64  # testdata embeddings dimension (shared with the oracle mirror)
@@ -1043,14 +1067,7 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB mirror reproduces the refined centroids exactly."""
     from lakehouse_ingestion_spark.operators.ann import ivf_topk, kmeans_refine
 
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    seeds = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18))
-    vectors = emb.filter(F.col("vec_id") >= 18)
+    vectors, queries, seeds = _ivf_parts(spark, sf_dir)
     refined = kmeans_refine(vectors, seeds, dim=EMB_DIM, iterations=1)
     return ivf_topk(vectors, queries, refined, k=3, nprobe=2)
 

@@ -2,16 +2,20 @@
 quantization scale path for similarity search, complementing the
 random-hyperplane LSH variant (``functions/similarity.lsh_bucket``).
 
-Index: every vector is assigned to its nearest centroid cell (one
-broadcast join against the tiny centroid set — the N-row side never
-shuffles). Search: each query probes only its ``nprobe`` nearest cells,
-so exact scoring touches ``~ nprobe/K`` of the corpus instead of all of
-it; the candidate join is an equi-join on cell id, broadcastable on the
-query side.
+Design (MLlib-style): the centroid set is tiny (K rows) and lives
+DRIVER-SIDE as a numpy matrix between steps — exactly how Spark MLlib's
+KMeans keeps cluster centers. Cell assignment is then a map-only
+vectorized pass over the corpus (one BLAS matmul per Arrow batch,
+centroid matrix broadcast); nothing N-sized ever shuffles for
+assignment. Lloyd refinement needs one aggregation job per iteration
+(per-dimension means, partially aggregated map-side); search fuses
+assignment + probe masking + exact scoring + local top-k into a single
+``mapInPandas`` pass so only the ``queries x ~k`` sliver reaches the
+final global ranking window.
 
 Determinism contract (for the DuckDB oracle): cell assignment and top-k
-both order by (rounded cosine desc, id asc) — no float-tie ambiguity
-across engines.
+both order by (cosine rounded to 6 dp desc, id asc) — no float-tie
+ambiguity across engines.
 """
 
 from __future__ import annotations
@@ -22,7 +26,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lakehouse_ingestion_spark.functions.similarity import cosine_similarity
+_ASSIGN_ROUND = 6  # rounding for assignment tie-stability across engines
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0.0] = 1.0
+    return mat / norm
+
+
+def _centroids_to_driver(
+    centroids: "DataFrame | pd.DataFrame",
+    centroid_id_col: str,
+    centroid_vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (tiny) centroid set as (ids asc, K x dim matrix).
+    Ascending id order makes stable argsorts break cosine ties toward
+    the lower cell id — the cross-engine contract."""
+    cpd = (
+        centroids
+        if isinstance(centroids, pd.DataFrame)
+        else centroids.select(centroid_id_col, centroid_vec_col).toPandas()
+    )
+    cpd = cpd.sort_values(centroid_id_col)
+    ids = cpd[centroid_id_col].to_numpy().astype("int64")
+    mat = np.stack(cpd[centroid_vec_col].to_numpy()).astype("float64")
+    return ids, mat
+
+
+def _probe_cells(
+    vec_mat: np.ndarray, cent_ids: np.ndarray, cent_mat: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """(n, nprobe) nearest-cell ids per vector; ties toward lower cell id
+    (stable sort over cell-asc columns)."""
+    sims = np.round(_normalized(vec_mat) @ _normalized(cent_mat).T, _ASSIGN_ROUND)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    return cent_ids[order]
 
 
 def brute_force_topk(
@@ -72,9 +111,7 @@ def brute_force_topk(
         )
     qids = qpd[id_col].to_numpy().astype("int64")
     qmat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qnorm[qnorm == 0.0] = 1.0
-    bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat / qnorm))
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, _normalized(qmat)))
     eps = 0.0 if round_to is None else 10.0 ** (-round_to)
 
     def _score(batches):
@@ -84,9 +121,7 @@ def brute_force_topk(
                 continue
             ids = pdf[id_col].to_numpy().astype("int64")
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            mnorm = np.linalg.norm(m, axis=1, keepdims=True)
-            mnorm[mnorm == 0.0] = 1.0
-            sims = q_n @ (m / mnorm).T  # (n_queries, batch)
+            sims = q_n @ _normalized(m).T  # (n_queries, batch)
             n = sims.shape[1]
             if n > k:
                 cut = np.partition(sims, n - k, axis=1)[:, n - k] - eps
@@ -112,7 +147,7 @@ def brute_force_topk(
 
 def ivf_assign(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | pd.DataFrame",
     id_col: str = "vec_id",
     vec_col: str = "v",
     centroid_id_col: str = "cid",
@@ -121,27 +156,44 @@ def ivf_assign(
 ) -> DataFrame:
     """Rank centroid cells per vector; keep the ``nprobe`` nearest.
     Returns (id_col, cell, cell_rank). ``nprobe=1`` builds the index
-    assignment; ``nprobe>1`` builds a query probe list."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        F.col(centroid_id_col).alias("cell"),
-        F.round(
-            cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6
-        ).alias("c_sim"),
+    assignment; ``nprobe>1`` builds a query probe list.
+
+    Map-only: the centroid matrix is collected driver-side (K rows) and
+    broadcast; each Arrow batch computes its cells with one matmul. No
+    shuffle touches the N-row side — the round-2 formulation (crossJoin
+    against broadcast centroids + a per-id ranking window) shuffled and
+    sorted N*K rows per call, which is pure waste when K fits in a
+    register file."""
+    cent_ids, cent_mat = _centroids_to_driver(
+        centroids, centroid_id_col, centroid_vec_col
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col("cell").asc()
-    )
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select(id_col, "cell", "cell_rank")
+    bc = vectors.sparkSession.sparkContext.broadcast((cent_ids, cent_mat))
+
+    def _assign(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy().astype("int64")
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cells = _probe_cells(m, c_ids, c_mat, nprobe)  # (n, nprobe)
+            n, p = cells.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, p),
+                    "cell": cells.ravel(),
+                    "cell_rank": np.tile(np.arange(1, p + 1), n),
+                }
+            )
+
+    return vectors.mapInPandas(
+        _assign, f"{id_col} long, cell long, cell_rank int"
     )
 
 
 def kmeans_refine(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | pd.DataFrame",
     dim: int,
     iterations: int = 1,
     id_col: str = "vec_id",
@@ -151,85 +203,178 @@ def kmeans_refine(
     round_to: int | None = 6,
     cache: bool = True,
 ) -> DataFrame:
-    """Lloyd k-means refinement of IVF centroids as pure aggregations.
+    """Lloyd k-means refinement of IVF centroids, MLlib-style.
 
-    Each iteration: explode vectors against the broadcast centroid set,
-    pick each vector's best cell with one ``max_by`` aggregation that
-    carries the vector itself through (no window, no join back to
-    ``vectors`` — the window+join form pays an extra N-row shuffle per
-    iteration), then recompute each cell's centroid as the per-dimension
-    mean via ``dim`` built-in ``avg`` aggregates — partial aggregation
-    map-side, nothing leaves the JVM. Cells that lost all members keep
-    their previous centroid (the classic empty-cluster guard).
-    Assignment is by cosine, so means are left unnormalized (cosine is
-    scale-invariant).
+    Centroids live driver-side between iterations (K x dim doubles — a
+    few KB). Each iteration is ONE Spark job: a map-only vectorized
+    assignment (matmul per Arrow batch against the broadcast centroid
+    matrix) emitting (cell, vector), then ``dim`` built-in ``avg``
+    aggregates per cell — partial aggregation map-side, so only
+    ``tasks x K x dim`` partials cross the wire. The K-row result is
+    collected, empty cells keep their previous centroid (the classic
+    guard), and the loop continues with zero lineage growth — no
+    caching, no recompute-on-reuse hazard (the round-2 DataFrame-chained
+    formulation needed an eager cache per iteration to avoid 2x
+    recompute; driver-resident centroids dissolve the problem).
 
-    Tie-break matches ``ivf_assign`` and the DuckDB oracle: rounded
-    cosine desc, then cell id asc (``max_by`` over (c_sim, -cell)).
+    Tie-break matches ``ivf_assign`` and the DuckDB oracle: cosine
+    rounded to 6 dp desc, then cell id asc.
 
-    ``round_to`` pins centroid components to a fixed precision so a
-    cross-engine oracle reproduces the refined centroids bit-for-bit.
+    ``round_to`` pins centroid components to a fixed decimal precision
+    (half-away-from-zero on the binary double, matching ``ROUND`` in SQL
+    engines) so a cross-engine oracle reproduces the refined centroids.
+    ``cache`` is accepted for API compatibility and ignored — there is
+    no longer a distributed centroid frame to cache.
 
-    ``cache`` persists each iteration's K-row centroid frame and eagerly
-    materializes it (MLlib-style iterative pattern), unpersisting the
-    previous iteration's frame once the next exists. Without it the
-    lineage doubles per iteration (``cents`` is referenced by both the
-    scoring cross join and the empty-cluster guard) and every downstream
-    use of the result re-runs the whole refinement — measured 2x on the
-    cold ann_ivf_refined query even at iterations=1. The RETURNED frame
-    stays cached; a long-lived caller should ``unpersist()`` it when the
-    index build is done.
+    Each iteration emits per-Arrow-batch partial aggregates
+    ``(cell index, member count, component sums)`` — ``batches x K``
+    tiny rows — which are combined into means on the driver: the same
+    partial-sum/merge tree any distributed ``avg`` builds, without a
+    shuffle stage or a ``dim``-wide codegen'd aggregate (measured 3.4 s
+    of compile+exec for 64 ``avg`` columns vs ~0.4 s for this shape).
     """
-    cents = centroids
-    prev_cached = None
+    del cache  # driver-resident centroids need no persistence
+    sc = vectors.sparkSession.sparkContext
+    cent_ids, cent_mat = _centroids_to_driver(
+        centroids, centroid_id_col, centroid_vec_col
+    )
+
     for _ in range(iterations):
-        sim = cosine_similarity(F.col(vec_col), F.col(centroid_vec_col))
+        bc = sc.broadcast((cent_ids, cent_mat))
+
+        def _partials(batches, _bc=bc):
+            c_ids, c_mat = _bc.value
+            k_cells = len(c_ids)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                cells = _probe_cells(m, c_ids, c_mat, 1)[:, 0]
+                # cell ids -> dense [0, K) index for bincount/add.at
+                idx = np.searchsorted(c_ids, cells)
+                counts = np.bincount(idx, minlength=k_cells)
+                sums = np.zeros((k_cells, m.shape[1]))
+                np.add.at(sums, idx, m)
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "j": nz,
+                        "n": counts[nz],
+                        "s": list(sums[nz]),
+                    }
+                )
+
+        parts = vectors.mapInPandas(
+            _partials, "j long, n long, s array<double>"
+        ).collect()
+        counts = np.zeros(len(cent_ids))
+        sums = np.zeros_like(cent_mat)
+        for r in parts:
+            counts[r["j"]] += r["n"]
+            sums[r["j"]] += np.asarray(r["s"])
+        live = counts > 0
+        means = sums[live] / counts[live, None]
         if round_to is not None:
-            sim = F.round(sim, round_to)
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            F.col(vec_col),
-            F.col(centroid_id_col).alias("cell"),
-            sim.alias("c_sim"),
+            scale = 10.0**round_to
+            means = np.copysign(
+                np.floor(np.abs(means) * scale + 0.5), means
+            ) / scale
+        cent_mat = cent_mat.copy()
+        cent_mat[live] = means
+
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in zip(cent_ids, cent_mat)],
+        f"{centroid_id_col} long, {centroid_vec_col} array<double>",
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: "DataFrame | pd.DataFrame",
+    planes: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors per query among corpus vectors sharing the
+    query's random-hyperplane sign bucket (the bucket convention of
+    ``functions/similarity.lsh_bucket``: bit j set iff dot(v, plane_j)
+    >= 0). Returns (q_id, neighbor_id, cos_sim, rk).
+
+    Fused single corpus pass, like ``ivf_topk``: each Arrow batch
+    computes its sign buckets with one matmul against the plane matrix,
+    masks against the driver-computed query buckets, scores survivors
+    (second matmul), and emits a local top-k — the interpreted
+    higher-order-function formulation (bucket fold per row + cosine fold
+    per candidate pair) was the slowest plan in the ANN family, and the
+    corpus never needs to shuffle for a bucket equi-join anyway."""
+    spark = corpus.sparkSession
+    qpd = (
+        queries[[id_col, vec_col]]
+        if isinstance(queries, pd.DataFrame)
+        else queries.select(id_col, vec_col).toPandas()
+    )
+    if qpd.empty:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cos_sim double, rk int"
         )
-        member = scored.groupBy(id_col).agg(
-            F.max_by(
-                "cell", F.struct(F.col("c_sim"), (-F.col("cell")).alias("nc"))
-            ).alias("cell"),
-            F.first(vec_col).alias(vec_col),
-        )
-        means = member.groupBy("cell").agg(
-            *[F.avg(F.col(vec_col)[i]).alias(f"_m{i}") for i in range(dim)]
-        )
-        comps = [
-            F.round(F.col(f"_m{i}"), round_to) if round_to is not None
-            else F.col(f"_m{i}")
-            for i in range(dim)
-        ]
-        new = means.select(
-            F.col("cell").alias(centroid_id_col),
-            F.array(*comps).alias("__new_cv"),
-        )
-        cents = (
-            cents.join(new, on=centroid_id_col, how="left")
-            .select(
-                centroid_id_col,
-                F.coalesce("__new_cv", centroid_vec_col).alias(centroid_vec_col),
+    plane_mat = np.asarray(planes, dtype="float64")  # (P, dim)
+    pow2 = 2.0 ** np.arange(plane_mat.shape[0])
+
+    def _buckets(m: np.ndarray) -> np.ndarray:
+        return ((m @ plane_mat.T) >= 0.0) @ pow2  # (n,) packed sign bits
+
+    q_ids = qpd[id_col].to_numpy().astype("int64")
+    q_mat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
+    bq = spark.sparkContext.broadcast(
+        (q_ids, _normalized(q_mat), _buckets(q_mat))
+    )
+    eps = 10.0 ** (-_ASSIGN_ROUND)
+
+    def _search(batches):
+        qids, q_n, q_buckets = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy().astype("int64")
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mask = q_buckets[:, None] == _buckets(m)[None, :]
+            if exclude_same_id:
+                mask &= ids[None, :] != qids[:, None]
+            sims = np.where(mask, q_n @ _normalized(m).T, -2.0)
+            n = sims.shape[1]
+            if n > k:
+                cut = np.partition(sims, n - k, axis=1)[:, n - k] - eps
+                cut = np.maximum(cut, -1.5)  # never emit masked-out slots
+            else:
+                cut = np.full(sims.shape[0], -1.5)
+            qi, ni = np.nonzero(sims >= cut[:, None])
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi],
+                    "neighbor_id": ids[ni],
+                    "cos_sim": sims[qi, ni],
+                }
             )
-        )
-        if cache:
-            cents = cents.cache()
-            cents.count()  # materialize NOW so the predecessor can go
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = cents
-    return cents
+
+    scored = corpus.mapInPandas(
+        _search, "q_id long, neighbor_id long, cos_sim double"
+    ).withColumn("cos_sim", F.round("cos_sim", _ASSIGN_ROUND))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def ivf_topk(
     vectors: DataFrame,
-    queries: DataFrame,
-    centroids: DataFrame,
+    queries: "DataFrame | pd.DataFrame",
+    centroids: "DataFrame | pd.DataFrame",
     k: int = 3,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -240,41 +385,71 @@ def ivf_topk(
     query's ``nprobe`` nearest cells. Returns
     (q_id, neighbor_id, cos_sim, rk).
 
+    Fully fused: ONE ``mapInPandas`` pass over the corpus assigns each
+    corpus row to its cell (matmul vs the broadcast centroid matrix),
+    masks it against each query's driver-computed probe list, scores the
+    survivors (second matmul), and keeps a local top-k per query — so
+    the only shuffle in the whole search ranks the
+    ``partitions x queries x ~k`` sliver. The round-2 formulation ran
+    two assignment windows (N*K-row shuffles) plus a candidate
+    equi-join; at 100 TB the corpus never needs to move at all, and now
+    it doesn't.
+
     ``exclude_same_id`` removes candidates whose id equals the query id —
     correct when queries are drawn FROM the corpus (self-match
     suppression); set False when queries and corpus are distinct datasets
     whose id spaces overlap (an equal id is then a different vector)."""
-    index = ivf_assign(vectors, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell"
+    spark = vectors.sparkSession
+    qpd = (
+        queries[[id_col, vec_col]]
+        if isinstance(queries, pd.DataFrame)
+        else queries.select(id_col, vec_col).toPandas()
     )
-    probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("q_id"), "cell"
+    if qpd.empty:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cos_sim double, rk int"
+        )
+    cent_ids, cent_mat = _centroids_to_driver(centroids, "cid", "cv")
+    q_ids = qpd[id_col].to_numpy().astype("int64")
+    q_mat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
+    q_probes = _probe_cells(q_mat, cent_ids, cent_mat, nprobe)  # (nq, nprobe)
+    bq = spark.sparkContext.broadcast(
+        (q_ids, _normalized(q_mat), q_probes, cent_ids, cent_mat)
     )
+    eps = 10.0 ** (-_ASSIGN_ROUND)
 
-    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    nv = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(index, "cell")
-        .filter(
-            (F.col("q_id") != F.col("neighbor_id"))
-            if exclude_same_id
-            else F.lit(True)
-        )
-        .select("q_id", "neighbor_id")
-        .distinct()
-    )
-    scored = (
-        cand.join(F.broadcast(qv), "q_id")
-        .join(nv, "neighbor_id")
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(cosine_similarity("qv", "nv"), 6).alias("cos_sim"),
-        )
-    )
+    def _search(batches):
+        qids, q_n, probes, c_ids, c_mat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy().astype("int64")
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cells = _probe_cells(m, c_ids, c_mat, 1)[:, 0]  # (batch,)
+            sims = q_n @ _normalized(m).T  # (nq, batch)
+            # candidate mask: corpus cell in the query's probe list
+            mask = (cells[None, None, :] == probes[:, :, None]).any(axis=1)
+            if exclude_same_id:
+                mask &= ids[None, :] != qids[:, None]
+            sims = np.where(mask, sims, -2.0)
+            n = sims.shape[1]
+            if n > k:
+                cut = np.partition(sims, n - k, axis=1)[:, n - k] - eps
+                cut = np.maximum(cut, -1.5)  # never emit masked-out slots
+            else:
+                cut = np.full(sims.shape[0], -1.5)
+            qi, ni = np.nonzero(sims >= cut[:, None])
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi],
+                    "neighbor_id": ids[ni],
+                    "cos_sim": sims[qi, ni],
+                }
+            )
+
+    scored = vectors.mapInPandas(
+        _search, "q_id long, neighbor_id long, cos_sim double"
+    ).withColumn("cos_sim", F.round("cos_sim", _ASSIGN_ROUND))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -256,3 +256,52 @@ def test_kmeans_refine_honors_round_to(spark):
     assert set(out) == {0, 1}
     # unrounded means keep full precision (mean of {0,1} memberships)
     assert all(len(v) == 2 for v in out.values())
+
+
+def test_lsh_topk_matches_hof_bucket_formulation(spark):
+    """lsh_topk's matmul sign buckets + BLAS scoring must reproduce the
+    declarative lsh_bucket equi-join + cosine_similarity formulation."""
+    import pandas as pd
+
+    from lakehouse_ingestion_spark.functions.similarity import (
+        cosine_similarity,
+        lsh_bucket,
+        random_hyperplanes,
+    )
+    from lakehouse_ingestion_spark.operators.ann import lsh_topk
+    from pyspark.sql.window import Window
+
+    rng = np.random.default_rng(11)
+    dim, planes = 16, random_hyperplanes(16, 4, seed=5)
+    vecs = {i: rng.normal(size=dim).tolist() for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, v array<double>"
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    corpus = df.filter(F.col("vec_id") >= 5)
+
+    got = {
+        (r["q_id"], r["rk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in lsh_topk(corpus, q, planes, k=3).collect()
+    }
+
+    qb = q.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        lsh_bucket("v", planes).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        lsh_bucket("v", planes).alias("bucket"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    want = {
+        (r["q_id"], r["rk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in qb.join(cb, "bucket")
+        .withColumn("cos_sim", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == want
