@@ -1337,7 +1337,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
+        "quality_filter": q_quality_filter,
+        "ngram_topk": q_ngram_topk,
+        "tfidf": q_tfidf,
+        "bm25": q_bm25,
     }
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality rule chain (operators/quality.py): five
+    named rules in one fused projection; each doc carries its failed-rule
+    list so curation can keep / quarantine / re-weight."""
+    from lakehouse_ingestion_spark.operators.quality import (
+        apply_quality_rules,
+        default_quality_rules,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = apply_quality_rules(d, default_quality_rules())
+    return out.select(
+        "doc_id",
+        F.array_join("failed_rules", ",").alias("failed"),
+        "keep",
+    )
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language (operators/text_ranking.py):
+    explode n-grams, partial-agg count, rank over the aggregated vocab."""
+    from lakehouse_ingestion_spark.operators.text_ranking import ngram_topk
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return ngram_topk(d, n=2, k=5, group_cols=["lang"]).select(
+        "lang", "ngram", "n_occur", "rk"
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text_ranking.py).
+    Deterministic tie-break: (tfidf desc, term asc)."""
+    from lakehouse_ingestion_spark.operators.text_ranking import tfidf
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = tfidf(d)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+BM25_QUERY = ["spark", "table", "join"]  # shared with the DuckDB mirror
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed query-term bag
+    (operators/text_ranking.py); query terms prune the exploded token
+    stream before any aggregation."""
+    from lakehouse_ingestion_spark.operators.text_ranking import bm25
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = bm25(d, BM25_QUERY)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "score")
+    )
 
 
 # ===========================================================================
@@ -2286,5 +2354,106 @@ SELECT cluster_id, count(*) AS n_members,
 FROM comp GROUP BY cluster_id
 """
     )
+
+    qs["quality_filter"] = r"""
+WITH qb AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+rules AS (
+  SELECT doc_id,
+         (len(l) >= 30 AND len(l) <= 100000) AS r_length,
+         (CASE WHEN len(l) > 0 THEN n_chars::DOUBLE / len(l) ELSE 0.0 END
+            BETWEEN 2.0 AND 12.0) AS r_meantok,
+         (CASE WHEN len(l) > 0
+               THEN len(list_distinct(l))::DOUBLE / len(l) ELSE 0.0 END
+            >= 0.3) AS r_repeat,
+         (CASE WHEN n_chars > 0
+               THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END >= 0.6) AS r_alpha,
+         (len(list_filter(l, x -> x IN ('the','and','of','to','is'))) > 0)
+            AS r_stop
+  FROM qb
+)
+SELECT doc_id,
+       coalesce(array_to_string([x FOR x IN [
+         CASE WHEN NOT r_length  THEN 'length' END,
+         CASE WHEN NOT r_meantok THEN 'mean_token_len' END,
+         CASE WHEN NOT r_repeat  THEN 'repetition' END,
+         CASE WHEN NOT r_alpha   THEN 'alpha_ratio' END,
+         CASE WHEN NOT r_stop    THEN 'stopword' END
+       ] IF x IS NOT NULL], ','), '') AS failed,
+       (r_length AND r_meantok AND r_repeat AND r_alpha AND r_stop) AS keep
+FROM rules
+"""
+
+    qs["ngram_topk"] = r"""
+WITH toks AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+),
+bg AS (
+  SELECT lang,
+         unnest(CASE WHEN len(l) >= 2
+                     THEN list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1])
+                     ELSE [] END) AS ngram
+  FROM toks
+),
+agg AS (SELECT lang, ngram, count(*) AS n_occur FROM bg GROUP BY 1, 2)
+SELECT lang, ngram, n_occur, rk::INTEGER AS rk FROM (
+  SELECT lang, ngram, n_occur,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_occur DESC, ngram ASC) AS rk
+  FROM agg
+) WHERE rk <= 5
+"""
+
+    qs["tfidf"] = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rk::INTEGER AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+    qs["bm25"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('join', 'spark', 'table') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+),
+st AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl)
+SELECT doc_id,
+       round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+             6) AS score
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN ad
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
 
     return qs
