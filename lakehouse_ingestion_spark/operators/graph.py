@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
@@ -51,9 +51,22 @@ def connected_components(
     (diameter larger than the budget) rather than returning
     half-propagated labels.
     """
+    # NULL node ids fail loudly (same stance as operators/sampling.py):
+    # a NULL can't label a component; silently emitting a (NULL, NULL)
+    # cluster row would corrupt downstream canonical-doc selection
+    bad = F.col(src).isNull() | F.col(dst).isNull()
+
+    def _checked(c: str) -> Column:
+        return F.when(
+            bad,
+            F.raise_error(
+                F.lit("connected_components: edge endpoints must not be NULL")
+            ),
+        ).otherwise(F.col(c))
+
     bi = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(_checked(src).alias("a"), _checked(dst).alias("b"))
+        .union(edges.select(_checked(dst).alias("a"), _checked(src).alias("b")))
         .distinct()
         .persist()
     )

@@ -108,6 +108,10 @@ def stratified_sample(
     (key, seed), so changing one stratum's rate never perturbs another's
     sample. Used to rebalance skewed training mixtures (cap the dominant
     language, keep all of the rare ones) in one shuffle-free pass.
+
+    A NULL stratum value matches no map entry and keeps
+    ``default_fraction`` (the key column, by contrast, must be non-NULL —
+    ``hash_uniform`` raises).
     """
     for v, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:

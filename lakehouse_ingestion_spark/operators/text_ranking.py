@@ -63,7 +63,12 @@ def ngram_topk(
 ) -> DataFrame:
     """Top-k word n-grams by frequency per group (corpus-wide when
     ``group_cols`` is None). Returns (group cols..., ngram, n_occur, rk)
-    with the deterministic tie-break (count desc, ngram asc)."""
+    with the deterministic tie-break (count desc, ngram asc).
+
+    The ranking window partitions by the group columns; with
+    ``group_cols=None`` it degrades to a single-task sort over the
+    aggregated vocabulary — fine for top-k dashboards, but pass a group
+    (language, source, shard) when the distinct-n-gram count is huge."""
     groups = list(group_cols or [])
     exploded = df.select(
         *groups, F.explode(word_ngrams(text_col, n)).alias("ngram")

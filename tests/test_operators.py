@@ -295,3 +295,16 @@ def test_connected_components_chain_and_clusters(spark):
         connected_components(chain, "doc_a", "doc_b", max_iterations=2)
     full = connected_components(chain, "doc_a", "doc_b")
     assert {r["cluster_id"] for r in full.collect()} == {0}
+
+
+def test_connected_components_null_edge_raises(spark):
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+    from pyspark.errors import PySparkException
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(PySparkException, match="must not be NULL"):
+        connected_components(edges, "doc_a", "doc_b").collect()
