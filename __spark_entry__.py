@@ -1341,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "tfidf": q_tfidf,
         "bm25": q_bm25,
+        "embed_quant": q_embed_quant,
+        "q10_returned_items": q10_returned_items,
     }
 
 
@@ -1405,6 +1407,66 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
         .select("doc_id", "score")
+    )
+
+
+def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (operators/quantization.py): per-vector affine codes with explicit
+    floor(+0.5) half-up so codes are bit-identical cross-engine; emits
+    summary stats (codes checksum, max code, reconstruction MSE)."""
+    from lakehouse_ingestion_spark.operators.quantization import (
+        quantize_embeddings,
+    )
+
+    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.round("qmin", 6).alias("qmin"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("codes_sum"),
+        F.array_max("codes").alias("code_max"),
+        F.round("recon_mse", 6).alias("recon_mse"),
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue from returned items per customer over a
+    quarter; three-way join + broadcast nation dim + top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    # decimal arithmetic: a double sum lands on .xx5 cent boundaries
+    # differently per engine (summation-order ulps); decimal is exact in
+    # both, and the final cast back to double carries the exact cents
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
     )
 
 
@@ -2453,6 +2515,50 @@ SELECT doc_id,
 FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN ad
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+    qs["embed_quant"] = r"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_aggregate(v, 'min') AS qmin,
+         (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS scale
+  FROM v
+),
+codes AS (
+  SELECT vec_id, v, qmin, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                     ELSE floor((x - qmin) / scale + 0.5)::INTEGER
+                                END) AS c
+  FROM m
+)
+SELECT vec_id,
+       round(qmin, 6) AS qmin,
+       round(scale, 6) AS scale,
+       CAST(list_sum(c) AS BIGINT) AS codes_sum,
+       CAST(list_aggregate(c, 'max') AS INTEGER) AS code_max,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> (v[i] - (qmin + c[i] * scale)) ^ 2))
+             / len(v), 6) AS recon_mse
+FROM codes
+"""
+
+    qs["q10_returned_items"] = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+       round(sum(l_extendedprice::DECIMAL(18,4)
+                 * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 

@@ -1,0 +1,117 @@
+"""Tests for operators/quantization.py and streaming/dedup.py."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+from lakehouse_ingestion_spark.operators.quantization import (
+    dequantize,
+    quantize_embeddings,
+    quantize_minmax,
+)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in rows:
+        r = out[i]
+        v = np.asarray(v)
+        assert r["qmin"] == pytest.approx(v.min())
+        assert r["scale"] == pytest.approx((v.max() - v.min()) / 255.0)
+        codes = np.asarray(r["codes"])
+        assert codes.min() >= 0 and codes.max() <= 255
+        # reconstruction error bounded by (scale/2)^2 per dimension
+        deq = r["qmin"] + codes * r["scale"]
+        assert np.abs(deq - v).max() <= r["scale"] / 2 + 1e-12
+        assert r["recon_mse"] == pytest.approx(float(((deq - v) ** 2).mean()))
+
+
+def test_quantize_constant_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert r["codes"] == [0, 0, 0]
+    assert r["scale"] == 0.0
+    assert r["recon_mse"] == 0.0  # dequant returns the constant exactly
+
+
+def test_dequantize_column_form(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0])], "vec_id long, v array<double>"
+    )
+    codes, qmin, scale = quantize_minmax(F.col("v"), levels=4)
+    out = df.select(
+        dequantize(codes, qmin, scale).alias("deq")
+    ).collect()[0]["deq"]
+    assert out == pytest.approx([0.0, 1.0, 2.0])
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.dedup import (
+        streaming_dedup,
+        streaming_dedup_within_watermark,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2026-01-01T10:00:00", "v": "a"},
+        {"event_id": 2, "ts": "2026-01-01T10:00:10", "v": "b"},
+    ]
+    # batch 2 redelivers event 1 within the watermark
+    rows2 = [
+        {"event_id": 1, "ts": "2026-01-01T10:00:00", "v": "a"},
+        {"event_id": 3, "ts": "2026-01-01T10:00:20", "v": "c"},
+    ]
+    (indir / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+    (indir / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    deduped = streaming_dedup_within_watermark(
+        stream, ["event_id"], "ts", "10 minutes"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 2, 3]  # the redelivered event 1 was dropped
+
+    with pytest.raises(ConfigError, match="at least one"):
+        streaming_dedup(stream, [])
+    with pytest.raises(ConfigError, match="watermarking"):
+        streaming_dedup_within_watermark(stream, ["ts"], "ts")
