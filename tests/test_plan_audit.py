@@ -70,3 +70,65 @@ def test_range_join_no_nested_loop(spark, entrymod):
 def test_multimodal_is_python_by_design(spark, entrymod):
     df = entrymod.queries()["multimodal"](spark, SF_DIR)
     assert audit(df).python_in_plan
+
+
+def test_quality_filter_map_only(spark, entrymod):
+    """The whole rule chain is one fused projection: no shuffle beyond
+    the fixture fan-out repartition, no joins, no Python."""
+    from lakehouse_ingestion_spark.operators.quality import (
+        apply_quality_rules,
+        default_quality_rules,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = audit(apply_quality_rules(d, default_quality_rules()))
+    assert a.shuffle_exchanges == 0
+    assert a.joins == {}
+    assert not a.python_in_plan
+
+
+def test_tfidf_broadcast_corpus_count(spark, entrymod):
+    """tf + df aggregations shuffle; the global N joins via a BROADCAST
+    nested loop over a 1-row frame (benign; same shape as seq_pack's
+    width scalar) — never a CartesianProduct shuffle."""
+    df = entrymod.queries()["tfidf"](spark, SF_DIR)
+    a = audit(df)
+    assert a.broadcast_exchanges >= 1
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_bm25_prunes_before_aggregation(spark, entrymod):
+    """The query-vocabulary filter must sit below the first aggregation
+    (pruning the exploded stream), and the scalar stats broadcast."""
+    df = entrymod.queries()["bm25"](spark, SF_DIR)
+    a = audit(df)
+    assert a.broadcast_exchanges >= 2  # dfreq + N + avgdl are all tiny
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+    # the IN-filter on query terms sits below the tf aggregation
+    assert "term" in a.plan and "Filter" in a.plan
+
+
+def test_ann_fused_single_corpus_pass(spark, entrymod):
+    """ivf_topk and lsh_topk: ONE Python stage over the corpus; the only
+    shuffle ranks the queries x ~k sliver (plus the final window)."""
+    for name in ("ann_ivf", "ann_lsh"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        a = audit(df)
+        assert sum(a.python_stages.values()) == 1, (name, a.summary())
+        assert a.joins == {}, name
+
+
+def test_embed_quant_map_only(spark, entrymod):
+    df = entrymod.queries()["embed_quant"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    assert not a.python_in_plan
+
+
+def test_q10_broadcasts_nation(spark, entrymod):
+    df = entrymod.queries()["q10_returned_items"](spark, SF_DIR)
+    a = audit(df)
+    assert a.broadcast_exchanges >= 1
+    assert not a.has_nested_loop
