@@ -308,3 +308,27 @@ def test_connected_components_null_edge_raises(spark):
     )
     with pytest.raises(PySparkException, match="must not be NULL"):
         connected_components(edges, "doc_a", "doc_b").collect()
+
+
+def test_ensure_parallelism_estimates_and_fans_out(spark, tmp_path):
+    from lakehouse_ingestion_spark.util import (
+        _byte_string,
+        _estimated_scan_partitions,
+        ensure_parallelism,
+    )
+
+    assert _byte_string("128m") == 128 << 20
+    assert _byte_string("134217728b") == 134217728
+    assert _byte_string("1g") == 1 << 30
+    assert _byte_string("garbage") == 134217728
+
+    p = str(tmp_path / "one")
+    spark.range(0, 1000, 1, 1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _estimated_scan_partitions(df) == 1
+    out = ensure_parallelism(df)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    # non-file frames fall back to the exact probe (and stay untouched
+    # when already wide enough)
+    wide = spark.range(0, 64, 1, 64)
+    assert ensure_parallelism(wide).rdd.getNumPartitions() == 64
