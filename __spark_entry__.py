@@ -1425,10 +1425,8 @@ def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("qmin", 6).alias("qmin"),
         F.round("scale", 6).alias("scale"),
-        F.aggregate(
-            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("codes_sum"),
-        F.array_max("codes").alias("code_max"),
+        "codes_sum",
+        "code_max",
         F.round("recon_mse", 6).alias("recon_mse"),
     )
 

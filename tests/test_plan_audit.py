@@ -121,10 +121,12 @@ def test_ann_fused_single_corpus_pass(spark, entrymod):
 
 
 def test_embed_quant_map_only(spark, entrymod):
+    """Vectorized quantization: one Arrow Python stage, no joins, no
+    shuffle beyond the fixture fan-out."""
     df = entrymod.queries()["embed_quant"](spark, SF_DIR)
     a = audit(df)
     assert a.joins == {}
-    assert not a.python_in_plan
+    assert sum(a.python_stages.values()) == 1
 
 
 def test_q10_broadcasts_nation(spark, entrymod):

@@ -34,6 +34,25 @@ def test_quantize_roundtrip_error_bound(spark):
         assert r["recon_mse"] == pytest.approx(float(((deq - v) ** 2).mean()))
 
 
+def test_quantize_vectorized_matches_column_form(spark):
+    """The numpy path and the pure-Column path must produce identical
+    codes, scales, and summaries (floor(+0.5) is the same double op)."""
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+    rows.append((99, [1.5] * 8))  # constant vector in the same batch
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cols = ["vec_id", "codes", "qmin", "scale", "codes_sum", "code_max"]
+    fast = {
+        r["vec_id"]: [r[c] for c in cols[1:]]
+        for r in quantize_embeddings(df, vectorized=True).collect()
+    }
+    slow = {
+        r["vec_id"]: [r[c] for c in cols[1:]]
+        for r in quantize_embeddings(df, vectorized=False).collect()
+    }
+    assert fast == slow
+
+
 def test_quantize_constant_vector(spark):
     df = spark.createDataFrame(
         [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
