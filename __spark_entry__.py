@@ -108,29 +108,35 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style Gold aggregate (SURVEY.md D11)."""
+    """TPC-H Q1-style Gold aggregate (SURVEY.md D11).
+
+    Money aggregates run in DECIMAL: the fixture money columns are exact
+    2-decimal values, so the decimal sums are exact in both engines,
+    where a double sum can land on a .xx5 cent boundary differently per
+    engine (summation-order ulps) and flip the rounding. Quantities are
+    integral doubles — their sums are already exact."""
     l = _t(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc_f = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    tax_f = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            F.round(F.sum(ext), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(ext * disc_f), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(ext * disc_f * tax_f), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(ext).cast("double") / n, 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / n,
+                6,
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -546,10 +552,12 @@ def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
     )
+    # decimal-exact revenue: see q_pricing_summary docstring
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
     )
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -581,10 +589,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # decimal-exact revenue: see q_pricing_summary docstring
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
     )
 
 
@@ -1697,12 +1707,15 @@ def oracle_sql() -> dict[str, str]:
     qs["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_extendedprice::DECIMAL(14,2)), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(14,2)
+                 * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(14,2)
+                 * (1 - l_discount::DECIMAL(4,2))
+                 * (1 + l_tax::DECIMAL(4,2))), 2)::DOUBLE AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(l_extendedprice::DECIMAL(14,2))::DOUBLE / count(*), 6) AS avg_price,
+       round(sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1920,7 +1933,8 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}
     qs["q3_shipping"] = """
 WITH agg AS (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(sum(l_extendedprice::DECIMAL(14,2)
+                 * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1936,7 +1950,8 @@ FROM agg ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 
     qs["q5_local_supplier"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(14,2)
+                 * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
