@@ -187,3 +187,51 @@ def test_watermark_drops_late_events(spark, tmp_path):
         if p.get("stateOperators")
     )
     assert drops >= 1
+
+
+def test_streaming_cdc_foreach_batch(spark, tmp_path):
+    """Two CDC micro-batches fold into the parquet state: upserts land,
+    deletes remove, and the final state matches the batch cdc_apply of
+    the full history."""
+    from lakehouse_ingestion_spark.streaming.cdc import cdc_foreach_batch
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    indir = tmp_path / "cdc_in"
+    indir.mkdir()
+    b1 = [
+        {"id": 1, "seq": 100, "op": "c", "v": "a1"},
+        {"id": 2, "seq": 110, "op": "c", "v": "b1"},
+    ]
+    b2 = [
+        {"id": 1, "seq": 200, "op": "u", "v": "a2"},
+        {"id": 2, "seq": 210, "op": "d", "v": None},
+        {"id": 3, "seq": 220, "op": "c", "v": "c1"},
+    ]
+    _write_batch(indir, b1, "b1.jsonl")
+    _write_batch(indir, b2, "b2.jsonl")
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("seq", LongType()),
+            StructField("op", StringType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    state = str(tmp_path / "cdc_state")
+    q = (
+        stream.writeStream.foreachBatch(
+            cdc_foreach_batch(spark, state, ["id"], ["seq"])
+        )
+        .option("checkpointLocation", str(tmp_path / "cdc_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(state).collect()}
+    assert got == {1: "a2", 3: "c1"}  # id=2 deleted, id=1 updated
