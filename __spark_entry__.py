@@ -460,11 +460,18 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (band/bucket join) verified by
     n-gram Jaccard — the scale path for fuzzy dedup."""
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    # persist the shingle sets: they are read 3x (both sides of the LSH
-    # self-join + the Jaccard verification) and recomputing the
-    # interpreted HOF pipeline dominates otherwise
-    sh = d.select("doc_id", shingles("text", 3, "word").alias("sh")).persist()
-    hs = sh.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
+    # persist the HASHED shingle sets: they are read 3x (both sides of
+    # the LSH self-join + the Jaccard verification) and recomputing the
+    # interpreted HOF pipeline dominates otherwise. Verification runs on
+    # the 60-bit hashes, not the shingle strings — intersect/union on
+    # longs ships ~4x fewer bytes through the two verify joins and
+    # compares integers; identical Jaccard up to md5 collisions
+    # (~2^-31/pair), and the DuckDB oracle hashes with the same md5, so
+    # the engines agree exactly even when a collision happens.
+    sh = d.select("doc_id", shingles("text", 3, "word").alias("sh"))
+    hs = sh.select(
+        "doc_id", F.array_distinct(shingle_hashes(F.col("sh"))).alias("hs")
+    ).persist()
     sig = hs.select(
         "doc_id", minhash_from_hashes(F.col("hs"), MH_K, seed=42).alias("sig")
     )
@@ -483,12 +490,12 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    hs_a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hs_b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        cand.join(hs_a, "doc_a")
+        .join(hs_b, "doc_b")
+        .withColumn("jaccard", F.round(ngram_jaccard(F.col("hs_a"), F.col("hs_b")), 6))
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
@@ -1506,6 +1513,19 @@ sh_t AS (
 )"""
 
 
+def _duck_hashed_cte() -> str:
+    """CTE producing (doc_id, hs): distinct 60-bit md5 hashes of the
+    shingles, mirroring array_distinct(shingle_hashes(sh)) — the basis
+    for the hash-space Jaccard verification."""
+    return (
+        "hsh AS (\n"
+        "  SELECT doc_id,\n"
+        f"         list_distinct(list_transform(sh, s -> {_H60.format(x='s')} "
+        f"% {MERSENNE_P})) AS hs\n"
+        "  FROM sh_t\n)"
+    )
+
+
 def _duck_minhash_exprs(prefix: str = "sh") -> list[str]:
     exprs = []
     for i, (a, b) in enumerate(MH_COEFFS):
@@ -1908,7 +1928,9 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         + _duck_shingles_cte()
         + ",\nsig AS (SELECT doc_id, "
         + ", ".join(_duck_minhash_exprs("sh"))
-        + " FROM sh_t),\nbands AS ("
+        + " FROM sh_t),\n"
+        + _duck_hashed_cte()
+        + ",\nbands AS ("
         + _duck_bands_select()
         + f"""),
 cand AS (
@@ -1918,13 +1940,13 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-                    THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                         / len(list_distinct(list_concat(sa.sh, sb.sh)))
+         round(CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+                    THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                         / len(list_distinct(list_concat(sa.hs, sb.hs)))
                     ELSE 0.0 END, 6) AS jaccard
   FROM cand c
-  JOIN sh_t sa ON sa.doc_id = c.doc_a
-  JOIN sh_t sb ON sb.doc_id = c.doc_b
+  JOIN hsh sa ON sa.doc_id = c.doc_a
+  JOIN hsh sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}
 """
@@ -2393,7 +2415,9 @@ GROUP BY lang
         + _duck_shingles_cte()
         + ",\nsig AS (SELECT doc_id, "
         + ", ".join(_duck_minhash_exprs("sh"))
-        + " FROM sh_t),\nbands AS ("
+        + " FROM sh_t),\n"
+        + _duck_hashed_cte()
+        + ",\nbands AS ("
         + _duck_bands_select()
         + f"""),
 cand AS (
