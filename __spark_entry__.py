@@ -1360,6 +1360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "embed_quant": q_embed_quant,
         "q10_returned_items": q10_returned_items,
+        "q4_priority_returns": q4_priority_returns,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_brand_quantity": q19_brand_quantity,
     }
 
 
@@ -1482,6 +1485,77 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "revenue",
         )
+    )
+
+
+def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders per priority (one quarter) having at
+    least one returned lineitem — EXISTS plans as a left-semi join, so
+    the lineitem side never materializes into the output."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    hit = o.join(
+        l, o["o_orderkey"] == l["l_orderkey"], "left_semi"
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation: share of one month's
+    revenue from PROMO parts. Decimal-exact sums; the final ratio is a
+    double division of exact numerators (identical cross-engine)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(20,4)")
+        )).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("__promo").cast("double")
+            / F.col("__total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q19_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicates: revenue from three
+    (brand, size range, quantity range) clauses OR-ed together over the
+    lineitem-part join — the OR must not break the equi-join (no
+    nested-loop) and the clause predicates filter each side."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & sz.between(20, 50) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return joined.filter(clause).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
 
@@ -2597,6 +2671,43 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
+"""
+
+    qs["q4_priority_returns"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+    qs["q14_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice::DECIMAL(14,2)
+                                   * (1 - l_discount::DECIMAL(4,2))
+                              ELSE 0::DECIMAL(20,4) END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(14,2)
+                   * (1 - l_discount::DECIMAL(4,2)))::DOUBLE,
+             6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+    qs["q19_brand_quantity"] = """
+SELECT round(sum(l_extendedprice::DECIMAL(14,2)
+                 * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
 """
 
     return qs

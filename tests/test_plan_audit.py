@@ -134,3 +134,21 @@ def test_q10_broadcasts_nation(spark, entrymod):
     a = audit(df)
     assert a.broadcast_exchanges >= 1
     assert not a.has_nested_loop
+
+
+def test_q4_exists_plans_semi_join(spark, entrymod):
+    df = entrymod.queries()["q4_priority_returns"](spark, SF_DIR)
+    a = audit(df)
+    assert "LeftSemi" in a.plan
+    assert not a.has_nested_loop
+    # the returnflag filter sits below the join (on the scan side)
+    assert "l_returnflag" in a.plan
+
+
+def test_q19_disjunction_keeps_equi_join(spark, entrymod):
+    """The OR-of-ANDs must not degrade the partkey equi-join into a
+    nested loop."""
+    df = entrymod.queries()["q19_brand_quantity"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert not a.has_nested_loop
