@@ -1363,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_returns": q4_priority_returns,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_brand_quantity": q19_brand_quantity,
+        "vocab_build": q_vocab_build,
+        "token_ids": q_token_ids,
     }
 
 
@@ -1557,6 +1559,31 @@ def q19_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+VOCAB_MAX = 1000  # shared with the DuckDB mirror
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (operators/text_ranking.build_vocab):
+    deterministic (count desc, term asc) ids, capped at VOCAB_MAX."""
+    from lakehouse_ingestion_spark.operators.text_ranking import build_vocab
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return build_vocab(d, max_size=VOCAB_MAX)
+
+
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding of the corpus: (doc_id, pos, token_id) rows
+    with OOV positions dropped; the capped vocab broadcasts."""
+    from lakehouse_ingestion_spark.operators.text_ranking import (
+        build_vocab,
+        tokens_to_ids,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    vocab = build_vocab(d, max_size=VOCAB_MAX)
+    return tokens_to_ids(d, vocab)
 
 
 # ===========================================================================
@@ -2708,6 +2735,43 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
        AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 40)
+"""
+
+    qs["vocab_build"] = rf"""
+WITH terms AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counted AS (SELECT term, count(*) AS n_occur FROM terms GROUP BY 1)
+SELECT term, n_occur, vocab_id::INTEGER AS vocab_id FROM (
+  SELECT term, n_occur,
+         row_number() OVER (ORDER BY n_occur DESC, term ASC) AS vocab_id
+  FROM counted
+) WHERE vocab_id <= {VOCAB_MAX}
+"""
+
+    qs["token_ids"] = rf"""
+WITH terms AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counted AS (SELECT term, count(*) AS n_occur FROM terms GROUP BY 1),
+vocab AS (
+  SELECT term, vocab_id FROM (
+    SELECT term, row_number() OVER (ORDER BY n_occur DESC, term ASC) AS vocab_id
+    FROM counted
+  ) WHERE vocab_id <= {VOCAB_MAX}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+pos AS (
+  SELECT t.doc_id, i - 1 AS pos, t.l[i] AS term
+  FROM toks t, unnest(range(1, len(t.l) + 1)) AS u(i)
+)
+SELECT p.doc_id, p.pos::INTEGER AS pos, v.vocab_id::INTEGER AS token_id
+FROM pos p JOIN vocab v USING (term)
 """
 
     return qs

@@ -89,6 +89,49 @@ def ngram_topk(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary over lowercased whitespace terms:
+    (term, n_occur, vocab_id) with vocab_id = dense rank by
+    (count desc, term asc) — deterministic across runs and engines.
+
+    The ranking window is unpartitioned BUT runs over the aggregated
+    term table (|vocab|, not |corpus|), and with a ``max_size`` cap
+    Spark plans a WindowGroupLimit with a map-side partial limit, so
+    only ~max_size rows per task reach the single ranking partition."""
+    terms = df.select(F.explode(_word_tokens(text_col)).alias("term"))
+    counted = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_occur"))
+    w = Window.orderBy(F.col("n_occur").desc(), F.col("term").asc())
+    ranked = counted.withColumn("vocab_id", F.row_number().over(w))
+    if max_size is not None:
+        ranked = ranked.filter(F.col("vocab_id") <= max_size)
+    return ranked.select("term", "n_occur", "vocab_id")
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents against a vocabulary: (id_col, pos, token_id)
+    with 0-based token positions; out-of-vocabulary tokens are DROPPED
+    (a capped vocab is the caller's truncation policy — positions still
+    reflect the original token stream, so gaps mark OOV sites).
+    The vocab joins broadcast (it is max_size rows by construction)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_word_tokens(text_col)).alias("pos", "term"),
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("term", "vocab_id")), "term")
+        .select(id_col, "pos", F.col("vocab_id").alias("token_id"))
+    )
+
+
 def tfidf(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -15,8 +15,10 @@ from lakehouse_ingestion_spark.operators.quality import (
 )
 from lakehouse_ingestion_spark.operators.text_ranking import (
     bm25,
+    build_vocab,
     ngram_topk,
     tfidf,
+    tokens_to_ids,
     word_ngrams,
 )
 
@@ -122,3 +124,26 @@ def test_bm25_scores_and_pruning(spark):
     assert rows[1] == pytest.approx(want1, abs=1e-6)
     with pytest.raises(ValueError, match="at least one"):
         bm25(df, [])
+
+
+def test_build_vocab_rank_and_cap(spark):
+    df = _docs(spark, [(1, "b b b a a c"), (2, "a d")])
+    vocab = {
+        r["term"]: (r["vocab_id"], r["n_occur"])
+        for r in build_vocab(df).collect()
+    }
+    # a:3 b:3 (tie -> term asc), c:1 d:1 (tie -> term asc)
+    assert vocab == {"a": (1, 3), "b": (2, 3), "c": (3, 1), "d": (4, 1)}
+    capped = build_vocab(df, max_size=2)
+    assert {r["term"] for r in capped.collect()} == {"a", "b"}
+
+
+def test_tokens_to_ids_positions_and_oov(spark):
+    df = _docs(spark, [(1, "b a zz b")])
+    vocab = build_vocab(_docs(spark, [(9, "a a b")]))  # zz is OOV
+    rows = sorted(
+        (r["pos"], r["token_id"])
+        for r in tokens_to_ids(df, vocab).collect()
+    )
+    # positions keep the original stream; pos 2 (zz) is a dropped gap
+    assert rows == [(0, 2), (1, 1), (3, 2)]
