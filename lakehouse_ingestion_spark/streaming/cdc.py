@@ -69,6 +69,11 @@ def cdc_foreach_batch(
         new_state.write.mode("overwrite").parquet(tmp)
         expected = spark.read.parquet(tmp).count()  # footer-only
         old = state_path.rstrip("/") + f"__cdc_old_{epoch_id}"
+        # a crash between the two moves of a previous attempt at this
+        # epoch can leave the backup dir behind; clear it or the move
+        # below nests the state inside it
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(state_path):
             shutil.move(state_path, old)
         shutil.move(tmp, state_path)
