@@ -235,3 +235,78 @@ def test_streaming_cdc_foreach_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: r["v"] for r in spark.read.parquet(state).collect()}
     assert got == {1: "a2", 3: "c1"}  # id=2 deleted, id=1 updated
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two watermarked file streams join on key within a time horizon;
+    a right event outside the horizon finds no match."""
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.streaming.joins import interval_join
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    _write_batch(
+        ldir,
+        [
+            {"k": 1, "ts": "2026-01-01T10:00:00", "imp": "i1"},
+            {"k": 2, "ts": "2026-01-01T10:00:00", "imp": "i2"},
+        ],
+        "l1.jsonl",
+    )
+    _write_batch(
+        rdir,
+        [
+            {"k": 1, "ts": "2026-01-01T10:00:30", "clk": "c1"},  # within 60s
+            {"k": 2, "ts": "2026-01-01T10:05:00", "clk": "c2"},  # outside
+        ],
+        "r1.jsonl",
+    )
+    lschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("imp", StringType()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("clk", StringType()),
+        ]
+    )
+    ls = spark.readStream.schema(lschema).json(str(ldir))
+    rs = spark.readStream.schema(rschema).json(str(rdir))
+    joined = interval_join(
+        ls, rs, ["k"], "ts", "ts", "1 minute", "1 minute", 60.0
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["k"], r["imp"], r["clk"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert rows == [(1, "i1", "c1")]
+
+    with pytest.raises(ConfigError, match="at least one"):
+        interval_join(ls, rs, [], "ts", "ts", "1 minute", "1 minute", 60.0)
+    with pytest.raises(ConfigError, match="positive"):
+        interval_join(ls, rs, ["k"], "ts", "ts", "1 minute", "1 minute", 0)
+    with pytest.raises(ConfigError, match="supports how"):
+        interval_join(
+            ls, rs, ["k"], "ts", "ts", "1 minute", "1 minute", 60.0, how="full"
+        )
