@@ -1787,7 +1787,7 @@ def _duck_ann_lsh_sql() -> str:
     for plane in LSH_PLANES:
         arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
         bits.append(
-            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+            f"(CASE WHEN round(list_dot_product(v, {arr}), 9) >= 0 THEN '1' ELSE '0' END)"
         )
     bucket = " || ".join(bits)
     return f"""

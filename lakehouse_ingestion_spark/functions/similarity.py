@@ -232,5 +232,12 @@ def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        # round half-away at 9 dp before the sign test so engines that
+        # sum the dot in a different order (numpy BLAS in
+        # operators/ann.lsh_topk, the DuckDB oracle's fold) land on the
+        # same bit for near-zero dots — the bucket has no downstream
+        # rounding to absorb an ulp-level sign flip
+        bits.append(
+            F.when(F.round(dot, 9) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
     return F.concat(*bits)

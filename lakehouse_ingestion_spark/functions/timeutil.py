@@ -14,11 +14,16 @@ route every timestamp-like input through ``cast("timestamp")`` first — a
 no-op for ``TIMESTAMP``, a session-tz wall-clock interpretation for
 ``TIMESTAMP_NTZ``, and seconds-since-epoch for numerics — then convert.
 
-Relative uses (differences, bucketing, ordering) are correct under any
-session timezone because the interpretation offset is a constant that
-cancels. Absolute uses (emitting epoch numbers to be compared with an
-engine that reads NTZ as UTC, e.g. DuckDB) should pin
-``spark.sql.session.timeZone=UTC`` first.
+Relative uses (differences, bucketing, ordering) are exact only when the
+session timezone has a FIXED offset (UTC, Etc/GMT+N): the NTZ
+interpretation offset is then a constant that cancels.  Under a DST zone
+(e.g. America/New_York) differences spanning a transition are off by the
+shift, and nonexistent local times collapse — so as-of tolerances and
+range-window membership could be wrong by up to an hour.  Callers that
+feed NTZ columns through these helpers must pin
+``spark.sql.session.timeZone=UTC`` (as ``__spark_entry__._events`` does);
+absolute uses compared against an engine that reads NTZ as UTC (DuckDB)
+need the same pin.
 """
 
 from __future__ import annotations

@@ -27,12 +27,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _ASSIGN_ROUND = 6  # rounding for assignment tie-stability across engines
+_SIGN_ROUND = 9  # dot-product rounding before LSH sign tests
+
+
+def _round_half_away(a: np.ndarray, digits: int) -> np.ndarray:
+    """SQL-``ROUND``-compatible half-away-from-zero rounding.  ``np.round``
+    is half-to-even; Spark and DuckDB round halves away from zero — the
+    difference matters exactly at cross-engine tie boundaries."""
+    scale = 10.0**digits
+    return np.copysign(np.floor(np.abs(a) * scale + 0.5), a) / scale
 
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(mat, axis=1, keepdims=True)
     norm[norm == 0.0] = 1.0
     return mat / norm
+
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The fused mapInPandas search paths coerce ids with
+    ``.astype('int64')`` and emit a hardcoded ``long`` id schema; a
+    string/UUID id column would be silently mangled (or crash deep in
+    numpy). Fail loudly at the API boundary instead."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"{op} requires an integral id column; {id_col!r} is {dt} — "
+            "add a surrogate integer key (e.g. zipWithIndex/"
+            "monotonically_increasing_id + dense rank) before the search"
+        )
 
 
 def _centroids_to_driver(
@@ -59,7 +82,9 @@ def _probe_cells(
 ) -> np.ndarray:
     """(n, nprobe) nearest-cell ids per vector; ties toward lower cell id
     (stable sort over cell-asc columns)."""
-    sims = np.round(_normalized(vec_mat) @ _normalized(cent_mat).T, _ASSIGN_ROUND)
+    sims = _round_half_away(
+        _normalized(vec_mat) @ _normalized(cent_mat).T, _ASSIGN_ROUND
+    )
     order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     return cent_ids[order]
 
@@ -94,6 +119,7 @@ def brute_force_topk(
     request IS a driver-side input, so skipping the collect job is the
     normal serving shape.
     """
+    _require_integral_id(corpus, id_col, "brute_force_topk")
     if isinstance(queries, pd.DataFrame):
         qpd = queries[[id_col, vec_col]]
     else:
@@ -164,6 +190,7 @@ def ivf_assign(
     against broadcast centroids + a per-id ranking window) shuffled and
     sorted N*K rows per call, which is pure waste when K fits in a
     register file."""
+    _require_integral_id(vectors, id_col, "ivf_assign")
     cent_ids, cent_mat = _centroids_to_driver(
         centroids, centroid_id_col, centroid_vec_col
     )
@@ -275,10 +302,7 @@ def kmeans_refine(
         live = counts > 0
         means = sums[live] / counts[live, None]
         if round_to is not None:
-            scale = 10.0**round_to
-            means = np.copysign(
-                np.floor(np.abs(means) * scale + 0.5), means
-            ) / scale
+            means = _round_half_away(means, round_to)
         cent_mat = cent_mat.copy()
         cent_mat[live] = means
 
@@ -310,6 +334,7 @@ def lsh_topk(
     higher-order-function formulation (bucket fold per row + cosine fold
     per candidate pair) was the slowest plan in the ANN family, and the
     corpus never needs to shuffle for a bucket equi-join anyway."""
+    _require_integral_id(corpus, id_col, "lsh_topk")
     spark = corpus.sparkSession
     qpd = (
         queries[[id_col, vec_col]]
@@ -324,7 +349,15 @@ def lsh_topk(
     pow2 = 2.0 ** np.arange(plane_mat.shape[0])
 
     def _buckets(m: np.ndarray) -> np.ndarray:
-        return ((m @ plane_mat.T) >= 0.0) @ pow2  # (n,) packed sign bits
+        # BLAS matmul sums in a different order than the oracle's
+        # sequential fold; for a near-zero plane dot the ulp difference
+        # could flip the sign bit (and the bucket has no rounding to
+        # absorb it, unlike cosine scores). Round half-away at 9 dp
+        # before the sign test — `lsh_bucket` and the DuckDB mirror
+        # apply the same ROUND, so all three engines agree unless the
+        # true dot sits within an ulp of a .5 boundary at 1e-9.
+        d = _round_half_away(m @ plane_mat.T, _SIGN_ROUND)
+        return (d >= 0.0) @ pow2  # (n,) packed sign bits
 
     q_ids = qpd[id_col].to_numpy().astype("int64")
     q_mat = np.stack(qpd[vec_col].to_numpy()).astype("float64")
@@ -399,6 +432,7 @@ def ivf_topk(
     correct when queries are drawn FROM the corpus (self-match
     suppression); set False when queries and corpus are distinct datasets
     whose id spaces overlap (an equal id is then a different vector)."""
+    _require_integral_id(vectors, id_col, "ivf_topk")
     spark = vectors.sparkSession
     qpd = (
         queries[[id_col, vec_col]]

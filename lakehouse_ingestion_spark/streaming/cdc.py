@@ -32,6 +32,43 @@ from lakehouse_ingestion_spark.operators.cdc import DELETE_OPS, cdc_apply, cdc_a
 log = logging.getLogger(__name__)
 
 
+def _recover_backup(state_path: str) -> None:
+    """Repair the crash window between the two renames of the snapshot
+    swap: if the process died after ``state_path`` was moved to the
+    ``__cdc_old_{epoch}`` backup but before the new snapshot was promoted,
+    ``state_path`` is missing and the backup holds the only copy of the
+    prior state.  Restore the newest backup before folding the batch —
+    otherwise the bootstrap branch would rebuild state from the current
+    micro-batch alone and the backup would be deleted (silent state loss
+    in exactly the window the module claims is idempotent)."""
+    state = state_path.rstrip("/")
+    if os.path.exists(state):
+        return
+    parent = os.path.dirname(state) or "."
+    prefix = os.path.basename(state) + "__cdc_old_"
+    if not os.path.isdir(parent):
+        return
+    backups = [n for n in os.listdir(parent) if n.startswith(prefix)]
+    if not backups:
+        return
+
+    def _epoch(name: str) -> int:
+        tail = name[len(prefix):]
+        return int(tail) if tail.isdigit() else -1
+
+    backups.sort(key=_epoch)
+    newest = backups[-1]
+    log.warning(
+        "cdc state %s missing but backup %s exists — restoring (crash "
+        "recovery between snapshot renames)",
+        state,
+        newest,
+    )
+    shutil.move(os.path.join(parent, newest), state)
+    for stale in backups[:-1]:
+        shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+
+
 def cdc_foreach_batch(
     spark: SparkSession,
     state_path: str,
@@ -47,6 +84,7 @@ def cdc_foreach_batch(
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _recover_backup(state_path)
         if os.path.exists(state_path):
             snapshot = spark.read.parquet(state_path)
             new_state = cdc_apply_incremental(

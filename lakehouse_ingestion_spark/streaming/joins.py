@@ -84,7 +84,9 @@ def interval_join(
         & (F.col(rt) >= F.col(left_time))
         & (
             F.col(rt)
-            <= F.col(left_time) + F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+            # format explicitly: f-string float repr can go scientific
+            # (1e-06, 1e21), which the INTERVAL parser rejects
+            <= F.col(left_time) + F.make_interval(secs=F.lit(float(horizon_seconds)))
         )
     )
     joined = l.join(r, cond, allowed[how])

@@ -305,3 +305,32 @@ def test_lsh_topk_matches_hof_bucket_formulation(spark):
         .collect()
     }
     assert got == want
+
+
+def test_ann_paths_reject_nonintegral_ids(spark):
+    """The fused mapInPandas paths emit a hardcoded ``long`` id schema;
+    a string id column must fail loudly at the API boundary, not get
+    silently mangled by ``.astype('int64')``."""
+    import pandas as pd
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.ann import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, v array<double>"
+    )
+    cents = pd.DataFrame({"cid": [0], "cv": [[1.0, 0.0]]})
+    qs = pd.DataFrame({"vec_id": [0], "v": [[1.0, 0.0]]})
+    with pytest.raises(TypeError, match="integral id"):
+        ivf_assign(corpus, cents)
+    with pytest.raises(TypeError, match="integral id"):
+        ivf_topk(corpus, qs, cents)
+    with pytest.raises(TypeError, match="integral id"):
+        lsh_topk(corpus, qs, [[1.0, 0.0]])
+    with pytest.raises(TypeError, match="integral id"):
+        brute_force_topk(corpus, qs)

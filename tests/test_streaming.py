@@ -310,3 +310,55 @@ def test_stream_stream_interval_join(spark, tmp_path):
         interval_join(
             ls, rs, ["k"], "ts", "ts", "1 minute", "1 minute", 60.0, how="full"
         )
+
+
+def test_cdc_crash_recovery_restores_backup(spark, tmp_path):
+    """Crash window between the two snapshot renames: state_path is gone
+    and only the __cdc_old_{epoch} backup holds the prior state. The
+    foreachBatch fn must restore the backup before folding the batch —
+    not rebuild state from the micro-batch alone (silent state loss)."""
+    import shutil
+
+    from lakehouse_ingestion_spark.streaming.cdc import cdc_foreach_batch
+
+    state = str(tmp_path / "state")
+    fn = cdc_foreach_batch(spark, state, ["id"], ["seq"])
+
+    b1 = spark.createDataFrame(
+        [(1, 100, "c", "a1"), (2, 110, "c", "b1")],
+        "id long, seq long, op string, v string",
+    )
+    fn(b1, 0)
+    assert {r["id"] for r in spark.read.parquet(state).collect()} == {1, 2}
+
+    # simulate the crash: epoch-1 attempt moved state to the backup and
+    # died before promoting the new snapshot
+    shutil.move(state, state + "__cdc_old_1")
+
+    b2 = spark.createDataFrame(
+        [(3, 200, "c", "c1")], "id long, seq long, op string, v string"
+    )
+    fn(b2, 1)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(state).collect()}
+    # ids 1 and 2 survived via the backup; id 3 folded on top
+    assert got == {1: "a1", 2: "b1", 3: "c1"}
+    import os
+
+    assert not os.path.exists(state + "__cdc_old_1")
+
+
+def test_interval_join_fractional_horizon_parses(spark):
+    """A horizon whose float repr goes scientific (1e-06) must still build
+    a valid interval expression (make_interval, not INTERVAL literal)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.streaming.joins import interval_join
+
+    l = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "i1")], "k long, ts string, imp string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "c1")], "k long, ts string, clk string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = interval_join(l, r, ["k"], "ts", "ts", "1 minute", "1 minute", 1e-06)
+    assert out.count() == 1  # equal timestamps are inside [t, t+1e-6]
