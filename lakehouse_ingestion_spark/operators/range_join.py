@@ -56,37 +56,45 @@ def range_join(
     # left explodes to every bucket its window [ts+lo, ts+hi] overlaps
     lo_b = F.floor((l_sec + lower_seconds) / width).cast("long")
     hi_b = F.floor((l_sec + upper_seconds) / width).cast("long")
-    l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
     r_b = right.withColumn(_BUCKET, F.floor(r_sec / width).cast("long"))
 
-    cond: Column = l_exp[_BUCKET] == r_b[_BUCKET]
-    for k in keys:
-        cond = cond & (l_exp[k] == r_b[k])
-    in_range = (
-        epoch_seconds(r_b[right_ts])
-        >= epoch_seconds(l_exp[left_ts]) + lower_seconds
-    ) & (
-        epoch_seconds(r_b[right_ts])
-        <= epoch_seconds(l_exp[left_ts]) + upper_seconds
-    )
+    def _join_cond(l_exp: DataFrame) -> Column:
+        cond: Column = l_exp[_BUCKET] == r_b[_BUCKET]
+        for k in keys:
+            cond = cond & (l_exp[k] == r_b[k])
+        return cond & (
+            epoch_seconds(r_b[right_ts])
+            >= epoch_seconds(l_exp[left_ts]) + lower_seconds
+        ) & (
+            epoch_seconds(r_b[right_ts])
+            <= epoch_seconds(l_exp[left_ts]) + upper_seconds
+        )
 
     if how == "inner":
-        joined = l_exp.join(r_b, cond & in_range, "inner")
+        l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
+        joined = l_exp.join(r_b, _join_cond(l_exp), "inner")
         # a (left row, right row) match appears once: the right row's
         # bucket is unique, so only one exploded left copy satisfies cond
         return joined.drop(r_b[_BUCKET]).drop(l_exp[_BUCKET]).drop(
             *[r_b[k] for k in keys]
         )
     if how == "left":
-        joined = l_exp.join(r_b, cond & in_range, "left")
         # unmatched left rows survive once per exploded bucket copy ->
-        # keep one copy; matched rows are already unique (see above).
-        # All references dataframe-qualified: left and right may share
-        # column names (e.g. both sides' time column called "ts").
+        # keep one copy. The dedup window partitions by a synthetic
+        # per-row id tagged BEFORE the explode (every bucket copy of a
+        # left row shares it) — partitioning by all left columns would
+        # shuffle the full row as the window key and break outright on
+        # un-orderable types (maps).
         from pyspark.sql.window import Window
 
+        lid = "__rj_lid"
+        l_exp = (
+            left.withColumn(lid, F.monotonically_increasing_id())
+            .withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
+        )
+        joined = l_exp.join(r_b, _join_cond(l_exp), "left")
         matched_col = r_b[right_ts]
-        part = Window.partitionBy(*[l_exp[c] for c in left.columns])
+        part = Window.partitionBy(l_exp[lid])
         flagged = joined.withColumn(
             "__rj_has",
             F.max(F.when(matched_col.isNotNull(), 1).otherwise(0)).over(part),
@@ -99,7 +107,7 @@ def range_join(
                     & (l_exp[_BUCKET] == F.col("__rj_minb"))
                 )
             )
-            .drop("__rj_has", "__rj_minb")
+            .drop("__rj_has", "__rj_minb", lid)
             .drop(l_exp[_BUCKET])
             .drop(r_b[_BUCKET])
             .drop(*[r_b[k] for k in keys])

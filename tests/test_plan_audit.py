@@ -99,15 +99,18 @@ def test_tfidf_broadcast_corpus_count(spark, entrymod):
 
 
 def test_bm25_prunes_before_aggregation(spark, entrymod):
-    """The query-vocabulary filter must sit below the first aggregation
-    (pruning the exploded stream), and the scalar stats broadcast."""
+    """The query-vocabulary prune must sit below the explode (the
+    generator emits only matching tokens), N/avgdl arrive as ONE fused
+    1-row broadcast aggregate, and df is a window — no second corpus
+    tokenization and no sort-merge dl join anywhere in the plan."""
     df = entrymod.queries()["bm25"](spark, SF_DIR)
     a = audit(df)
-    assert a.broadcast_exchanges >= 2  # dfreq + N + avgdl are all tiny
+    assert a.broadcast_exchanges >= 1  # the fused (N, avgdl) scalar frame
     assert a.joins.get("CartesianProduct", 0) == 0
+    assert a.joins.get("SortMergeJoin", 0) == 0  # dl rides the tf rows
     assert not a.python_in_plan
-    # the IN-filter on query terms sits below the tf aggregation
-    assert "term" in a.plan and "Filter" in a.plan
+    # the filtered explode sits below the tf aggregation
+    assert "term" in a.plan and "filter(" in a.plan
 
 
 def test_ann_fused_single_corpus_pass(spark, entrymod):

@@ -96,3 +96,56 @@ def test_left_join_with_shared_column_names(spark):
     out = range_join(left, right, "ts", "ts", -300.0, 300.0, how="left")
     got = sorted((r["lid"], r["rid"]) for r in out.collect())
     assert got == [(1, 10), (2, None)]
+
+
+def test_left_join_wide_row_with_map_column(spark):
+    """The left-path dedup window must key on the synthetic row id, not
+    on all left columns — a map-typed column cannot be a window
+    partition key (maps are un-orderable), and duplicate wide rows must
+    still each survive exactly once."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), {"a": 1}, "x"),
+            (1, _ts("2024-01-01 10:00:00"), {"a": 1}, "x"),  # exact dup row
+            (2, _ts("2024-01-01 20:00:00"), {"b": 2}, "y"),
+        ],
+        "lid int, ts timestamp, meta map<string,int>, tag string",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:01:00"))], "rid int, rts timestamp"
+    )
+    out = range_join(left, right, "ts", "rts", -300.0, 300.0, how="left")
+    rows = sorted(
+        (r["lid"], r["rid"], r["tag"]) for r in out.collect()
+    )
+    # both duplicate lid=1 rows match rid=10; the unmatched lid=2 row
+    # survives exactly once
+    assert rows == [(1, 10, "x"), (1, 10, "x"), (2, None, "y")]
+    assert out.filter(F.col("meta").isNotNull()).count() == 3
+
+
+def test_left_join_window_keys_on_single_synthetic_id(spark):
+    """Plan assertion: the dedup window partitions by ONE key (the
+    synthetic row id), regardless of left-table width."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a", "b", "c")],
+        "lid int, ts timestamp, c1 string, c2 string, c3 string",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:01:00"))], "rid int, rts timestamp"
+    )
+    out = range_join(left, right, "ts", "rts", -300.0, 300.0, how="left")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    windows = re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    )
+    assert windows, plan
+    for spec in windows:
+        # spec = "partition keys..., [order keys...,]" before the frame —
+        # the partition key list must be the single __rj_lid attribute
+        keys = [s for s in spec.split(", ") if s]
+        assert len(keys) == 1 and keys[0].startswith("__rj_lid"), spec

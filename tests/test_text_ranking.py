@@ -147,3 +147,26 @@ def test_tokens_to_ids_positions_and_oov(spark):
     )
     # positions keep the original stream; pos 2 (zz) is a dropped gap
     assert rows == [(0, 2), (1, 1), (3, 2)]
+
+
+def test_build_vocab_uncapped_distributed_rank_many_partitions(spark):
+    """Uncapped vocab ranks via range repartition + cumulative partition
+    offsets — verify the rank sequence is exactly 1..|vocab| in
+    (count desc, term asc) order when the table genuinely spans many
+    range partitions."""
+    # 500 distinct terms, term_i appears (i % 17) + 1 times
+    rows = []
+    doc = 0
+    for i in range(500):
+        reps = (i % 17) + 1
+        rows.append((doc, " ".join([f"t{i:03d}"] * reps)))
+        doc += 1
+    df = _docs(spark, rows)
+    got = [
+        (r["term"], r["n_occur"], r["vocab_id"])
+        for r in build_vocab(df).collect()
+    ]
+    got.sort(key=lambda t: t[2])
+    assert [g[2] for g in got] == list(range(1, 501))
+    expect = sorted(got, key=lambda t: (-t[1], t[0]))
+    assert got == expect
