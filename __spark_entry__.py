@@ -929,12 +929,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (md5 of normalized text) + per-fingerprint
-    duplicate counts — exact-dup detection at scale is a groupBy on the
-    16-byte fingerprint, never on the document text."""
-    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    duplicate counts — exact-dup detection at scale is a count over the
+    16-byte fingerprint, never over the document text. Count-over-window
+    (not groupBy + join-back): the join form re-reads and re-hashes the
+    corpus for the second branch — two md5 passes and two shuffles; the
+    window form hashes once and shuffles once on the compact fp key. No
+    ensure_parallelism: md5/regexp are whole-stage-codegen JVM work (see
+    q_dedup_exact)."""
+    d = _t(spark, sf_dir, "documents")
     fp = d.select("doc_id", fingerprint_md5("text").alias("fp"))
-    n = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_same"))
-    return fp.join(n, "fp").select("doc_id", "fp", "n_same")
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id", "fp", F.count(F.lit(1)).over(w).alias("n_same")
+    )
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,51 +70,86 @@ def quantize_embeddings(
     codes_sum, code_max, recon_mse). Map-only either way — no shuffle.
 
     ``vectorized=True`` (default) runs the affine map as numpy inside
-    ``mapInPandas`` — one broadcasted matrix op per Arrow batch, ~7x
-    faster than the interpreted HOF chain at 200k x 64 (HOF transforms
-    evaluate per element). ``vectorized=False`` keeps the pure Column
-    form — useful where Python workers are unavailable and as the
-    equivalence reference (both produce bit-identical codes: the
-    explicit floor(+0.5) is the same double op in numpy and the JVM).
+    ``mapInArrow`` — flat-buffer segment ops (``ufunc.reduceat`` over the
+    Arrow list offsets) with the codes ListArray rebuilt directly from
+    the flat numpy buffer, so no per-row Python objects exist anywhere:
+    the old mapInPandas form spent most of its time materializing one
+    numpy array per row into a pandas object column and re-serializing
+    it. ``vectorized=False`` keeps the pure Column form — useful where
+    Python workers are unavailable and as the equivalence reference
+    (both produce bit-identical codes: the explicit floor(+0.5) is the
+    same double op in numpy and the JVM). Vectors must be non-null and
+    non-empty (raises otherwise); ragged widths are fine.
     """
     if vectorized:
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         lv = float(levels)
+        id_type = df.schema[id_col].dataType.simpleString()
 
         def _quant(batches):
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-                qmin = m.min(axis=1)
-                scale = (m.max(axis=1) - qmin) / lv
+                arr = rb.column(1)
+                if arr.null_count:
+                    raise ValueError(
+                        f"quantize_embeddings: null {vec_col} vectors"
+                    )
+                widths = np.asarray(arr.value_lengths(), dtype="int64")
+                if (widths == 0).any():
+                    raise ValueError(
+                        f"quantize_embeddings: empty {vec_col} vectors"
+                    )
+                flat = np.asarray(arr.flatten(), dtype="float64")
+                starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
+                qmin = np.minimum.reduceat(flat, starts)
+                scale = (np.maximum.reduceat(flat, starts) - qmin) / lv
                 safe = np.where(scale == 0.0, 1.0, scale)
-                codes = np.floor(
-                    (m - qmin[:, None]) / safe[:, None] + 0.5
-                ).astype("int32")
-                codes[scale == 0.0] = 0
-                deq = qmin[:, None] + codes * scale[:, None]
-                err = ((m - deq) ** 2).sum(axis=1) / m.shape[1]
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "codes": list(codes),
-                        "qmin": qmin,
-                        "scale": scale,
-                        "codes_sum": codes.sum(axis=1, dtype="int64"),
-                        "code_max": codes.max(axis=1),
-                        "recon_mse": err,
-                    }
+                qmin_rep = np.repeat(qmin, widths)
+                safe_rep = np.repeat(safe, widths)
+                codes = np.floor((flat - qmin_rep) / safe_rep + 0.5).astype(
+                    "int32"
+                )
+                codes[np.repeat(scale == 0.0, widths)] = 0
+                deq = qmin_rep + codes * np.repeat(scale, widths)
+                err = np.add.reduceat((flat - deq) ** 2, starts) / widths
+                offsets = pa.array(
+                    np.concatenate(([0], np.cumsum(widths))), type=pa.int32()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0),
+                        pa.ListArray.from_arrays(
+                            offsets, pa.array(codes, type=pa.int32())
+                        ),
+                        pa.array(qmin, type=pa.float64()),
+                        pa.array(scale, type=pa.float64()),
+                        pa.array(
+                            np.add.reduceat(
+                                codes.astype("int64"), starts
+                            ),
+                            type=pa.int64(),
+                        ),
+                        pa.array(
+                            np.maximum.reduceat(codes, starts),
+                            type=pa.int32(),
+                        ),
+                        pa.array(err, type=pa.float64()),
+                    ],
+                    [
+                        id_col, "codes", "qmin", "scale",
+                        "codes_sum", "code_max", "recon_mse",
+                    ],
                 )
 
         return df.select(
             id_col, _col(vec_col).cast("array<double>").alias(vec_col)
-        ).mapInPandas(
+        ).mapInArrow(
             _quant,
-            f"{id_col} long, codes array<int>, qmin double, scale double, "
-            "codes_sum long, code_max int, recon_mse double",
+            f"{id_col} {id_type}, codes array<int>, qmin double, "
+            "scale double, codes_sum long, code_max int, recon_mse double",
         )
 
     v = _col(vec_col).cast("array<double>")
