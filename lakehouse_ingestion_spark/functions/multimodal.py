@@ -98,36 +98,56 @@ def extract_media_features(
             return rng.random(feature_dim)
 
         for pdf in it:
-            rows = []
-            for mid, blob in zip(pdf[id_column], pdf[content_column]):
-                raw = bytes(blob) if blob is not None else b""
-                try:
-                    emb = _decode_local(raw)
-                    arr = _np.frombuffer(raw, dtype=_np.uint8)
-                    rows.append(
-                        {
-                            id_column: mid,
-                            "n_bytes": len(raw),
-                            "byte_mean": float(arr.mean()) if len(arr) else 0.0,
-                            "byte_std": float(arr.std()) if len(arr) else 0.0,
-                            "embedding": emb.tolist(),
-                            "decoder": "stub-md5",
-                        }
-                    )
-                except NotImplementedError:
-                    if on_error == "fail":
-                        raise
-                    rows.append(
-                        {
-                            id_column: mid,
-                            "n_bytes": 0,
-                            "byte_mean": None,
-                            "byte_std": None,
-                            "embedding": None,
-                            "decoder": "error",
-                        }
-                    )
-            yield _pd.DataFrame(rows, columns=out_cols)
+            if pdf.empty:
+                continue
+            blobs = [
+                bytes(b) if b is not None else b""
+                for b in pdf[content_column]
+            ]
+            lengths = _np.fromiter(
+                (len(b) for b in blobs), dtype=_np.int64, count=len(blobs)
+            )
+            bad = lengths == 0
+            if bad.any() and on_error == "fail":
+                # surface the codec error exactly as the per-row decode
+                # would — first failing blob wins
+                _decode_local(b"")
+            good = ~bad
+            # byte stats vectorized over ONE concatenated buffer:
+            # ufunc.reduceat segments at each (non-empty) row's start
+            # offset cover exactly that row's bytes (empty rows occupy
+            # zero width between segments). Only the decoder itself is
+            # a per-row call — it's the hook a real codec replaces.
+            flat = _np.frombuffer(b"".join(blobs), dtype=_np.uint8).astype(
+                _np.float64
+            )
+            mean = _np.array([])
+            std = _np.array([])
+            if good.any():
+                starts = _np.concatenate(([0], _np.cumsum(lengths)[:-1]))
+                g_starts = starts[good]
+                g_len = lengths[good]
+                mean = _np.add.reduceat(flat, g_starts) / g_len
+                sqdev = (flat - _np.repeat(mean, g_len)) ** 2
+                std = _np.sqrt(_np.add.reduceat(sqdev, g_starts) / g_len)
+            embs: list[list[float] | None] = [None] * len(blobs)
+            for i in _np.flatnonzero(good):
+                embs[i] = _decode_local(blobs[i]).tolist()
+            mean_full = _np.full(len(blobs), _np.nan)
+            std_full = _np.full(len(blobs), _np.nan)
+            mean_full[good] = mean
+            std_full[good] = std
+            yield _pd.DataFrame(
+                {
+                    id_column: pdf[id_column].to_numpy(),
+                    "n_bytes": _np.where(bad, 0, lengths),
+                    "byte_mean": _pd.array(mean_full, dtype="Float64"),
+                    "byte_std": _pd.array(std_full, dtype="Float64"),
+                    "embedding": embs,
+                    "decoder": _np.where(bad, "error", "stub-md5"),
+                },
+                columns=out_cols,
+            )
 
     return df.select(id_column, content_column).mapInPandas(_batches, out_schema)
 

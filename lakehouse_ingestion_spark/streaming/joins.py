@@ -84,9 +84,14 @@ def interval_join(
         & (F.col(rt) >= F.col(left_time))
         & (
             F.col(rt)
-            # format explicitly: f-string float repr can go scientific
-            # (1e-06, 1e21), which the INTERVAL parser rejects
-            <= F.col(left_time) + F.make_interval(secs=F.lit(float(horizon_seconds)))
+            # an INTERVAL *literal*, not make_interval():
+            # StreamingJoinHelper can only extract the state-value
+            # watermark from literal interval arithmetic, and without it
+            # outer joins are refused outright (and inner-join state
+            # could never evict). Fixed-point formatting (not str(float))
+            # because scientific repr (1e-06) fails the interval parser.
+            <= F.col(left_time)
+            + F.expr(f"INTERVAL {float(horizon_seconds):.6f} SECONDS")
         )
     )
     joined = l.join(r, cond, allowed[how])

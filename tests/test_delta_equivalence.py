@@ -284,3 +284,52 @@ def test_scd2_incremental_replay_equals_rebuild(spark, seed):
         dim = spark.createDataFrame(dim.toPandas(), dim.schema)
 
     assert _scd2_canon(dim.toPandas()) == _scd2_canon(rebuilt)
+
+
+def test_scd2_replay_property_200_sequences(spark):
+    """Property sweep: 200 independent random CDC sequences, each with its
+    own random batch boundaries (empty batches included), replayed
+    incrementally through scd2_merge must land on the same dimension as a
+    one-shot scd2_from_history rebuild.
+
+    Vectorized into one Spark run: each sequence gets a disjoint key
+    space (seq_id * 1000 + key) and contributes its b-th span to a global
+    b-th batch — SCD2 semantics are per-key, so merging the unioned
+    batches is exactly applying every sequence's batches independently,
+    at 1/200th of the Spark-job cost of a per-sequence loop."""
+    rng = np.random.default_rng(7)
+    n_seq, n_batch = 200, 4
+    all_events: list[tuple[int, str, int]] = []
+    batches: list[list[tuple[int, str, int]]] = [[] for _ in range(n_batch)]
+    for s in range(n_seq):
+        n_events = int(rng.integers(5, 25))
+        n_keys = int(rng.integers(1, 5))
+        events = []
+        for ts in range(n_events):
+            key = s * 1000 + int(rng.integers(0, n_keys))
+            attr = ["red", "green", "blue"][int(rng.integers(0, 3))]
+            events.append((key, attr, ts))
+        all_events.extend(events)
+        bounds = sorted(int(b) for b in rng.integers(0, n_events + 1, n_batch - 1))
+        for b, (lo, hi) in enumerate(zip([0, *bounds], [*bounds, n_events])):
+            batches[b].extend(events[lo:hi])
+
+    schema = "key long, attr string, ts long"
+    assert batches[0], "seed must populate the bootstrap batch"
+    rebuilt = scd2_from_history(
+        spark.createDataFrame(all_events, schema), ["key"], "ts",
+        attr_columns=["attr"],
+    ).toPandas()
+
+    dim = scd2_from_history(
+        spark.createDataFrame(batches[0], schema), ["key"], "ts",
+        attr_columns=["attr"],
+    )
+    for b in range(1, n_batch):
+        dim = scd2_merge(
+            dim, spark.createDataFrame(batches[b], schema),
+            ["key"], "ts", ["attr"],
+        )
+        dim = spark.createDataFrame(dim.toPandas(), dim.schema)
+
+    assert _scd2_canon(dim.toPandas()) == _scd2_canon(rebuilt)

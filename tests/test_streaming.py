@@ -362,3 +362,96 @@ def test_interval_join_fractional_horizon_parses(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = interval_join(l, r, ["k"], "ts", "ts", "1 minute", "1 minute", 1e-06)
     assert out.count() == 1  # equal timestamps are inside [t, t+1e-6]
+
+
+def test_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
+    """Left-outer interval join: the null-padded row for an unmatched
+    left event must NOT appear while the watermark could still admit a
+    match, and MUST appear once the watermark passes left_ts + horizon.
+    The second run restarts from the same checkpoint (replay path): the
+    already-emitted inner match must not duplicate."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lakehouse_ingestion_spark.streaming.joins import interval_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    _write_batch(
+        ldir,
+        [
+            {"k": 1, "ts": "2026-01-01T10:00:00", "imp": "i1"},  # matches
+            {"k": 3, "ts": "2026-01-01T10:00:10", "imp": "i3"},  # never matches
+        ],
+        "l1.jsonl",
+    )
+    _write_batch(
+        rdir,
+        [{"k": 1, "ts": "2026-01-01T10:00:30", "clk": "c1"}],
+        "r1.jsonl",
+    )
+    lschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("imp", StringType()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("clk", StringType()),
+        ]
+    )
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run():
+        ls = spark.readStream.schema(lschema).json(str(ldir))
+        rs = spark.readStream.schema(rschema).json(str(rdir))
+        joined = interval_join(
+            ls, rs, ["k"], "ts", "ts", "1 minute", "1 minute", 60.0,
+            how="left",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows1 = {
+        (r["k"], r["imp"], r["clk"]) for r in spark.read.parquet(out).collect()
+    }
+    # watermark after run 1 is 09:59:30 — k=3 could still match, so only
+    # the inner result may have emitted (premature null-padding would be
+    # a wrong answer, not just a late one)
+    assert (3, "i3", None) not in rows1
+    assert rows1 <= {(1, "i1", "c1")}
+
+    # advance event time well past left_ts + horizon + delay on both
+    # sides, then RESTART from the same checkpoint
+    _write_batch(
+        ldir, [{"k": 9, "ts": "2026-01-01T10:30:00", "imp": "i9"}], "l2.jsonl"
+    )
+    _write_batch(
+        rdir, [{"k": 9, "ts": "2026-01-01T10:30:10", "clk": "c9"}], "r2.jsonl"
+    )
+    run()
+    rows2 = [
+        (r["k"], r["imp"], r["clk"]) for r in spark.read.parquet(out).collect()
+    ]
+    assert sorted(rows2) == [
+        (1, "i1", "c1"),   # exactly once across the restart
+        (3, "i3", None),   # null-padded only after watermark passage
+        (9, "i9", "c9"),
+    ]
