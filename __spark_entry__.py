@@ -1370,6 +1370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_returns": q4_priority_returns,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_brand_quantity": q19_brand_quantity,
+        "q6_forecast": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_custdist": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q22_sales_opportunity": q22_global_sales_opportunity,
         "vocab_build": q_vocab_build,
         "token_ids": q_token_ids,
     }
@@ -1565,6 +1574,290 @@ def q19_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(clause).agg(
         F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + one aggregate. All three
+    predicates push to the parquet scan; the agg is a map-side partial +
+    one 1-row exchange — the cheapest plan shape Spark has."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,4)")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: trade volume between two nations per ship year.
+    Both nation lookups resolve through broadcast joins onto the two
+    small sides (supplier, customer) BEFORE touching the fact tables, so
+    the only big shuffle is lineitem<->orders."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    cust_nat = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_5's share of ECONOMY-part volume sold into
+    the ASIA market per order year. share = decimal-exact conditional
+    sum over total (both sums exact, so the double division and 6-dp
+    round agree cross-engine)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    vol = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(19,4)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style (adapted: no partsupp table in the fixture, so
+    supply cost = 60% of the part's retail price): profit on widget
+    parts per supplier nation per order year. Part + supplier resolve by
+    broadcast; decimal arithmetic end-to-end."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(6,2)")
+        * F.lit("0.6").cast("decimal(2,1)")
+    )
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(rev - cost), 2).cast("double").alias("profit"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer (non-urgent
+    orders only). Aggregate orders down to per-customer counts FIRST,
+    then outer-join customers — the join input shrinks 10x before it
+    shuffles, and the second aggregation is over one row per customer."""
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    max is a 1-row broadcast joined back on equality of the 2-dp
+    DECIMAL-rounded revenue (exact, so ties and cross-engine agreement
+    are well-defined)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).alias("total_revenue")
+    )
+    top = per_supp.agg(F.max("total_revenue").alias("__m"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(top), F.col("total_revenue") == F.col("__m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style (container -> size filter): yearly revenue lost
+    to small-quantity orders of Brand#13 parts. The per-part average is
+    the classic correlated subquery; here it's one extra aggregate over
+    the already-part-filtered lineitem slice, joined back on partkey.
+    The avg comparison is algebraic (qty * n * 5 < sum) in DECIMAL — no
+    double division whose ulps could flip boundary rows per engine."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sum_qty"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+    )
+    small = l.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("__pk")
+    ).filter(
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("__n")
+        * F.lit(5).cast("decimal(1,0)")
+        < F.col("__sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 250, with their
+    customers, top-100 by order value. The HAVING filter runs on the
+    grouped lineitem BEFORE the joins, so only qualifying orderkeys
+    (a tiny set) reach the orders/customer side — broadcast from there.
+    Quantities are integral doubles, so the sum is exact regardless of
+    summation order."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", TS_FMT).alias("o_orderdate_str"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style (no phone column -> grouped by nation): customers
+    richer than the positive-balance average with no recent orders. The
+    average comparison is algebraic (acctbal * n > sum) in DECIMAL; the
+    'no recent orders' is a broadcast anti-join on the filtered order
+    slice."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("__s"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    rich = (
+        c.join(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("__n") > F.col("__s"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
     )
 
 
@@ -2742,6 +3035,149 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
        AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 40)
+"""
+
+    qs["q6_forecast"] = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,4)
+                 * l_discount::DECIMAL(18,4)), 2)::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    qs["q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice::DECIMAL(14,2)
+                 * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+    qs["q8_market_share"] = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice::DECIMAL(14,2)
+           * (1 - l_discount::DECIMAL(4,2)) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE 0::DECIMAL(19,4) END)::DOUBLE
+             / sum(volume)::DOUBLE, 6) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+    qs["q9_product_profit"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice::DECIMAL(14,2)
+                   * (1 - l_discount::DECIMAL(4,2))
+                 - p_retailprice::DECIMAL(12,2)
+                   * l_quantity::DECIMAL(6,2)
+                   * 0.6::DECIMAL(2,1)), 2)::DOUBLE AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+    qs["q13_custdist"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+    qs["q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice::DECIMAL(14,2)
+                   * (1 - l_discount::DECIMAL(4,2))), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue::DOUBLE AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+    qs["q17_small_quantity"] = """
+WITH l AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13' AND p_size <= 10
+), per_part AS (
+  SELECT l_partkey AS pk,
+         sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+         count(*)::DECIMAL(12,0) AS n
+  FROM l GROUP BY 1
+)
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2)
+       AS avg_yearly
+FROM l JOIN per_part ON l_partkey = pk
+WHERE l_quantity::DECIMAL(12,2) * n * 5::DECIMAL(1,0) < sum_qty
+"""
+
+    qs["q18_large_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate_str,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN big      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+    qs["q22_sales_opportunity"] = """
+WITH stats AS (
+  SELECT sum(c_acctbal::DECIMAL(18,2)) AS s,
+         count(*)::DECIMAL(12,0) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*) AS numcust,
+       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey, stats
+WHERE c_acctbal::DECIMAL(18,2) * stats.n > stats.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
 """
 
     qs["vocab_build"] = rf"""

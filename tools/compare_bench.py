@@ -53,16 +53,23 @@ def main() -> None:
             # one-time build phases (bucketed table writes) are an ingest
             # investment, not part of the probe being compared
             setups[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        spark_s = time.perf_counter() - t0
+        # median of 3 per engine: this VM's run-to-run variance (GC,
+        # page cache, python-worker reuse) swamps single-shot deltas
+        spark_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark_runs.append(time.perf_counter() - t0)
+        spark_s = sorted(spark_runs)[1]
 
         duck_s = None
         if name in oracles:
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            duck_s = time.perf_counter() - t0
+            duck_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                duck_runs.append(time.perf_counter() - t0)
+            duck_s = sorted(duck_runs)[1]
         rows.append((name, spark_s, duck_s))
 
     rows.sort(key=lambda r: (r[1] / r[2]) if r[2] else 0, reverse=True)
