@@ -1457,7 +1457,11 @@ def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
-    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    # modest fan-out: the affine map is ~10ms of numpy per million
+    # values, so at bench scale the cost is python-worker spin-up per
+    # partition — 8 workers saturate it; at real scale the scan arrives
+    # already split and ensure_parallelism is a no-op
+    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"), min_partitions=8)
     q = quantize_embeddings(e)
     return q.select(
         "vec_id",

@@ -84,8 +84,15 @@ def _extract_bracketed(plan: str, marker: str) -> list[str]:
         if j >= len(plan) or plan[j] != "[":
             start = j
             continue
+        # scan within the line only: metadata never spans lines, and
+        # Spark clips it at spark.sql.maxMetadataStringLength (default
+        # 100) with a trailing "...", which would leave the bracket
+        # unclosed and let the match swallow unrelated plan text
+        eol = plan.find("\n", j)
+        if eol < 0:
+            eol = len(plan)
         depth = 0
-        for k in range(j, len(plan)):
+        for k in range(j, eol):
             if plan[k] == "[":
                 depth += 1
             elif plan[k] == "]":
@@ -94,7 +101,9 @@ def _extract_bracketed(plan: str, marker: str) -> list[str]:
                     out.append(plan[j : k + 1])
                     break
         else:
-            return out
+            # truncated: keep the visible prefix rather than dropping it
+            out.append(plan[j:eol])
+            k = eol
         start = k + 1
 
 

@@ -155,3 +155,71 @@ def test_q19_disjunction_keeps_equi_join(spark, entrymod):
     a = audit(df)
     assert a.joins.get("BroadcastHashJoin", 0) >= 1
     assert not a.has_nested_loop
+
+
+def test_q6_scan_only_single_shuffle(spark, entrymod):
+    """Q6 is the minimal plan: all predicates pushed to the scan, one
+    partial+final aggregate exchange, nothing else."""
+    df = entrymod.queries()["q6_forecast"](spark, SF_DIR)
+    a = audit(df)
+    assert any("l_shipdate" in p for p in a.pushed_filters)
+    assert a.joins == {}
+    assert a.shuffle_exchanges == 1
+    assert not a.python_in_plan
+
+
+def test_q7_dims_broadcast_before_fact_shuffle(spark, entrymod):
+    """Nation/supplier/customer lookups must all broadcast; the only
+    permissible shuffles involve the two fact tables and the final agg."""
+    df = entrymod.queries()["q7_volume_shipping"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 3
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_q13_aggregates_orders_before_outer_join(spark, entrymod):
+    """The per-customer count must sit BELOW the outer join (orders
+    shrink before shuffling), and the priority filter below that."""
+    df = entrymod.queries()["q13_custdist"](spark, SF_DIR)
+    a = audit(df)
+    assert not a.has_nested_loop
+    plan = a.plan
+    # the o_orderpriority filter reaches the orders scan
+    assert any("o_orderpriority" in p for p in a.pushed_filters) or (
+        "o_orderpriority" in plan
+    )
+    # outer join present, aggregation below it (HashAggregate appears on
+    # the build side of the join in the plan tree)
+    assert "LeftOuter" in plan or "RightOuter" in plan
+
+
+def test_q17_correlated_avg_stays_decimal(spark, entrymod):
+    """The avg comparison is algebraic decimal (qty*n*5 < sum): no
+    double division anywhere in the predicate, part filter broadcast."""
+    df = entrymod.queries()["q17_small_quantity"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 2
+    assert not a.has_nested_loop
+
+
+def test_q18_having_filters_before_join(spark, entrymod):
+    """The sum_qty > 250 HAVING must apply on the grouped lineitem
+    BEFORE the orders join, so only qualifying orderkeys shuffle."""
+    df = entrymod.queries()["q18_large_orders"](spark, SF_DIR)
+    a = audit(df)
+    assert not a.has_nested_loop
+    plan = a.plan
+    # the filter on the aggregate result appears below the join with
+    # orders: find a Filter mentioning sum_qty
+    assert "sum_qty" in plan
+
+
+def test_q22_anti_join_not_cartesian(spark, entrymod):
+    """NOT EXISTS plans as an anti join; the 1-row stats frame joins by
+    broadcast (a single-row cross product is fine — a row-by-row
+    nested loop over customers is not)."""
+    df = entrymod.queries()["q22_sales_opportunity"](spark, SF_DIR)
+    a = audit(df)
+    assert "LeftAnti" in a.plan
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1

@@ -35,6 +35,9 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).groupBy(F.col("id") % 32).applyInPandas(
         lambda pdf: pdf.head(1), "id long"
     ).count()
+    # mapInArrow has its own first-use worker codepath (Arrow stream
+    # serde), separate from the pandas one — warm it too
+    spark.range(0, 1024, 1, 32).mapInArrow(lambda it: it, "id long").count()
 
     con = duckdb.connect()
     for t in TABLES:
