@@ -1379,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q17_small_quantity,
         "q18_large_orders": q18_large_orders,
         "q22_sales_opportunity": q22_global_sales_opportunity,
+        "decontaminate": q_decontaminate,
         "vocab_build": q_vocab_build,
         "token_ids": q_token_ids,
     }
@@ -1863,6 +1864,19 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/decontaminate.py): every
+    53rd document plays the held-out eval set, the rest are the training
+    corpus; overlap = shared distinct word-3-grams against the broadcast
+    eval n-gram set, contaminated at >= 2."""
+    from lakehouse_ingestion_spark.operators.decontaminate import decontaminate
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 53 == 0)
+    tr = d.filter(F.col("doc_id") % 53 != 0)
+    return decontaminate(tr, ev, threshold=2)
 
 
 VOCAB_MAX = 1000  # shared with the DuckDB mirror
@@ -3183,6 +3197,21 @@ WHERE c_acctbal::DECIMAL(18,2) * stats.n > stats.s
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY n_name
 """
+
+    qs["decontaminate"] = (
+        "WITH "
+        + _duck_shingles_cte()
+        + """,
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh_t WHERE doc_id % 53 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t WHERE doc_id % 53 <> 0),
+cnt AS (SELECT tr.doc_id, count(*) AS n_overlap
+        FROM tr JOIN ev USING (shingle) GROUP BY 1)
+SELECT d.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
+       coalesce(c.n_overlap, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 53 <> 0
+"""
+    )
 
     qs["vocab_build"] = rf"""
 WITH terms AS (

@@ -138,3 +138,42 @@ def language_id(text: Column | str, markers: dict[str, list[str]] | None = None)
     for lang, c in reversed(counts):
         expr = F.when((c == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN ORDER — email first so its
+# digits can't be half-eaten by the number rule, IPv4 before bare number
+# runs. Patterns restricted to syntax Java regex and RE2 (DuckDB) parse
+# identically, so redaction is oracle-checkable.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("number", r"\d{7,}", "<NUM>"),
+]
+
+
+def redact_pii(
+    text: Column | str, rules: list[tuple[str, str, str]] | None = None
+) -> Column:
+    """Replace PII spans with typed placeholders — chained
+    ``regexp_replace`` (JVM, codegen; one pass per rule). The scrub every
+    web-scale training corpus runs before tokenization."""
+    out = _col(text)
+    for _, pattern, repl in rules or PII_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(
+    text: Column | str, rules: list[tuple[str, str, str]] | None = None
+) -> Column:
+    """Map<rule-name, match-count> for audit metrics. Counts overlap-free
+    matches per rule on the ORIGINAL text (rules are independent here,
+    unlike the ordered redaction)."""
+    pairs = []
+    for name, pattern, _ in rules or PII_RULES:
+        pairs.extend([F.lit(name), F.regexp_count(_col(text), F.lit(pattern))])
+    return F.create_map(*pairs)

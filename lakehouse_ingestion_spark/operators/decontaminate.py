@@ -1,0 +1,74 @@
+"""Train/eval decontamination — flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard training-data hygiene pass (GPT-3 appendix C / PaLM-style):
+an eval example "contaminates" a training document when enough of its
+n-grams appear verbatim in the document. At 100 TB the asymmetry is the
+whole design: the eval set is tiny (thousands of examples) and the train
+side is the corpus, so the eval n-gram set broadcasts to every executor
+and the corpus is touched exactly once — explode its distinct shingles,
+hash-join against the broadcast set map-side, and aggregate per doc_id
+(partial counts collapse before the one shuffle). Nothing scales with
+|eval| x |train|.
+
+Shingling reuses ``functions.similarity.shingles`` (the near-dup basis),
+so one tokenization definition serves dedup, Jaccard verification, and
+decontamination — and the DuckDB oracle mirror already exists for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.functions.similarity import shingles
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word-n-gram set of the eval corpus: one column
+    ``shingle``. Small by contract (eval sets are human-curated);
+    callers broadcast it."""
+    return (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: int = 2,
+) -> DataFrame:
+    """Per training document: how many of its distinct n-grams appear in
+    the eval set (``n_overlap``) and whether that crosses ``threshold``
+    (``contaminated`` — drop or downweight these before training).
+
+    Every training doc appears in the output (n_overlap = 0 when clean):
+    the follow-up filter is the caller's policy decision, and silent row
+    loss in a hygiene pass is how eval leakage survives review.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    ev = F.broadcast(eval_ngram_set(eval_df, text_col, n))
+    hits = (
+        train.select(id_col, F.explode(shingles(text_col, n)).alias("shingle"))
+        .join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Decontamination + PII-redaction tests (operators/decontaminate.py,
+functions/text.py PII section)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.functions.text import (
+    PII_RULES,
+    pii_counts,
+    redact_pii,
+)
+from lakehouse_ingestion_spark.operators.decontaminate import (
+    decontaminate,
+    eval_ngram_set,
+)
+
+
+def test_decontaminate_counts_and_flags(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox is fast"),  # shares 'quick brown fox'
+            (3, "completely unrelated words here today"),
+            (4, ""),  # empty doc: zero shingles, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(train, ev, threshold=2).collect()
+    }
+    # doc 1 shares: 'the quick brown','quick brown fox','brown fox jumps' = 3
+    assert out[1] == (3, True)
+    assert out[2] == (1, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+    assert len(out) == 4  # every train doc present — no silent row loss
+
+
+def test_decontaminate_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        decontaminate(df, df, threshold=0)
+
+
+def test_eval_ngram_set_distinct(spark):
+    ev = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["shingle"] for r in eval_ngram_set(ev).collect()}
+    assert got == {"a b c", "b c a", "c a b"}
+
+
+def test_redact_pii_all_rule_types(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "mail bob.smith+x@example.co.uk or 10.0.0.1 "
+                "card 12345678901 end",
+            )
+        ],
+        "text string",
+    )
+    got = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert got == "mail <EMAIL> or <IP> card <NUM> end"
+
+
+def test_redact_pii_order_email_before_number(spark):
+    # the email's digit run must be consumed by the email rule, not
+    # half-replaced by <NUM>
+    df = spark.createDataFrame([("a1234567890@example.com",)], "text string")
+    got = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert got == "<EMAIL>"
+
+
+def test_pii_counts_map(spark):
+    df = spark.createDataFrame(
+        [("x@y.io and z@w.dev at 192.168.0.1 num 99999999",)], "text string"
+    )
+    got = df.select(pii_counts("text").alias("m")).collect()[0]["m"]
+    assert got == {"email": 2, "ipv4": 1, "number": 1}
+    assert [n for n, _, _ in PII_RULES] == ["email", "ipv4", "number"]
