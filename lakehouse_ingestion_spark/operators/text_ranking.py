@@ -59,6 +59,17 @@ def word_ngrams(text_col: str, n: int = 2) -> Column:
     return F.when(m >= 1, joined).otherwise(F.array().cast("array<string>"))
 
 
+def _bounded_single_partition(key_col: str) -> Column:
+    """A constant partition key that survives the optimizer: a literal
+    ``F.lit(0)`` is constant-folded out of the window spec, turning the
+    deliberate bounded single-partition ranking back into an
+    'unpartitioned' window (and its WindowExec warning). Deriving the
+    zero from a column blocks the fold; the exchange still hashes every
+    row to one partition — which is the point: the input is bounded to
+    ``num_shards * limit`` survivors by construction."""
+    return F.length(F.col(key_col)) * F.lit(0)
+
+
 def _shard_topk(
     counted: DataFrame,
     key_col: str,
@@ -156,7 +167,9 @@ def ngram_topk(
         w = Window.partitionBy(*groups).orderBy(*order)
     else:
         counted = _shard_topk(counted, "ngram", order, k, num_shards)
-        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+        w = Window.partitionBy(_bounded_single_partition("ngram")).orderBy(
+            *order
+        )
     return counted.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )
@@ -185,7 +198,9 @@ def build_vocab(
     order = [F.col("n_occur").desc(), F.col("term").asc()]
     if max_size is not None:
         pruned = _shard_topk(counted, "term", order, max_size, num_shards)
-        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+        w = Window.partitionBy(_bounded_single_partition("term")).orderBy(
+            *order
+        )
         ranked = pruned.withColumn("vocab_id", F.row_number().over(w)).filter(
             F.col("vocab_id") <= max_size
         )

@@ -134,3 +134,37 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         streaming_dedup(stream, [])
     with pytest.raises(ConfigError, match="watermarking"):
         streaming_dedup_within_watermark(stream, ["ts"], "ts")
+
+
+def test_quantize_ragged_widths_and_id_type(spark):
+    """The Arrow path handles ragged vector widths (reduceat segments,
+    not a rectangular stack) and preserves a non-long id type instead of
+    hardcoding `long` in the output schema."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, rng.normal(size=w).tolist())
+        for i, w in enumerate([3, 8, 1, 5, 8, 2])
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = quantize_embeddings(df, vectorized=True)
+    assert dict(out.dtypes)["vec_id"] == "int"
+    got = {r["vec_id"]: r for r in out.collect()}
+    slow = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(
+            df.selectExpr("cast(vec_id as long) vec_id", "embedding"),
+            vectorized=False,
+        ).collect()
+    }
+    for i, (_, vec) in enumerate(rows):
+        assert len(got[i]["codes"]) == len(vec)
+        assert got[i]["codes"] == slow[i]["codes"]
+        assert got[i]["codes_sum"] == slow[i]["codes_sum"]
+
+
+def test_quantize_rejects_empty_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="empty"):
+        quantize_embeddings(df, vectorized=True).collect()
