@@ -1380,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q22_sales_opportunity": q22_global_sales_opportunity,
         "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
         "token_ids": q_token_ids,
     }
@@ -1864,6 +1865,15 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): 32-token windows
+    every 24 tokens (8-token overlap) — map-only explode, zero shuffles."""
+    from lakehouse_ingestion_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=32, stride=24)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3212,6 +3222,23 @@ FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
 WHERE d.doc_id % 53 <> 0
 """
     )
+
+    qs["chunk_docs"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS tk
+  FROM documents
+),
+st AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id, (s / 24)::INT AS chunk_id,
+       least(32, len(tk) - s)::BIGINT AS n_tokens,
+       array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text
+FROM st
+"""
 
     qs["vocab_build"] = rf"""
 WITH terms AS (

@@ -85,3 +85,50 @@ def test_pii_counts_map(spark):
     got = df.select(pii_counts("text").alias("m")).collect()[0]["m"]
     assert got == {"email": 2, "ipv4": 1, "number": 1}
     assert [n for n, _, _ in PII_RULES] == ["email", "ipv4", "number"]
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from lakehouse_ingestion_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_size=4, stride=3).collect()
+    }
+    # doc 1: windows at 0,3,6 — overlap of 1 token between consecutive
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (1, "t6")  # short tail window
+    assert (2, 0) not in got  # empty doc emits nothing
+    assert got[(3, 0)] == (1, "solo")
+    assert len(got) == 4
+
+
+def test_chunk_documents_min_tokens_drops_tails(spark):
+    from lakehouse_ingestion_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_size=4, stride=4, min_tokens=2).collect()
+    # windows: [a b c d], [e] — the 1-token tail is dropped
+    assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [(0, 4)]
+
+
+def test_chunk_documents_validation(spark):
+    from lakehouse_ingestion_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_size=4, stride=0)
