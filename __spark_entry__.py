@@ -1036,7 +1036,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
-    j = range_join(errors, clicks, "ts", "click_ts", -300.0, 300.0, how="left")
+    # err_id is a real PK -> anti-join left formulation (no dedup-window
+    # sort of the 9M-row joined output; see range_join docstring)
+    j = range_join(
+        errors, clicks, "ts", "click_ts", -300.0, 300.0,
+        how="left", left_row_key="err_id",
+    )
     return j.groupBy("err_id").agg(F.count("click_id").alias("n_clicks"))
 
 

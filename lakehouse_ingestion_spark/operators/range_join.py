@@ -35,12 +35,23 @@ def range_join(
     upper_seconds: float,
     extra_keys: list[str] | None = None,
     how: str = "inner",
+    left_row_key: str | None = None,
 ) -> DataFrame:
     """Join rows where ``right.right_ts`` is within
     ``[left.left_ts + lower_seconds, left.left_ts + upper_seconds]``
     (and ``extra_keys`` match, if given). Columns of both sides are kept;
     ``how`` may be "inner" or "left" ("left" keeps unmatched left rows
     with nulls on the right side).
+
+    ``left_row_key``: name of a column that uniquely keys left rows
+    (a real primary key). With it, the left join plans as inner join +
+    anti-join union — no window, so the (potentially huge) joined
+    output is never sorted; the anti-join runs against the original
+    un-exploded left. Without it, a synthetic row id + dedup window is
+    used — correct for any schema, but the window sorts the joined
+    output by row id (measured +170% on the sf1 bench query), and a
+    synthetic id cannot safely cross the two jobs the anti-join
+    formulation needs. Callers with a PK should pass it.
     """
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must be > lower_seconds")
@@ -78,6 +89,31 @@ def range_join(
         return joined.drop(r_b[_BUCKET]).drop(l_exp[_BUCKET]).drop(
             *[r_b[k] for k in keys]
         )
+    if how == "left" and left_row_key is not None:
+        if left_row_key not in left.columns:
+            raise ValueError(
+                f"left_row_key {left_row_key!r} not in left columns"
+            )
+        l_exp = left.withColumn(_BUCKET, F.explode(F.sequence(lo_b, hi_b)))
+        inner = (
+            l_exp.join(r_b, _join_cond(l_exp), "inner")
+            .drop(r_b[_BUCKET])
+            .drop(l_exp[_BUCKET])
+            .drop(*[r_b[k] for k in keys])
+        )
+        matched = inner.select(left_row_key).distinct()
+        right_out = [
+            f for f in r_b.schema.fields
+            if f.name not in keys and f.name != _BUCKET
+        ]
+        unmatched = left.join(matched, left_row_key, "left_anti").select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in right_out
+            ],
+        )
+        return inner.unionByName(unmatched)
     if how == "left":
         # unmatched left rows survive once per exploded bucket copy ->
         # keep one copy. The dedup window partitions by a synthetic

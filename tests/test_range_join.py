@@ -149,3 +149,59 @@ def test_left_join_window_keys_on_single_synthetic_id(spark):
         # the partition key list must be the single __rj_lid attribute
         keys = [s for s in spec.split(", ") if s]
         assert len(keys) == 1 and keys[0].startswith("__rj_lid"), spec
+
+
+def test_left_row_key_formulation_matches_window_form(spark):
+    """With a real PK, the left join plans as inner + anti-join union —
+    it must produce exactly the window form's rows (map columns and all)
+    and contain NO window in the plan."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), {"a": 1}, "x"),
+            (2, _ts("2024-01-01 10:00:30"), {"b": 2}, "y"),
+            (3, _ts("2024-01-01 20:00:00"), {"c": 3}, "z"),  # unmatched
+        ],
+        "lid int, ts timestamp, meta map<string,int>, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:01:00")),
+            (11, _ts("2024-01-01 10:04:00")),
+        ],
+        "rid int, rts timestamp",
+    )
+    keyed = range_join(
+        left, right, "ts", "rts", -300.0, 300.0, how="left",
+        left_row_key="lid",
+    )
+    windowed = range_join(left, right, "ts", "rts", -300.0, 300.0, how="left")
+
+    def canon(df):
+        return sorted(
+            (r["lid"], r["rid"], r["tag"], tuple(sorted((r["meta"] or {}).items())))
+            for r in df.collect()
+        )
+
+    assert canon(keyed) == canon(windowed)
+    assert keyed.schema == windowed.schema
+    assert "windowspecdefinition" not in (
+        keyed._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # unmatched row null-padded exactly once
+    assert canon(keyed).count((3, None, "z", (("c", 3),))) == 1
+
+
+def test_left_row_key_validation(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:01:00"))], "rid int, rts timestamp"
+    )
+    with pytest.raises(ValueError, match="left_row_key"):
+        range_join(
+            left, right, "ts", "rts", -300.0, 300.0, how="left",
+            left_row_key="nope",
+        )
