@@ -6,17 +6,28 @@ EDGES; production dedup needs CLUSTERS: transitively connected groups
 from which one canonical document survives. A doc similar to B and B to
 C must collapse to one cluster even when A-C was never a candidate pair.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round every node takes the min of its own label and
-its neighbors' labels; at fixpoint every member of a component carries
-the component's minimum node id (which doubles as a stable canonical
-id). Rounds needed = graph diameter — near-dup components are shallow
-(pairs share LSH buckets), so convergence is fast; each round is one
-shuffle join + one aggregation, all JVM-side. For planet-scale graphs
-with long chains the alternating large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") halves
-round counts; the propagation loop below is the right tool for dedup
-workloads and stays simple enough to oracle-check.
+Algorithm: iterative min-label propagation, with optional pointer
+jumping. Every node starts labeled with itself; each round every node
+takes the min of its own label and its neighbors' labels; at fixpoint
+every member of a component carries the component's minimum node id
+(which doubles as a stable canonical id).
+
+- ``algorithm="propagate"``: rounds needed = graph diameter. One
+  shuffle join + one aggregation per round, all JVM-side — the leanest
+  round for the shallow components near-dup pair finders emit.
+- ``algorithm="jump"`` (default): after each propagation step, every
+  label is replaced by its label's label (path halving, the
+  Shiloach-Vishkin pointer-jumping idea) — label-tree depth halves per
+  round, so convergence is O(log diameter). One extra self-join per
+  round buys chain-shaped components (templated/boilerplate documents
+  form them) safety from the round budget: a 200-link chain converges
+  in ~8 rounds instead of 200.
+
+Both converge to identical labels (property-tested on chains, cliques,
+and random graphs); the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond") is the
+further step if single-round shuffle volume ever becomes the binding
+constraint.
 """
 
 from __future__ import annotations
@@ -34,6 +45,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    algorithm: str = "jump",
 ) -> DataFrame:
     """Resolve ``edges`` (undirected; direction of the input pairs is
     ignored) into (node, cluster_id) where ``cluster_id`` is the minimum
@@ -51,6 +63,10 @@ def connected_components(
     (diameter larger than the budget) rather than returning
     half-propagated labels.
     """
+    if algorithm not in ("propagate", "jump"):
+        raise ValueError(
+            f"algorithm must be 'propagate' or 'jump', got {algorithm!r}"
+        )
     # NULL node ids fail loudly (same stance as operators/sampling.py):
     # a NULL can't label a component; silently emitting a (NULL, NULL)
     # cluster row would corrupt downstream canonical-doc selection
@@ -83,17 +99,35 @@ def connected_components(
                 .groupBy(F.col("a").alias("node0"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            merged = (
-                labels.join(nbr, labels["node"] == nbr["node0"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                    ).alias("cluster_id"),
-                    (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
-                )
-                .localCheckpoint()  # eager: materializes AND truncates lineage
+            stepped = labels.join(
+                nbr, labels["node"] == nbr["node0"], "left"
+            ).select(
+                "node",
+                F.col("cluster_id").alias("__old"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
+            if algorithm == "jump":
+                # path halving: follow the label one hop (every label IS
+                # a node id present in `stepped`, by induction from the
+                # self-labeled start) — label-tree depth halves per round
+                hop = stepped.select(
+                    F.col("node").alias("__jn"),
+                    F.col("cluster_id").alias("__jc"),
+                )
+                stepped = stepped.join(
+                    hop, stepped["cluster_id"] == hop["__jn"]
+                ).select(
+                    "node",
+                    F.col("__jc").alias("cluster_id"),
+                    F.col("__old"),
+                )
+            merged = stepped.select(
+                "node",
+                "cluster_id",
+                (F.col("cluster_id") < F.col("__old")).alias("__changed"),
+            ).localCheckpoint()  # eager: materializes AND truncates lineage
             changed = merged.filter(F.col("__changed")).count()
             labels = merged.drop("__changed")
             if changed == 0:

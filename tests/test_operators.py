@@ -332,3 +332,62 @@ def test_ensure_parallelism_estimates_and_fans_out(spark, tmp_path):
     # when already wide enough)
     wide = spark.range(0, 64, 1, 64)
     assert ensure_parallelism(wide).rdd.getNumPartitions() == 64
+
+
+def test_connected_components_jump_equals_propagate(spark):
+    """Pointer jumping and plain propagation must land on identical
+    labels — random graphs, cliques, and chains."""
+    import numpy as np
+
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(5)
+    pairs = set()
+    # 3 random blobs + one clique + one chain, node spaces disjoint
+    for base in (0, 100, 200):
+        nodes = list(range(base, base + 30))
+        for _ in range(25):
+            a, b = rng.choice(nodes, 2, replace=False)
+            pairs.add((int(a), int(b)))
+    pairs |= {(300 + i, 300 + j) for i in range(6) for j in range(i + 1, 6)}
+    pairs |= {(400 + i, 400 + i + 1) for i in range(15)}
+    edges = spark.createDataFrame(
+        sorted(pairs), "doc_a long, doc_b long"
+    )
+    lab_p = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, "doc_a", "doc_b", algorithm="propagate"
+        ).collect()
+    }
+    lab_j = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, "doc_a", "doc_b", algorithm="jump"
+        ).collect()
+    }
+    assert lab_p == lab_j
+
+
+def test_connected_components_jump_survives_long_chain(spark):
+    """A 200-link chain exceeds the default round budget under plain
+    propagation (rounds = diameter) but converges under pointer jumping
+    (rounds ~ log diameter) — the scale argument for the default."""
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(
+            chain, "doc_a", "doc_b", max_iterations=25, algorithm="propagate"
+        )
+    got = connected_components(
+        chain, "doc_a", "doc_b", max_iterations=25, algorithm="jump"
+    )
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(chain, "doc_a", "doc_b", algorithm="stars")
