@@ -1384,6 +1384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q17_small_quantity,
         "q18_large_orders": q18_large_orders,
         "q22_sales_opportunity": q22_global_sales_opportunity,
+        "q2_min_supplier": q2_min_acctbal_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -1869,6 +1875,268 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style (no partsupp table -> the distinct
+    (l_partkey, l_suppkey) projection of lineitem bridges part and
+    supplier; min ps_supplycost -> min s_acctbal): for STANDARD parts of
+    size <= 5, the lowest-balance EUROPE-region supplier that actually
+    shipped the part. The correlated min is a groupBy over the bridged
+    pairs joined back on (part, min); part/supplier/nation/region all
+    broadcast — only the pair-distinct shuffles, and it shuffles 16
+    bytes/row regardless of fact width."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5)
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(p.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_bal = pairs.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("s_acctbal").alias("__min_bal")
+    )
+    return (
+        pairs.join(
+            F.broadcast(min_bal),
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("s_acctbal") == F.col("__min_bal")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_suppkey", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style (no partsupp -> shipped value from lineitem):
+    per-part shipped value from NATION_7's suppliers, keeping parts
+    whose value exceeds 0.1% of the nation total. The global threshold
+    is a 1-row broadcast scalar; the comparison is decimal-exact on both
+    engines (sum > total * 0.001 with an exact decimal literal), so no
+    double-rounding can flip boundary parts."""
+    s7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s7), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__val")
+    )
+    total = per_part.agg(F.sum("__val").alias("__total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("__val")
+            > F.col("__total") * F.lit("0.001").cast("decimal(4,3)")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("__val", 2).cast("double").alias("value"),
+        )
+    )
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style (no l_shipmode/l_receiptdate -> l_returnflag
+    buckets + shipdate-vs-orderdate lag): 1997 lineitems that shipped
+    between 30 and 120 days after their order date, counting
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders per
+    returnflag. lineitem⋈orders is the one real (big-big) shuffle; the
+    date-window predicate is applied post-join since it correlates the
+    two sides."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(hi.cast("bigint")).alias("high_line_count"),
+        F.sum((~hi).cast("bigint")).alias("low_line_count"),
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style (no partsupp -> lineitem bridge; 'customer
+    complaints' -> negative account balance): distinct-supplier counts
+    per (brand, type, size) for non-Brand#5, non-PROMO parts of eight
+    sizes, excluding complained-about suppliers via an anti-join. The
+    bridge pair-distinct and the count_distinct are the only shuffles;
+    part and the tiny exclusion list broadcast."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style (no partsupp availqty -> above-average shipped
+    volume): NATION_9 suppliers whose 1998 shipped quantity of 'small%'
+    parts exceeds the per-supplier average for that slice. The average
+    comparison is algebraic (qty * n > total, both decimal-exact); the
+    qualifying-supplier set is a broadcast semi-join onto supplier, so
+    the supplier table itself never shuffles."""
+    pk = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty")
+    )
+    stats = per_supp.agg(
+        F.sum("__qty").alias("__total"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+    )
+    winners = (
+        per_supp.join(F.broadcast(stats))
+        .filter(F.col("__qty") * F.col("__n") > F.col("__total"))
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(winners),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (no l_receiptdate/l_commitdate -> late means
+    shipped > 60 days after the order date): NATION_1 suppliers who were
+    the sole late shipper on a multi-supplier finished order. The
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) pair maps
+    to a semi-join and an anti-join on (orderkey, suppkey !=) — exactly
+    Spark's existence-join physical forms. The lineitem⋈orders slice is
+    computed once and reused for l1/l2/l3."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    n1 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = lo.filter(F.col("late")).join(
+        F.broadcast(n1), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
 
 
@@ -3211,6 +3479,118 @@ WHERE c_acctbal::DECIMAL(18,2) * stats.n > stats.s
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY n_name
+"""
+
+    qs["q2_min_supplier"] = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), pr AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+  FROM pairs
+  JOIN part ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD' AND p_size <= 5
+), mn AS (
+  SELECT p_partkey AS pk, min(s_acctbal) AS min_bal FROM pr GROUP BY 1
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       p_name, s_suppkey
+FROM pr JOIN mn ON p_partkey = pk AND s_acctbal = min_bal
+ORDER BY s_acctbal DESC, s_suppkey, p_partkey
+LIMIT 100
+"""
+
+    qs["q11_important_parts"] = """
+WITH l AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+), per_part AS (
+  SELECT l_partkey, sum(l_extendedprice::DECIMAL(18,2)) AS val
+  FROM l GROUP BY 1
+), tot AS (SELECT sum(val) AS total FROM per_part)
+SELECT l_partkey AS partkey, round(val, 2)::DOUBLE AS value
+FROM per_part, tot
+WHERE val > total * 0.001::DECIMAL(4,3)
+"""
+
+    qs["q12_shipping_delay"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate <  o_orderdate + INTERVAL 120 DAY
+GROUP BY l_returnflag
+"""
+
+    qs["q16_supplier_counts"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+    qs["q20_promotion_suppliers"] = """
+WITH l AS (
+  SELECT l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1999-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+), per_supp AS (
+  SELECT l_suppkey, sum(l_quantity::DECIMAL(18,2)) AS qty
+  FROM l GROUP BY 1
+), stats AS (
+  SELECT sum(qty) AS total, count(*)::DECIMAL(12,0) AS n FROM per_supp
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (SELECT l_suppkey FROM per_supp, stats
+                    WHERE qty * n > total)
+"""
+
+    qs["q21_waiting_suppliers"] = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM lo l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1' AND l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """
 
     qs["decontaminate"] = (

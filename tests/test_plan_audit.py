@@ -223,3 +223,74 @@ def test_q22_anti_join_not_cartesian(spark, entrymod):
     a = audit(df)
     assert "LeftAnti" in a.plan
     assert a.joins.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_q2_pair_distinct_then_broadcast(spark, entrymod):
+    """The lineitem part/supplier bridge shuffles only its two key
+    columns (pair distinct); part, the EU supplier dim, and the
+    per-part min all broadcast onto it — no sort-merge join anywhere."""
+    df = entrymod.queries()["q2_min_supplier"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 3
+    assert a.joins.get("SortMergeJoin", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_q11_scalar_threshold_broadcasts(spark, entrymod):
+    """The nation-total scalar is a 1-row broadcast (its non-equi
+    comparison plans as a nested loop over ONE build row — fine); the
+    supplier/nation dims broadcast-hash-join, and the only real shuffle
+    is the per-part aggregation."""
+    df = entrymod.queries()["q11_important_parts"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 2
+    assert a.joins.get("SortMergeJoin", 0) == 0
+    assert a.shuffle_exchanges <= 3
+    assert not a.python_in_plan
+
+
+def test_q12_date_window_after_equi_join(spark, entrymod):
+    """The correlated date-window predicate can't push below the join,
+    but the 1997 shipdate slice must reach the lineitem scan, and the
+    orderkey join stays an equi-join (no nested loop from the interval
+    arithmetic)."""
+    df = entrymod.queries()["q12_shipping_delay"](spark, SF_DIR)
+    a = audit(df)
+    assert any("l_shipdate" in p for p in a.pushed_filters)
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_q16_exclusion_is_anti_join(spark, entrymod):
+    """The complained-suppliers NOT IN must plan as a broadcast
+    anti-join over the pair-distinct bridge, never a nested loop."""
+    df = entrymod.queries()["q16_supplier_counts"](spark, SF_DIR)
+    a = audit(df)
+    assert "LeftAnti" in a.plan
+    assert not a.has_nested_loop
+
+
+def test_q20_semi_joins_keep_supplier_unshuffled(spark, entrymod):
+    """Both IN-subqueries plan as broadcast semi-joins; the supplier
+    table itself never shuffles."""
+    df = entrymod.queries()["q20_promotion_suppliers"](spark, SF_DIR)
+    a = audit(df)
+    assert "LeftSemi" in a.plan
+    # the above-average scalar is the one 1-row nested loop; every
+    # per-row join is a broadcast hash join
+    assert a.joins.get("BroadcastHashJoin", 0) >= 3
+    assert a.joins.get("SortMergeJoin", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_q21_exists_pair_plans_semi_and_anti(spark, entrymod):
+    """EXISTS(other supplier) -> semi join, NOT EXISTS(other late
+    supplier) -> anti join, both on the orderkey equi-key with the
+    suppkey inequality as a residual condition — no nested loop."""
+    df = entrymod.queries()["q21_waiting_suppliers"](spark, SF_DIR)
+    a = audit(df)
+    assert "LeftSemi" in a.plan
+    assert "LeftAnti" in a.plan
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
