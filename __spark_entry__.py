@@ -1390,6 +1390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_counts": q16_supplier_counts,
         "q20_promotion_suppliers": q20_promotion_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "jaccard_pairs": q_jaccard_pairs,
+        "doc_repetition": q_doc_repetition,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "domain_cap": q_domain_cap,
+        "cluster_rep": q_cluster_rep,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2138,6 +2144,96 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (operators/jaccard.py):
+    prefix-filtered inverted-index self-join — every pair with J >= 0.3,
+    no MinHash approximation (the exact tier complementing q_near_dup's
+    LSH path). The md5-hash prefix order is mirrored in the oracle so
+    both engines search the identical candidate space."""
+    from lakehouse_ingestion_spark.operators.jaccard import jaccard_join
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return jaccard_join(
+        d, "doc_id", "text", n=3, threshold=NEAR_DUP_THRESHOLD, order="hash"
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition profile
+    (operators/repetition.py): distinct ratio, top token/bigram
+    occupancy, duplicate-bigram fraction — ALL from single-fold
+    aggregates over each doc's own sorted token array (map-only, zero
+    shuffles; plan-asserted)."""
+    from lakehouse_ingestion_spark.operators.repetition import repetition_signals
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return repetition_signals(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_token_frac",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel view -> click -> purchase
+    (operators/funnel.py): per-user greedy sequence match at strictly
+    increasing timestamps via ONE groupBy(user) + array fold (no k-way
+    self-joins); output = users reaching at least each stage."""
+    from lakehouse_ingestion_spark.operators.funnel import funnel_counts
+
+    # first 6 hours only: the full fixture month has every user complete
+    # every stage, which would make the check undiscriminating (the 0-user
+    # purchase row also exercises the missing-stage left-join path)
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-01 06:00:00").cast("timestamp")
+    )
+    return funnel_counts(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (operators/funnel.py): cohort = first
+    active epoch-day bucket; one shuffle on user_id (window min over
+    distinct activity buckets — no join-back)."""
+    from lakehouse_ingestion_spark.operators.funnel import retention
+
+    e = _t(spark, sf_dir, "events")
+    return retention(e, "user_id", "ts", period_days=1).select(
+        F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort_start"),
+        "period_offset",
+        "n_users",
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.group_cap): keep each
+    source's 15 largest docs (ties by doc_id) — the anti-domination
+    curation step; constant cap plans WindowGroupLimit (bounded map-side
+    heap, shuffle carries <= cap rows/group/partition)."""
+    from lakehouse_ingestion_spark.operators.sampling import group_cap
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return group_cap(d, "source", "doc_id", cap=15, order_by="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection
+    (operators/graph.cluster_representatives): the verified LSH pairs
+    from q_near_dup clustered by connected components, then ONE doc per
+    cluster survives — the largest (n_chars), ties to min id; singletons
+    pass through. This is the operator that turns pair edges into an
+    actual keep/drop decision."""
+    from lakehouse_ingestion_spark.operators.graph import cluster_representatives
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_representatives(d, pairs, "doc_id", "n_chars")
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3592,6 +3688,157 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+    qs["jaccard_pairs"] = (
+        "WITH "
+        + _duck_shingles_cte()
+        + f""",
+ord_t AS (
+  SELECT doc_id, len(sh) AS sz,
+         list_transform(
+           list_sort(list_transform(sh, s -> {{'h': {_H60.format(x='s')}, 's': s}})),
+           x -> x.s) AS o
+  FROM sh_t WHERE len(sh) > 0
+),
+pre AS (
+  SELECT doc_id, sz,
+         unnest(o[1 : (sz - ceil(sz * {NEAR_DUP_THRESHOLD}::DOUBLE)::INT + 1)]) AS ng
+  FROM ord_t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pre a JOIN pre b
+    ON a.ng = b.ng AND a.doc_id < b.doc_id
+   AND greatest(a.sz, b.sz) * {NEAR_DUP_THRESHOLD}::DOUBLE <= least(a.sz, b.sz)
+)
+SELECT da AS id_a, db AS id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+       AS jaccard
+FROM cand
+JOIN sh_t sa ON sa.doc_id = da
+JOIN sh_t sb ON sb.doc_id = db
+WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+      >= {NEAR_DUP_THRESHOLD}::DOUBLE
+"""
+    )
+
+    qs["doc_repetition"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+  FROM documents
+), b AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) - 1 <= 0 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         END AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(tk)::BIGINT AS n_tokens,
+       CASE WHEN len(tk) > 0
+            THEN round(len(list_distinct(tk))::DOUBLE / len(tk), 6) ELSE 0.0 END
+         AS distinct_ratio,
+       CASE WHEN len(tk) > 0
+            THEN round(list_max(list_transform(list_distinct(tk),
+                   x -> len(list_filter(tk, y -> y = x))))::DOUBLE / len(tk), 6)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN len(bg) > 0
+            THEN round((len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b
+"""
+
+    qs["funnel"] = """
+WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-01 06:00:00'),
+u0 AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'view' GROUP BY 1),
+u1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN u0 ON e.user_id = u0.user_id
+       WHERE e.event_type = 'click' AND e.ts > u0.t0 GROUP BY 1),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > u1.t1 GROUP BY 1)
+SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM u0) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u1)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u2)
+"""
+
+    qs["retention"] = """
+WITH act AS (SELECT DISTINCT user_id, floor(epoch(ts) / 86400)::BIGINT AS p
+             FROM events),
+coh AS (SELECT user_id, min(p) AS c FROM act GROUP BY 1)
+SELECT strftime(DATE '1970-01-01' + c::INT, '%Y-%m-%d') AS cohort_start,
+       (p - c)::INT AS period_offset, count(*) AS n_users
+FROM act JOIN coh USING (user_id) GROUP BY 1, 2
+"""
+
+    qs["domain_cap"] = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 15
+"""
+
+    qs["cluster_rep"] = (
+        "WITH RECURSIVE "
+        + _duck_shingles_cte()
+        + ",\nsig AS (SELECT doc_id, "
+        + ", ".join(_duck_minhash_exprs("sh"))
+        + " FROM sh_t),\n"
+        + _duck_hashed_cte()
+        + ",\nbands AS ("
+        + _duck_bands_select()
+        + f"""),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN hsh sa ON sa.doc_id = c.doc_a
+  JOIN hsh sb ON sb.doc_id = c.doc_b
+  WHERE round(CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+                   THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                        / len(list_distinct(list_concat(sa.hs, sb.hs)))
+                   ELSE 0.0 END, 6) >= {NEAR_DUP_THRESHOLD}
+),
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM lab
+)
+SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_score, n_members
+FROM ranked WHERE rk = 1
+"""
+    )
 
     qs["decontaminate"] = (
         "WITH "

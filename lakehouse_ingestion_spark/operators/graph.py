@@ -154,3 +154,53 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("node").alias("members_sum"),
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Pick one surviving document per near-dup cluster — the "keep the
+    best copy" step that turns pair edges into an actual dedup decision.
+
+    Every document appears exactly once in the output: paired docs carry
+    their component's canonical ``cluster_id``, unpaired docs are their
+    own singleton cluster (left join + coalesce — no doc silently
+    drops). The representative is the cluster's max-``score_col`` row,
+    ties broken by min id (a total order, so both engines agree).
+    Returns ``cluster_id, rep_id, rep_score, n_members``.
+
+    One CC run over the (tiny) pair set plus one window shuffle over the
+    corpus keyed by cluster — the corpus never joins against itself."""
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, src=left, dst=right)
+    j = df.select(
+        F.col(id_col).alias("__id"), F.col(score_col).alias("__score")
+    ).join(cc, F.col("__id") == cc["node"], "left")
+    labeled = j.select(
+        "__id",
+        "__score",
+        F.coalesce(cc["cluster_id"], F.col("__id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__score"), F.col("__id")
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("__id").alias("rep_id"),
+            F.col("__score").alias("rep_score"),
+            "n_members",
+        )
+    )

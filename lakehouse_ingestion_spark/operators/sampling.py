@@ -123,3 +123,37 @@ def stratified_sample(
     for v, frac in fractions.items():
         rate = F.when(s == F.lit(v), F.lit(float(frac))).otherwise(rate)
     return df.filter(hash_uniform(key_col, seed) < rate)
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    order_by: Column | str | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-domain document cap
+    of web-corpus curation (a handful of template-heavy domains must not
+    dominate the training mixture).
+
+    Which rows survive is deterministic: ranked by ``order_by``
+    descending when given (e.g. a quality score), falling back to the
+    content-hash draw (stable under re-runs and corpus growth, like
+    every sampler here); ``key_col`` breaks remaining ties. With a
+    constant ``cap`` the rank+filter plans as WindowGroupLimit — Spark
+    keeps a bounded per-group heap on the map side, so the shuffle
+    carries at most ``cap`` rows per group per input partition rather
+    than the whole group (the difference between a bounded and an
+    unbounded shuffle when one domain is half the corpus)."""
+    if cap < 1:
+        raise ConfigError(f"group cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window
+
+    keys = [F.col(order_by).desc() if isinstance(order_by, str) else order_by.desc()] \
+        if order_by is not None else [hash_uniform(key_col, "cap")]
+    w = Window.partitionBy(group_col).orderBy(*keys, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -294,3 +294,33 @@ def test_q21_exists_pair_plans_semi_and_anti(spark, entrymod):
     assert "LeftAnti" in a.plan
     assert not a.has_nested_loop
     assert not a.python_in_plan
+
+
+def test_jaccard_pairs_no_cartesian(spark, entrymod):
+    """The exact-Jaccard join must search via the prefix inverted index:
+    an n-gram equi-join, never a cartesian/nested-loop all-pairs."""
+    df = entrymod.queries()["jaccard_pairs"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_domain_cap_plans_window_group_limit(spark, entrymod):
+    """A constant per-group cap must plan WindowGroupLimit (bounded
+    map-side heap) — not a full per-group sort of the corpus."""
+    df = entrymod.queries()["domain_cap"](spark, SF_DIR)
+    a = audit(df)
+    assert "WindowGroupLimit" in a.plan
+    assert a.joins == {}
+    assert not a.python_in_plan
+
+
+def test_funnel_single_user_shuffle(spark, entrymod):
+    """The funnel is one groupBy(user) fold — no k-way self-joins over
+    the event stream; the step-ladder frames are tiny driver-side
+    constants."""
+    df = entrymod.queries()["funnel"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("SortMergeJoin", 0) == 0
+    assert not a.python_in_plan
