@@ -134,6 +134,77 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
                 prefix=o.get("prefix", ""),
             ),
         )
+    if op == "quality_filter":
+        # C4/Gopher curation chain (operators/quality.py); keep_only=True
+        # drops failing docs, else rows carry failed_rules/keep columns
+        from lakehouse_ingestion_spark.operators.quality import (
+            apply_quality_rules,
+            default_quality_rules,
+        )
+
+        kwargs = {
+            k: o[k]
+            for k in (
+                "min_tokens", "max_tokens", "min_mean_token_len",
+                "max_mean_token_len", "min_distinct_ratio", "min_alpha_ratio",
+                "stopwords",
+            )
+            if k in o
+        }
+        out = apply_quality_rules(
+            df, default_quality_rules(**kwargs), text_col=o.get("text_col", "text")
+        )
+        if o.get("keep_only", False):
+            return out.filter(F.col("keep")).drop("failed_rules", "keep")
+        return out
+    if op == "repetition_signals":
+        from lakehouse_ingestion_spark.operators.repetition import (
+            repetition_signals,
+        )
+
+        return repetition_signals(df, o.get("text_col", "text"))
+    if op == "hash_sample":
+        from lakehouse_ingestion_spark.operators.sampling import hash_sample
+
+        return hash_sample(
+            df, o["key"], float(o["fraction"]), seed=o.get("seed", "sample")
+        )
+    if op == "hash_split":
+        from lakehouse_ingestion_spark.operators.sampling import hash_split
+
+        return hash_split(
+            df, o["key"], dict(o["fractions"]),
+            seed=o.get("seed", "split"), split_col=o.get("split_col", "split"),
+        )
+    if op == "stratified_sample":
+        from lakehouse_ingestion_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            df, o["strata"], dict(o["fractions"]), o["key"],
+            seed=o.get("seed", "sample"),
+            default_fraction=float(o.get("default_fraction", 0.0)),
+        )
+    if op == "group_cap":
+        from lakehouse_ingestion_spark.operators.sampling import group_cap
+
+        return group_cap(
+            df, o["group"], o["key"], int(o["cap"]), order_by=o.get("order_by")
+        )
+    if op == "chunk":
+        from lakehouse_ingestion_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(
+            df,
+            chunk_size=int(o.get("chunk_size", 512)),
+            stride=int(o.get("stride", o.get("chunk_size", 512))),
+            id_col=o.get("id_col", "doc_id"),
+            text_col=o.get("text_col", "text"),
+        )
+    if op == "redact_pii":
+        from lakehouse_ingestion_spark.functions.text import redact_pii
+
+        c = o.get("text_col", "text")
+        return df.withColumn(c, redact_pii(F.col(c), rules=o.get("rules")))
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":

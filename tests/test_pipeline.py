@@ -185,3 +185,95 @@ def test_conform_requires_schema(spark, registry, source_file, tmp_path):
     df = spark.range(1)
     with pytest.raises(ConfigError, match="schema"):
         apply_transform(df, "conform", {})
+
+
+def _doc_config(source_file, out_dir, transforms):
+    return {
+        "env": "test",
+        "jobs": [
+            {
+                "name": "curate-docs",
+                "layer": "silver",
+                "source_system": "unit-test",
+                "source": {
+                    "type": "json",
+                    "options": {"path": source_file, "format": "json"},
+                },
+                "transforms": transforms,
+                "target": {
+                    "format": "parquet",
+                    "options": {"path": out_dir, "mode": "overwrite"},
+                },
+            }
+        ],
+    }
+
+
+@pytest.fixture()
+def docs_file(tmp_path):
+    p = tmp_path / "docs.jsonl"
+    long_ok = " ".join(f"the word{i % 40} of text" for i in range(20))
+    rows = [
+        {"doc_id": 1, "text": long_ok, "domain": "a.com"},
+        {"doc_id": 2, "text": "too short", "domain": "a.com"},
+        {"doc_id": 3, "text": long_ok + " extra tail tokens", "domain": "a.com"},
+        {"doc_id": 4, "text": long_ok + " reach me at bob@example.com ok",
+         "domain": "b.com"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def test_curation_transforms_config_driven(spark, registry, docs_file, tmp_path):
+    """The curation ops are drivable from a pipeline spec end-to-end:
+    quality filter -> PII redaction -> per-domain cap -> split."""
+    out = str(tmp_path / "curated")
+    cfg = parse_config(
+        _doc_config(
+            docs_file,
+            out,
+            [
+                {"op": "quality_filter", "min_tokens": 30, "keep_only": True},
+                {"op": "redact_pii"},
+                {"op": "group_cap", "group": "domain", "key": "doc_id",
+                 "cap": 1, "order_by": "doc_id"},
+                {"op": "hash_split",
+                 "fractions": {"train": 0.9, "val": 0.1}, "key": "doc_id"},
+            ],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # doc 2 fails min_tokens; cap=1 per domain keeps the max doc_id of a.com
+    assert set(got) == {3, 4}
+    assert "bob@example.com" not in got[4]["text"]  # redacted
+    assert all(r["split"] in ("train", "val") for r in got.values())
+
+
+def test_chunk_and_sample_transforms(spark, registry, docs_file, tmp_path):
+    out = str(tmp_path / "chunks")
+    cfg = parse_config(
+        _doc_config(
+            docs_file,
+            out,
+            [
+                {"op": "hash_sample", "key": "doc_id", "fraction": 1.0},
+                {"op": "chunk", "chunk_size": 16, "stride": 16},
+            ],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) > 4  # docs exploded into multiple chunks
+    assert all(r["n_tokens"] <= 16 for r in rows)
+
+
+def test_unknown_transform_still_raises(spark, registry, docs_file, tmp_path):
+    cfg = parse_config(
+        _doc_config(docs_file, str(tmp_path / "x"), [{"op": "not_an_op"}]),
+        registry,
+    )
+    with pytest.raises(ConfigError, match="unknown transform"):
+        Pipeline(spark, cfg, registry=registry).run()
