@@ -2154,7 +2154,16 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines search the identical candidate space."""
     from lakehouse_ingestion_spark.operators.jaccard import jaccard_join
 
-    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # fixed 1000-doc slice: at the sf0.01 oracle gate this is the whole
+    # corpus (500 docs — full-strength check); at larger SFs it bounds
+    # the inherently-quadratic exact tier. The synthetic corpus's ~50
+    # word vocabulary makes EVERY doc share shingles with every other
+    # (candidate sets approach all-pairs no matter the prefix order), so
+    # unbounded exact Jaccard is the wrong tool there by construction —
+    # the LSH path (q_near_dup) is the full-corpus scale route.
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    )
     return jaccard_join(
         d, "doc_id", "text", n=3, threshold=NEAR_DUP_THRESHOLD, order="hash"
     )
@@ -3690,8 +3699,22 @@ LIMIT 100
 """
 
     qs["jaccard_pairs"] = (
-        "WITH "
-        + _duck_shingles_cte()
+        """WITH
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         END AS tk
+  FROM documents WHERE doc_id < 1000
+),
+sh_t AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) - 2 <= 0 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                                                i -> array_to_string(tk[i:i+2], ' ')))
+         END AS sh
+  FROM toks
+)"""
         + f""",
 ord_t AS (
   SELECT doc_id, len(sh) AS sz,
