@@ -1396,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "domain_cap": q_domain_cap,
         "cluster_rep": q_cluster_rep,
+        "anomaly": q_anomaly,
+        "unpivot": q_unpivot,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2243,6 +2245,48 @@ def q_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     return cluster_representatives(d, pairs, "doc_id", "n_chars")
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screen per event type (operators/anomaly.py):
+    per-group (mean, stddev_pop) via one partial-aggregated groupBy,
+    stats broadcast back — only the per-group stats frame ever shuffles
+    (a window formulation would shuffle the full table)."""
+    from lakehouse_ingestion_spark.operators.anomaly import zscore_outliers
+
+    e = ensure_parallelism(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    )
+    out = zscore_outliers(e, ["event_type"], "value", z=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round("group_mean", 6).alias("group_mean"),
+        F.round("group_std", 6).alias("group_std"),
+        "zscore",
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt (DataFrame.unpivot) of three lineitem measures,
+    re-aggregated per (returnflag, metric) — the inverse of q_pivot,
+    completing the reshaping pair. Decimal sums keep the money totals
+    exact across engines."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    m = l.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return m.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum(F.col("val").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total")
+    )
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3798,6 +3842,32 @@ coh AS (SELECT user_id, min(p) AS c FROM act GROUP BY 1)
 SELECT strftime(DATE '1970-01-01' + c::INT, '%Y-%m-%d') AS cohort_start,
        (p - c)::INT AS period_offset, count(*) AS n_users
 FROM act JOIN coh USING (user_id) GROUP BY 1, 2
+"""
+
+    qs["anomaly"] = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd,
+         count(value) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, round(value, 2) AS value,
+       round(m, 6) AS group_mean, round(sd, 6) AS group_std,
+       round((value - m) / sd, 6) AS zscore
+FROM events JOIN s USING (event_type)
+WHERE n >= 2 AND sd > 0 AND abs(round((value - m) / sd, 6)) > 3.0
+"""
+
+    qs["unpivot"] = """
+WITH m AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, metric,
+       round(sum(val::DECIMAL(18,2)), 2)::DOUBLE AS total
+FROM m GROUP BY 1, 2
 """
 
     qs["domain_cap"] = """

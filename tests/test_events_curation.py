@@ -278,3 +278,31 @@ def test_cluster_representatives_tie_breaks_min_id(spark):
     pairs = spark.createDataFrame([(10, 11)], "doc_a long, doc_b long")
     rows = cluster_representatives(docs, pairs, "doc_id", "score").collect()
     assert rows[0]["rep_id"] == 10
+
+
+# ---------------------------------------------------------------------------
+# zscore_outliers
+# ---------------------------------------------------------------------------
+
+def test_zscore_outliers_flags_extremes(spark):
+    from lakehouse_ingestion_spark.operators.anomaly import zscore_outliers
+
+    rows = [("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+    rows += [("b", 5.0)]  # singleton group: never anomalous
+    rows += [("c", 7.0), ("c", 7.0)]  # zero-variance group: never anomalous
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = zscore_outliers(df, ["grp"], "v", z=2.0)
+    got = [(r["grp"], r["v"]) for r in out.collect()]
+    assert got == [("a", 100.0)]
+    z = out.collect()[0]["zscore"]
+    assert z > 2.0
+
+
+def test_zscore_outliers_validates_z(spark):
+    import pytest as _pytest
+
+    from lakehouse_ingestion_spark.operators.anomaly import zscore_outliers
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+    with _pytest.raises(ValueError, match="z must be"):
+        zscore_outliers(df, ["grp"], "v", z=0)
