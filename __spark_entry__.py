@@ -3760,17 +3760,16 @@ sh_t AS (
   FROM toks
 )"""
         + f""",
-ord_t AS (
-  SELECT doc_id, len(sh) AS sz,
-         list_transform(
-           list_sort(list_transform(sh, s -> {{'h': {_H60.format(x='s')}, 's': s}})),
-           x -> x.s) AS o
+hs_t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(sh,
+           s -> {_H60.format(x='s')}))) AS hs
   FROM sh_t WHERE len(sh) > 0
 ),
 pre AS (
-  SELECT doc_id, sz,
-         unnest(o[1 : (sz - ceil(sz * {NEAR_DUP_THRESHOLD}::DOUBLE)::INT + 1)]) AS ng
-  FROM ord_t
+  SELECT doc_id, len(hs) AS sz,
+         unnest(hs[1 : (len(hs) - ceil(len(hs) * {NEAR_DUP_THRESHOLD}::DOUBLE)::INT + 1)]) AS ng
+  FROM hs_t
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -3779,14 +3778,14 @@ cand AS (
    AND greatest(a.sz, b.sz) * {NEAR_DUP_THRESHOLD}::DOUBLE <= least(a.sz, b.sz)
 )
 SELECT da AS id_a, db AS id_b,
-       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+       round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6)
        AS jaccard
 FROM cand
-JOIN sh_t sa ON sa.doc_id = da
-JOIN sh_t sb ON sb.doc_id = db
-WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+JOIN hs_t sa ON sa.doc_id = da
+JOIN hs_t sb ON sb.doc_id = db
+WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+            / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6)
       >= {NEAR_DUP_THRESHOLD}::DOUBLE
 """
     )

@@ -13,26 +13,38 @@ PPJoin, Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
     at least one element. So an inverted index over PREFIXES alone
     generates a complete candidate set.
 
+Everything after shingling runs in 60-bit md5 hash space, the same trick
+as the LSH path's verification: each doc's set is the SORTED array of
+``md5_hash60(shingle)`` longs, so
+
+- the "hash" prefix order is simply ascending numeric order — the
+  prefix is ``slice(sorted_hashes, 1, L)``, zero extra computation;
+- the inverted-index join keys and the verification intersections are
+  8-byte longs, not n-gram strings (measured ~4x on the LSH pipeline:
+  fewer shuffled bytes, integer comparisons);
+- Jaccard over hash sets equals Jaccard over shingle sets up to md5
+  collisions (~2^-60 per pair), and an oracle hashing with the same md5
+  agrees EXACTLY even when a collision happens.
+
 Pipeline (all DataFrame ops, JVM-side):
 
-1. per doc: distinct sorted shingle array ``g`` + size (map-only);
-2. prefix extraction under the chosen order (map-only for ``order=
-   "hash"``; one extra aggregation pass for ``order="frequency"``);
-3. inverted-index self-join on prefix n-grams with the size-ratio
-   filter ``max(|A|, |B|) * t <= min(|A|, |B|)`` as a join residual;
+1. per doc: sorted distinct shingle-hash array + size (map-only);
+2. prefix extraction (map-only slice for ``order="hash"``; one global
+   n-gram frequency pass + rebuild for ``order="frequency"``);
+3. inverted-index self-join on prefix hashes with the size-ratio filter
+   ``max(|A|, |B|) * t <= min(|A|, |B|)`` as a join residual;
 4. candidate-pair distinct, then exact verification via
-   ``array_intersect`` on the full sets.
+   ``array_intersect`` on the full hash sets.
 
 Scale posture: the only data-sized shuffles are the prefix explode
-(keyed by n-gram — the classic inverted index) and the two id-keyed
-verification joins. ``order="hash"`` derives the prefix order from
-md5(n-gram) — zero extra passes, uniform pruning. ``order="frequency"``
-ranks rare n-grams first (the textbook choice, prunes hardest on skewed
-vocabularies) at the cost of one global n-gram count and a rebuild of
-each doc's ordered set. Stop-word-like n-grams shared by a large
-fraction of the corpus make the index bucket for that n-gram quadratic —
-exactly the skew AQE's skew-join split handles; for adversarial corpora
-prefer "frequency" which pushes such n-grams OUT of prefixes.
+(keyed by hash — the classic inverted index) and the two id-keyed
+verification joins. ``order="frequency"`` ranks rare n-grams first (the
+textbook choice, prunes hardest on skewed vocabularies) at the cost of
+the extra pass. N-grams shared by a large fraction of the corpus make
+their index bucket quadratic — exactly the skew AQE's skew-join split
+handles; on such corpora prefer "frequency", which pushes them OUT of
+prefixes, or fall back to the LSH path: a corpus where most pairs truly
+exceed the threshold has no sub-quadratic exact answer by definition.
 
 The reference has no similarity operators (SURVEY.md §2C "Joins: ...
 No theta/range/as-of/interval join anywhere"); this extends the declared
@@ -61,9 +73,10 @@ def jaccard_join(
 ) -> DataFrame:
     """All pairs ``(id_a < id_b)`` with n-gram Jaccard >= threshold.
 
-    Returns columns ``id_a, id_b, jaccard`` (exact, not approximate).
-    ``order`` picks the prefix-filter total order: "hash" (map-only,
-    default) or "frequency" (rare-first, strongest pruning).
+    Returns columns ``id_a, id_b, jaccard`` (exact over the 60-bit
+    shingle-hash sets; see module docstring). ``order`` picks the
+    prefix-filter total order: "hash" (map-only, default) or
+    "frequency" (rare-first, strongest pruning on skewed vocabularies).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -72,8 +85,15 @@ def jaccard_join(
 
     src = df.select(
         F.col(id_col).alias("__id"),
-        F.array_sort(shingles(F.col(text_col), n=n, mode=mode)).alias("__g"),
-    ).withColumn("__sz", F.size("__g"))
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col(text_col), n=n, mode=mode),
+                    md5_hash60,
+                )
+            )
+        ).alias("__hs"),
+    ).withColumn("__sz", F.size("__hs"))
     # empty sets pair with nothing (J(∅, X) = 0 < threshold always)
     src = src.filter(F.col("__sz") > 0)
 
@@ -83,32 +103,13 @@ def jaccard_join(
     )
 
     if order == "hash":
-        # order by md5-hash: a fixed pseudo-random total order computed
-        # map-side — sort the hashes, slice the prefix, map back through
-        # a hash->ngram map (collisions within one doc's small set are
-        # vanishingly rare and only ever ADD a candidate, never drop one)
-        ordered = src.withColumn(
-            "__prefix",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        "__g", lambda s: F.struct(md5_hash60(s).alias("h"), s.alias("s"))
-                    )
-                ),
-                F.lit(1),
-                plen,
-            ),
-        ).select(
-            "__id",
-            "__sz",
-            "__g",
-            F.transform("__prefix", lambda st: st["s"]).alias("__prefix"),
-        )
-        prefixes = ordered.select(
-            "__id", "__sz", F.explode("__prefix").alias("__ng")
+        # ascending numeric order of the hashes IS the global total
+        # order: the prefix is a plain slice of the already-sorted array
+        prefixes = src.select(
+            "__id", "__sz", F.explode(F.slice("__hs", F.lit(1), plen)).alias("__ng")
         )
     else:
-        exploded = src.select("__id", "__sz", F.explode("__g").alias("__ng"))
+        exploded = src.select("__id", "__sz", F.explode("__hs").alias("__ng"))
         freq = exploded.groupBy("__ng").agg(F.count(F.lit(1)).alias("__df"))
         # rebuild each doc's set ordered rare-first, slice the prefix
         prefixes = (
@@ -154,16 +155,16 @@ def jaccard_join(
         .distinct()
     )
 
-    ga = src.select(F.col("__id").alias("__ida"), F.col("__g").alias("__ga"))
-    gb = src.select(F.col("__id").alias("__idb"), F.col("__g").alias("__gb"))
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    union = F.size("__ga") + F.size("__gb") - inter
+    ha = src.select(F.col("__id").alias("__ida"), F.col("__hs").alias("__ha"))
+    hb = src.select(F.col("__id").alias("__idb"), F.col("__hs").alias("__hb"))
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    union = F.size("__ha") + F.size("__hb") - inter
     jac = inter.cast("double") / union
     if round_to is not None:
         jac = F.round(jac, round_to)
     return (
-        cand.join(ga, "__ida")
-        .join(gb, "__idb")
+        cand.join(ha, "__ida")
+        .join(hb, "__idb")
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
