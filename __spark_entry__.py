@@ -1912,14 +1912,28 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    pairs = (
+    # semi-filter the bridge BEFORE the pair-distinct: the part filter
+    # keeps ~1% of partkeys and EUROPE ~20% of suppliers, so the distinct
+    # shuffles ~0.2% of the pair volume instead of all of lineitem
+    lp = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
         .distinct()
-        .join(F.broadcast(p.select("p_partkey", "p_name")),
-              F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
     )
+    pairs = lp.join(
+        F.broadcast(p.select("p_partkey", "p_name")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
     min_bal = pairs.groupBy(F.col("p_partkey").alias("__pk")).agg(
         F.min("s_acctbal").alias("__min_bal")
     )
@@ -2020,9 +2034,17 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
+    # part semi-filter below the pair-distinct (8 sizes of 50 -> the
+    # distinct shuffles ~16% of the pair volume); the supplier exclusion
+    # anti-joins the already-distinct pairs
     pairs = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .distinct()
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(
