@@ -173,3 +173,71 @@ def test_stateful_long_key_and_timeout_validation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="timeout"):
         running_aggregate(stream, "uid", "v", timeout="EventTimeTimeout?!")
+
+
+def test_streaming_zscore_accumulates_and_flags(spark, tmp_path):
+    """Batch 1 builds the distribution (no emissions below min_count);
+    batch 2's outlier is scored against the checkpointed batch-1 stats;
+    batch 3 proves the merge kept accumulating (a formerly-extreme value
+    drifts toward normal as the distribution widens)."""
+    from lakehouse_ingestion_spark.streaming.anomaly import streaming_zscore
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base = [{"key": "a", "v": float(v)} for v in (10, 11, 9, 10, 12, 8, 10, 11, 9, 10)]
+    (indir / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in base))
+    stream = (
+        spark.readStream.schema("key string, v double").format("json").load(str(indir))
+    )
+    out = streaming_zscore(stream, "key", "v", z=3.0, min_count=10)
+    sink = str(tmp_path / "out")
+
+    def run_once(tag):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, e: b.withColumn("tag", F.lit(tag))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("r1")
+    # batch 1: events scored against empty state -> nothing emitted
+    assert spark.read.parquet(sink).filter("tag = 'r1'").count() == 0
+
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [{"key": "a", "v": 10.0}, {"key": "a", "v": 50.0}])
+    )
+    run_once("r2")
+    r2 = spark.read.parquet(sink).filter("tag = 'r2'").collect()
+    assert [(r["key"], r["value"]) for r in r2] == [("a", 50.0)]
+    assert r2[0]["zscore"] > 3.0
+
+    # the 50 merged into state: same value again is much less extreme now
+    (indir / "b3.jsonl").write_text(json.dumps({"key": "a", "v": 50.0}))
+    run_once("r3")
+    r3 = spark.read.parquet(sink).filter("tag = 'r3'").collect()
+    z2 = r2[0]["zscore"]
+    assert all(r["zscore"] < z2 for r in r3)
+
+
+def test_streaming_zscore_validates(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.anomaly import streaming_zscore
+
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    (indir / "b.jsonl").write_text(json.dumps({"key": "a", "v": 1.0}))
+    stream = (
+        spark.readStream.schema("key string, v double").format("json").load(str(indir))
+    )
+    with pytest.raises(ValueError, match="z must be"):
+        streaming_zscore(stream, "key", "v", z=0)
+    with pytest.raises(ValueError, match="min_count"):
+        streaming_zscore(stream, "key", "v", min_count=1)
+    with pytest.raises(ValueError, match="timeout"):
+        streaming_zscore(stream, "key", "v", timeout="whenever")
