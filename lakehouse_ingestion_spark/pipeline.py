@@ -205,6 +205,26 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
 
         c = o.get("text_col", "text")
         return df.withColumn(c, redact_pii(F.col(c), rules=o.get("rules")))
+    if op == "zscore_outliers":
+        from lakehouse_ingestion_spark.operators.anomaly import zscore_outliers
+
+        return zscore_outliers(
+            df, list(o["group_by"]), o["value"],
+            z=float(o.get("z", 3.0)),
+            min_group_count=int(o.get("min_group_count", 2)),
+        )
+    if op == "funnel":
+        from lakehouse_ingestion_spark.operators.funnel import funnel_counts
+
+        return funnel_counts(
+            df, o["user"], o["ts"], o["step"], list(o["steps"])
+        )
+    if op == "retention":
+        from lakehouse_ingestion_spark.operators.funnel import retention
+
+        return retention(
+            df, o["user"], o["ts"], period_days=int(o.get("period_days", 7))
+        )
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":

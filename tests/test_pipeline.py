@@ -277,3 +277,32 @@ def test_unknown_transform_still_raises(spark, registry, docs_file, tmp_path):
     )
     with pytest.raises(ConfigError, match="unknown transform"):
         Pipeline(spark, cfg, registry=registry).run()
+
+
+def test_analytics_transforms_config_driven(spark, registry, tmp_path):
+    """funnel / retention / zscore_outliers drive from a spec."""
+    import datetime as _dt
+
+    src = tmp_path / "ev.jsonl"
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01 10:01:00", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "event_type": "view"},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+    out = str(tmp_path / "funnel_out")
+    cfg = parse_config(
+        _doc_config(
+            str(src),
+            out,
+            [
+                {"op": "derive_column", "name": "ts", "expr": "CAST(ts AS TIMESTAMP)"},
+                {"op": "funnel", "user": "user_id", "ts": "ts",
+                 "step": "event_type", "steps": ["view", "click"]},
+            ],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    got = {r["step"]: r["n_users"] for r in spark.read.parquet(out).collect()}
+    assert got == {"view": 2, "click": 1}
