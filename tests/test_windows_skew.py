@@ -241,3 +241,85 @@ def test_streaming_zscore_validates(spark, tmp_path):
         streaming_zscore(stream, "key", "v", min_count=1)
     with pytest.raises(ValueError, match="timeout"):
         streaming_zscore(stream, "key", "v", timeout="whenever")
+
+
+def test_streaming_heavy_hitters_bounds(spark, tmp_path):
+    """Misra-Gries contract across micro-batches: state never exceeds
+    the capacity, and every item above total/(capacity+1) survives with
+    est_count within that bound of its true count (and never above)."""
+    from collections import Counter
+
+    from lakehouse_ingestion_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # skewed stream: 'hot' dominates, long tail of singletons
+    b1 = ["hot"] * 30 + ["warm"] * 10 + [f"t{i}" for i in range(20)]
+    b2 = ["hot"] * 20 + ["warm"] * 15 + [f"u{i}" for i in range(20)]
+    (indir / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"key": "k", "item": x}) for x in b1)
+    )
+    stream = (
+        spark.readStream.schema("key string, item string")
+        .format("json")
+        .load(str(indir))
+    )
+    cap = 8
+    out = streaming_heavy_hitters(stream, "key", "item", capacity=cap)
+    sink = str(tmp_path / "out")
+
+    def run_once(tag):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, e: b.withColumn("tag", F.lit(tag))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("r1")
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"key": "k", "item": x}) for x in b2)
+    )
+    run_once("r2")
+
+    rows = spark.read.parquet(sink).filter("tag = 'r2'").collect()
+    assert 0 < len(rows) <= cap
+    total = rows[0]["total_seen"]
+    assert total == len(b1) + len(b2)
+    bound = total / (cap + 1)
+    truth = Counter(b1 + b2)
+    got = {r["item"]: r["est_count"] for r in rows}
+    # no false negatives above the bound, counts within [true-bound, true]
+    for item, true_c in truth.items():
+        if true_c > bound:
+            assert item in got, f"{item} (count {true_c}) missing"
+    for item, est in got.items():
+        assert est <= truth[item]
+        assert est >= truth[item] - bound
+    # the dominator is ranked first
+    assert rows[0]["item"] == "hot"
+
+
+def test_streaming_heavy_hitters_validates(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+
+    indir = tmp_path / "in3"
+    indir.mkdir()
+    (indir / "b.jsonl").write_text(json.dumps({"key": "k", "item": "x"}))
+    stream = (
+        spark.readStream.schema("key string, item string")
+        .format("json")
+        .load(str(indir))
+    )
+    with pytest.raises(ValueError, match="capacity"):
+        streaming_heavy_hitters(stream, "key", "item", capacity=0)
