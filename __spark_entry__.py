@@ -1398,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_rep": q_cluster_rep,
         "anomaly": q_anomaly,
         "unpivot": q_unpivot,
+        "incr_gold": q_incr_gold,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2308,6 +2309,46 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("val").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("total")
+    )
+
+
+def q_incr_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Gold maintenance (operators/incremental.py): the
+    per-event-type aggregate state is built from the first ~half of the
+    stream, then TWO successive deltas fold in via partial-aggregate
+    merge (associativity exercised); the finalized result must equal a
+    full recompute — which is exactly what the oracle runs."""
+    from lakehouse_ingestion_spark.operators.gold import AggSpec
+    from lakehouse_ingestion_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_aggregate_state,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cut1 = F.lit("2024-01-12 00:00:00").cast("timestamp")
+    cut2 = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    aggs = [
+        AggSpec("count", "*", "n_events"),
+        AggSpec("sum", "value", "total_value"),
+        AggSpec("min", "value", "min_value"),
+        AggSpec("max", "value", "max_value"),
+    ]
+    gb = ["event_type"]
+    state = merge_aggregate_state(None, e.filter(F.col("ts") < cut1), gb, aggs)
+    state = merge_aggregate_state(
+        state, e.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), gb, aggs
+    )
+    state = merge_aggregate_state(state, e.filter(F.col("ts") >= cut2), gb, aggs)
+    out = finalize_aggregate(
+        state, avg_pairs=[("total_value", "n_events", "avg_value")], round_to=6
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        "avg_value",
     )
 
 
@@ -3889,6 +3930,16 @@ WITH m AS (
 SELECT l_returnflag, metric,
        round(sum(val::DECIMAL(18,2)), 2)::DOUBLE AS total
 FROM m GROUP BY 1, 2
+"""
+
+    qs["incr_gold"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
 """
 
     qs["domain_cap"] = """

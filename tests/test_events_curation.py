@@ -306,3 +306,56 @@ def test_zscore_outliers_validates_z(spark):
     df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
     with _pytest.raises(ValueError, match="z must be"):
         zscore_outliers(df, ["grp"], "v", z=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from lakehouse_ingestion_spark.operators.gold import AggSpec
+    from lakehouse_ingestion_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_aggregate_state,
+        partial_aggregate,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [("b", 10.0), ("b", -5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    aggs = [
+        AggSpec("count", "*", "n"),
+        AggSpec("sum", "v", "s"),
+        AggSpec("min", "v", "mn"),
+        AggSpec("max", "v", "mx"),
+    ]
+    full = {r["k"]: r for r in partial_aggregate(df, ["k"], aggs).collect()}
+
+    # fold in three uneven deltas, incl. an empty one and a new-key one
+    d1 = df.limit(0)
+    d2 = df.filter("v <= 2")
+    d3 = df.filter("v > 2")
+    state = merge_aggregate_state(None, d1, ["k"], aggs)
+    state = merge_aggregate_state(state, d2, ["k"], aggs)
+    state = merge_aggregate_state(state, d3, ["k"], aggs)
+    got = {r["k"]: r for r in state.collect()}
+    assert set(got) == set(full)
+    for k in full:
+        for c in ("n", "s", "mn", "mx"):
+            assert got[k][c] == full[k][c], (k, c)
+
+    fin = {
+        r["k"]: r["avg"]
+        for r in finalize_aggregate(
+            state, avg_pairs=[("s", "n", "avg")], round_to=6
+        ).collect()
+    }
+    assert fin["a"] == 2.5 and fin["b"] == 2.5
+
+
+def test_incremental_rejects_non_mergeable(spark):
+    from lakehouse_ingestion_spark.operators.gold import AggSpec
+    from lakehouse_ingestion_spark.operators.incremental import partial_aggregate
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="not incrementally mergeable"):
+        partial_aggregate(df, ["k"], [AggSpec("avg", "v", "a")])
