@@ -323,3 +323,99 @@ def test_streaming_heavy_hitters_validates(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="capacity"):
         streaming_heavy_hitters(stream, "key", "item", capacity=0)
+
+
+def test_streaming_funnel_advances_across_batches(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.funnel import streaming_funnel
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user": 1, "ts": "2024-01-01T10:00:00", "step": "view"},
+                {"user": 1, "ts": "2024-01-01T10:01:00", "step": "click"},
+                # u2: click before view within the batch -> only view counts
+                {"user": 2, "ts": "2024-01-01T09:00:00", "step": "click"},
+                {"user": 2, "ts": "2024-01-01T10:00:00", "step": "view"},
+                # u3: no funnel steps at all
+                {"user": 3, "ts": "2024-01-01T10:00:00", "step": "other"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("user long, ts timestamp, step string")
+        .format("json")
+        .load(str(indir))
+    )
+    out = streaming_funnel(stream, "user", "ts", "step", ["view", "click", "buy"])
+    sink = str(tmp_path / "out")
+
+    def run_once(tag):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, e: b.withColumn("tag", F.lit(tag))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("r1")
+    r1 = {
+        r["user"]: r["stage"]
+        for r in spark.read.parquet(sink).filter("tag = 'r1'").collect()
+    }
+    assert r1 == {1: 2, 2: 1}  # u3 emitted nothing (no advance)
+
+    # batch 2: u1 buys (3); u2's click arrives but timestamped BEFORE the
+    # matched view -> cannot advance; a later re-click does
+    (indir / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user": 1, "ts": "2024-01-01T10:05:00", "step": "buy"},
+                {"user": 2, "ts": "2024-01-01T09:30:00", "step": "click"},
+            ]
+        )
+    )
+    run_once("r2")
+    r2 = {
+        r["user"]: r["stage"]
+        for r in spark.read.parquet(sink).filter("tag = 'r2'").collect()
+    }
+    assert r2 == {1: 3}  # u2's stale-timestamp click did not advance
+
+    (indir / "b3.jsonl").write_text(
+        json.dumps({"user": 2, "ts": "2024-01-01T11:00:00", "step": "click"})
+    )
+    run_once("r3")
+    r3 = {
+        r["user"]: r["stage"]
+        for r in spark.read.parquet(sink).filter("tag = 'r3'").collect()
+    }
+    assert r3 == {2: 2}
+
+
+def test_streaming_funnel_validates(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.funnel import streaming_funnel
+
+    indir = tmp_path / "in4"
+    indir.mkdir()
+    (indir / "b.jsonl").write_text(
+        json.dumps({"user": 1, "ts": "2024-01-01T10:00:00", "step": "view"})
+    )
+    stream = (
+        spark.readStream.schema("user long, ts timestamp, step string")
+        .format("json")
+        .load(str(indir))
+    )
+    with pytest.raises(ValueError, match="steps"):
+        streaming_funnel(stream, "user", "ts", "step", [])
+    with pytest.raises(ValueError, match="timeout"):
+        streaming_funnel(stream, "user", "ts", "step", ["view"], timeout="never")
