@@ -1399,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly": q_anomaly,
         "unpivot": q_unpivot,
         "incr_gold": q_incr_gold,
+        "sketch_rollup": q_sketch_rollup,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2349,6 +2350,44 @@ def q_incr_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
         "avg_value",
+    )
+
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (operators/sketches.py):
+    per-NATION HLL sketches of ordering customers roll up to per-REGION
+    estimates WITHOUT rescanning raw data — the count_distinct analog of
+    incr_gold's state merge. The oracle cross-checks the sketch via the
+    emitted contract: exact per-region counts (hash-exact) plus
+    ``est_ok`` = estimate within 2.5% of exact, which the oracle asserts
+    as literally true."""
+    from lakehouse_ingestion_spark.operators.sketches import (
+        distinct_sketches,
+        estimate,
+        rollup_sketches,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cu = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per_nation = distinct_sketches(cu, ["r_name", "n_name"], "o_custkey")
+    per_region = estimate(rollup_sketches(per_nation, ["r_name"]))
+    exact = cu.groupBy("r_name").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return per_region.join(exact, "r_name").select(
+        "r_name",
+        "exact_customers",
+        (
+            F.abs(F.col("estimate") - F.col("exact_customers"))
+            <= F.col("exact_customers") * 0.025
+        ).alias("est_ok"),
     )
 
 
@@ -3940,6 +3979,17 @@ SELECT event_type,
        round(max(value), 2) AS max_value,
        round(sum(value) / count(*), 6) AS avg_value
 FROM events GROUP BY event_type
+"""
+
+    qs["sketch_rollup"] = """
+SELECT r_name,
+       count(DISTINCT o_custkey) AS exact_customers,
+       true AS est_ok
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """
 
     qs["domain_cap"] = """

@@ -359,3 +359,42 @@ def test_incremental_rejects_non_mergeable(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="not incrementally mergeable"):
         partial_aggregate(df, ["k"], [AggSpec("avg", "v", "a")])
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketches
+# ---------------------------------------------------------------------------
+
+def test_sketch_rollup_lossless_union(spark):
+    """Union of fine-grained sketches must equal the sketch built at
+    the coarse grain directly (same estimate), and estimates track
+    exact counts within HLL error."""
+    from lakehouse_ingestion_spark.operators.sketches import (
+        distinct_sketches,
+        estimate,
+        merge_sketch_state,
+        rollup_sketches,
+    )
+
+    rows = [("g1", "s1", i) for i in range(200)]
+    rows += [("g1", "s2", i) for i in range(100, 400)]  # overlaps s1
+    rows += [("g2", "s3", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, sub string, v long")
+
+    fine = distinct_sketches(df, ["g", "sub"], "v")
+    rolled = estimate(rollup_sketches(fine, ["g"]))
+    direct = estimate(distinct_sketches(df, ["g"], "v"))
+    got_r = {r["g"]: r["estimate"] for r in rolled.collect()}
+    got_d = {r["g"]: r["estimate"] for r in direct.collect()}
+    assert got_r == got_d  # lossless union
+    # overlap NOT double counted: g1 exact distinct = 400
+    assert abs(got_r["g1"] - 400) <= 400 * 0.05
+    assert got_r["g2"] == 50  # small cardinalities are exact in HLL
+
+    # incremental merge == rebuild
+    d1 = df.filter("v < 150")
+    d2 = df.filter("v >= 150")
+    state = merge_sketch_state(None, distinct_sketches(d1, ["g"], "v"), ["g"])
+    state = merge_sketch_state(state, distinct_sketches(d2, ["g"], "v"), ["g"])
+    got_m = {r["g"]: r["estimate"] for r in estimate(state).collect()}
+    assert got_m == got_d
