@@ -1400,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "incr_gold": q_incr_gold,
         "sketch_rollup": q_sketch_rollup,
+        "pit_join": q_pit_join,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2388,6 +2389,38 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("estimate") - F.col("exact_customers"))
             <= F.col("exact_customers") * 0.025
         ).alias("est_ok"),
+    )
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.pit_join): every purchase event
+    enriched with the SCD2 state its user held THREE HOURS LATER (the
+    offset makes the matched version vary — joining at the event's own
+    ts would trivially match the version the event itself opened).
+    Non-overlapping intervals mean at most one match per fact; plain
+    equi-join on user_id with the interval residual."""
+    from lakehouse_ingestion_spark.operators.scd import pit_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = scd2_from_history(
+        e, ["user_id"], "ts", attr_columns=["event_type"], tiebreakers=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("asof_ts"),
+    )
+    out = pit_join(facts, dim, ["user_id"], "asof_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "state",
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
     )
 
 
@@ -3979,6 +4012,32 @@ SELECT event_type,
        round(max(value), 2) AS max_value,
        round(sum(value) / count(*), 6) AS avg_value
 FROM events GROUP BY event_type
+"""
+
+    qs["pit_join"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+),
+changes AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR prev <> event_type
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM changes
+),
+facts AS (
+  SELECT event_id, user_id, ts + INTERVAL 3 HOUR AS asof_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, d.state,
+       strftime(d.valid_from, '{TS_FMT_DUCK}') AS valid_from
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.asof_ts
+ AND (d.valid_to IS NULL OR f.asof_ts < d.valid_to)
 """
 
     qs["sketch_rollup"] = """

@@ -168,3 +168,46 @@ def scd2_merge(
     inserts = effective.select(*dim.columns)
 
     return hist.unionByName(unchanged_cur).unionByName(closed).unionByName(inserts)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the SCD2 dimension
+    version that was valid AT the fact's own timestamp
+    (``valid_from <= ts < valid_to``, open version = null valid_to) —
+    the join that makes a Type-2 dimension actually usable: enriching
+    facts with TODAY'S attributes silently rewrites history.
+
+    Because SCD2 intervals are non-overlapping per key, at most one
+    version matches — no dedup pass needed. The plan is a plain
+    equi-join on the keys with the interval predicate as a residual
+    (broadcast when the dimension is small, sort-merge otherwise), so
+    the fact table shuffles at most once; version counts per key are
+    small, so the residual evaluates over a few candidate rows per
+    fact.  ``how="left"`` keeps facts predating the first version,
+    null-padded.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"pit_join supports inner/left, got {how!r}")
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__f.{k}") == F.col(f"__d.{k}")
+        cond = eq if cond is None else (cond & eq)
+    ts = F.col(f"__f.{fact_ts}")
+    cond = (
+        cond
+        & (F.col(f"__d.{valid_from}") <= ts)
+        & (F.col(f"__d.{valid_to}").isNull() | (ts < F.col(f"__d.{valid_to}")))
+    )
+    out = f.join(d, cond, how)
+    # drop the dimension's duplicated key columns
+    return out.drop(*[d[k] for k in keys])

@@ -398,3 +398,68 @@ def test_sketch_rollup_lossless_union(spark):
     state = merge_sketch_state(state, distinct_sketches(d2, ["g"], "v"), ["g"])
     got_m = {r["g"]: r["estimate"] for r in estimate(state).collect()}
     assert got_m == got_d
+
+
+# ---------------------------------------------------------------------------
+# pit_join
+# ---------------------------------------------------------------------------
+
+def test_pit_join_picks_version_valid_at_fact_time(spark):
+    from datetime import datetime as _dt
+
+    from lakehouse_ingestion_spark.operators.scd import pit_join
+
+    t = lambda s: _dt.strptime(s, "%Y-%m-%d")  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", t("2024-01-01"), t("2024-02-01")),
+            (1, "silver", t("2024-02-01"), t("2024-03-01")),
+            (1, "gold", t("2024-03-01"), None),  # open version
+            (2, "bronze", t("2024-06-01"), None),
+        ],
+        "cust long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t("2024-01-15")),  # bronze
+            (101, 1, t("2024-02-01")),  # boundary: valid_from inclusive -> silver
+            (102, 1, t("2024-09-01")),  # open version -> gold
+            (103, 2, t("2024-01-01")),  # predates first version
+        ],
+        "fid long, cust long, ts timestamp",
+    )
+    inner = {
+        r["fid"]: r["tier"]
+        for r in pit_join(facts, dim, ["cust"], "ts").collect()
+    }
+    assert inner == {100: "bronze", 101: "silver", 102: "gold"}
+
+    left = {
+        r["fid"]: r["tier"]
+        for r in pit_join(facts, dim, ["cust"], "ts", how="left").collect()
+    }
+    assert left[103] is None and len(left) == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        pit_join(facts, dim, ["cust"], "ts", how="full")
+
+
+def test_pit_join_at_most_one_match(spark):
+    """Non-overlapping SCD2 intervals must yield exactly one row per
+    matched fact — no fan-out."""
+    from lakehouse_ingestion_spark.operators.scd import (
+        pit_join,
+        scd2_from_history,
+    )
+
+    import __spark_entry__ as em
+
+    e = em._events(spark, "/root/testdata/sf0.001")
+    dim = scd2_from_history(
+        e, ["user_id"], "ts", attr_columns=["event_type"], tiebreakers=["event_id"]
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    facts = e.select("event_id", "user_id", "ts").limit(500)
+    joined = pit_join(facts, dim, ["user_id"], "ts")
+    assert joined.count() == joined.select("event_id").distinct().count()
