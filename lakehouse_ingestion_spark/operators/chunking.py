@@ -34,9 +34,14 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 1,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Explode documents into token windows: (id_col, chunk_id,
-    n_tokens, chunk_text).
+    """Explode documents into token windows: (id_col, [keep_cols...,]
+    chunk_id, n_tokens, chunk_text).
+
+    ``keep_cols`` names document-level columns (split assignment, source
+    domain, quality scores) replicated onto every chunk — curation
+    metadata must survive chunking or the train/eval split is lost.
 
     ``stride`` defaults to ``chunk_size`` (disjoint windows); smaller
     strides overlap. Windows start at 0, stride, 2*stride, ... while the
@@ -66,12 +71,14 @@ def chunk_documents(
             ),
         ),
     )
+    keep = list(keep_cols or [])
     return (
         df.select(
-            F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
+            F.col(id_col), *keep, F.posexplode(chunks).alias("chunk_id", "__c")
         )
         .select(
             id_col,
+            *keep,
             "chunk_id",
             F.col("__c.n_tokens").cast("long").alias("n_tokens"),
             F.col("__c.chunk_text").alias("chunk_text"),

@@ -145,7 +145,13 @@ def retention(
             / F.lit(86400 * period_days)
         )
     ).alias("__p")
-    activity = df.select(F.col(user_col).alias("user"), bucket).distinct()
+    # null timestamps carry no activity signal: dropping them beats a
+    # NULL cohort row silently absorbing those users
+    activity = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("user"), bucket)
+        .distinct()
+    )
     w = Window.partitionBy("user")
     offsets = activity.select(
         "user",

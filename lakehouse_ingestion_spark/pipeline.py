@@ -199,6 +199,7 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             stride=int(o.get("stride", o.get("chunk_size", 512))),
             id_col=o.get("id_col", "doc_id"),
             text_col=o.get("text_col", "text"),
+            keep_cols=o.get("keep"),
         )
     if op == "redact_pii":
         from lakehouse_ingestion_spark.functions.text import redact_pii

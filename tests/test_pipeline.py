@@ -306,3 +306,28 @@ def test_analytics_transforms_config_driven(spark, registry, tmp_path):
     Pipeline(spark, cfg, registry=registry).run()
     got = {r["step"]: r["n_users"] for r in spark.read.parquet(out).collect()}
     assert got == {"view": 2, "click": 1}
+
+
+def test_shipped_curation_config_runs_end_to_end(spark, registry, tmp_path):
+    """The shipped configs/curation-docs.yaml example must actually run:
+    point its source/target at temp paths and execute the full chain."""
+    import yaml
+
+    with open("configs/curation-docs.yaml") as f:
+        raw = yaml.safe_load(f)
+    src = tmp_path / "raw.jsonl"
+    text = " ".join(f"the word{i} of note{i}" for i in range(40))
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": text + f" tail{i}", "source": "s"})
+            for i in range(5)
+        )
+    )
+    out = str(tmp_path / "chunks")
+    raw["jobs"][0]["source"]["options"]["path"] = str(src)
+    raw["jobs"][0]["target"]["options"]["path"] = out
+    cfg = parse_config(raw, registry)
+    Pipeline(spark, cfg, registry=registry).run()
+    rows = spark.read.parquet(out)
+    assert rows.count() == 5  # one 512-window chunk per short doc
+    assert {"split", "chunk_text"} <= set(rows.columns)
