@@ -1401,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_gold": q_incr_gold,
         "sketch_rollup": q_sketch_rollup,
         "pit_join": q_pit_join,
+        "edit_join": q_edit_join,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2422,6 +2423,21 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         F.date_format("valid_from", TS_FMT).alias("valid_from"),
     )
+
+
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (operators/editdist.py, PassJoin
+    segment filtering): customer-name pairs within Levenshtein 1 over a
+    fixed 400-key slice (structured identifiers with long shared
+    prefixes — exactly where q-gram filters prune nothing and the
+    pigeonhole segment index shines). Verified exact: candidates from
+    the segment equi-join, distances from levenshtein with early-out."""
+    from lakehouse_ingestion_spark.operators.editdist import edit_distance_join
+
+    c = ensure_parallelism(
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    )
+    return edit_distance_join(c, "c_custkey", "c_name", k=1)
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4038,6 +4054,15 @@ FROM facts f JOIN dim d
   ON f.user_id = d.user_id
  AND d.valid_from <= f.asof_ts
  AND (d.valid_to IS NULL OR f.asof_ts < d.valid_to)
+"""
+
+    qs["edit_join"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name)::INT AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey < 400 AND b.c_custkey < 400
+  AND levenshtein(a.c_name, b.c_name) <= 1
 """
 
     qs["sketch_rollup"] = """

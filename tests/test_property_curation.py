@@ -133,3 +133,48 @@ def test_group_cap_invariants(spark, rows, cap):
     assert sum(len(v) for v in by_grp.values()) == sum(
         min(cap, s) for s in sizes.values()
     )
+
+
+def _lev_ref(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=7).map("".join),
+        min_size=0,
+        max_size=12,
+    ),
+    k=st.integers(1, 3),
+)
+def test_edit_distance_join_lossless_random(spark, data, k):
+    """PassJoin candidate generation must be complete AND the verify
+    exact: identical output to brute-force Levenshtein on adversarial
+    tiny-alphabet strings (ties, empties, length skews)."""
+    from lakehouse_ingestion_spark.operators.editdist import edit_distance_join
+
+    df = spark.createDataFrame(list(enumerate(data)), "id int, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_join(df, "id", "s", k=k).collect()
+    )
+    want = sorted(
+        (i, j, _lev_ref(a, b))
+        for (i, a) in enumerate(data)
+        for (j, b) in enumerate(data)
+        if i < j and _lev_ref(a, b) <= k
+    )
+    assert got == want
