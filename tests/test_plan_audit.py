@@ -324,3 +324,38 @@ def test_funnel_single_user_shuffle(spark, entrymod):
     a = audit(df)
     assert a.joins.get("SortMergeJoin", 0) == 0
     assert not a.python_in_plan
+
+
+def test_pit_join_is_equi_join_with_residual(spark, entrymod):
+    """The interval predicate must ride as a residual on the user_id
+    equi-join — never degrade to a nested loop over facts x versions."""
+    df = entrymod.queries()["pit_join"](spark, SF_DIR)
+    a = audit(df)
+    assert not a.has_nested_loop
+    assert a.joins.get("CartesianProduct", 0) == 0
+
+
+def test_incr_gold_merges_partials_only(spark, entrymod):
+    """Three state merges must stay pure aggregations — no joins, no
+    Python; each delta collapses map-side before any union."""
+    df = entrymod.queries()["incr_gold"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    assert not a.python_in_plan
+
+
+def test_sketch_rollup_broadcasts_dims(spark, entrymod):
+    df = entrymod.queries()["sketch_rollup"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 3
+    assert not a.has_nested_loop
+
+
+def test_edit_join_segment_index_no_cartesian(spark, entrymod):
+    """Candidates come from the (segment, text, length) hash equi-join;
+    the only permissible nested loop is the tiny short-string fallback
+    (both sides length <= 2k — broadcast)."""
+    df = entrymod.queries()["edit_join"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
