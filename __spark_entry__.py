@@ -1402,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,
         "pit_join": q_pit_join,
         "edit_join": q_edit_join,
+        "rolling_window": q_rolling_window,
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
@@ -2438,6 +2439,28 @@ def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
     )
     return edit_distance_join(c, "c_custkey", "c_name", k=1)
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (the value-based complement to
+    q_window_frames' ROWS frames): per-user rolling 1-hour event count
+    and value sum. The frame bound is on epoch SECONDS (both engines
+    floor to whole seconds, so frame membership is identical); RANGE
+    frames include all peers of the current order value, making the
+    result independent of intra-tie row order."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4054,6 +4077,15 @@ FROM facts f JOIN dim d
   ON f.user_id = d.user_id
  AND d.valid_from <= f.asof_ts
  AND (d.valid_to IS NULL OR f.asof_ts < d.valid_to)
+"""
+
+    qs["rolling_window"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
     qs["edit_join"] = """
