@@ -463,3 +463,47 @@ def test_pit_join_at_most_one_match(spark):
     facts = e.select("event_id", "user_id", "ts").limit(500)
     joined = pit_join(facts, dim, ["user_id"], "ts")
     assert joined.count() == joined.select("event_id").distinct().count()
+
+
+def test_funnel_counts_empty_input_all_zero(spark):
+    from lakehouse_ingestion_spark.operators.funnel import funnel_counts
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, "user_id", "ts", "event_type", ["a", "b"]).collect()
+    }
+    assert got == {"a": 0, "b": 0}
+
+
+def test_retention_drops_null_timestamps(spark):
+    from datetime import datetime
+
+    from lakehouse_ingestion_spark.operators.funnel import retention
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (1, None), (2, None)],
+        "user_id long, ts timestamp",
+    )
+    rows = retention(ev, "user_id", "ts", period_days=7).collect()
+    # u2 (all-null) contributes nothing; no NULL cohort row appears
+    assert len(rows) == 1 and rows[0]["n_users"] == 1
+    assert rows[0]["cohort_start"] is not None
+
+
+def test_edit_join_null_and_empty_texts(spark):
+    from lakehouse_ingestion_spark.operators.editdist import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, ""), (4, "a"), (5, "abd")],
+        "id long, s string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_join(df, "id", "s", k=1).collect()
+    )
+    # null joins nothing; "" pairs with "a" (lev 1) and nothing longer;
+    # abc~abd at distance 1
+    assert got == [(1, 5, 1), (3, 4, 1)]
