@@ -1307,11 +1307,69 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
     """Per-query one-time build phases the bench should time separately
     (reported as ``<name>_build``). The query itself then measures only
     the steady-state probe, which is what the ingest investment buys."""
-    return {"bucketed_join": bucketed_build}
+    return {"bucketed_join": bucketed_build, "pit_join": pit_build}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is deliberate: the driver's correctness sweep hashes
+    # the FIRST 50 entries.  CORRECTNESS_r04 hash-verified the original
+    # first 50 (pricing_summary..pivot); those now sit at the END, and the
+    # 45 queries added since round 2 — plus this round's new ones — occupy
+    # the driver window so every query gets driver-hash evidence.
     return {
+        # --- round-3/4/5 queries: driver-verify these in r05 -----------
+        "semi_anti": q_semi_anti,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "quality_filter": q_quality_filter,
+        "ngram_topk": q_ngram_topk,
+        "tfidf": q_tfidf,
+        "bm25": q_bm25,
+        "embed_quant": q_embed_quant,
+        "q10_returned_items": q10_returned_items,
+        "q4_priority_returns": q4_priority_returns,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_brand_quantity": q19_brand_quantity,
+        "q6_forecast": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_custdist": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q22_sales_opportunity": q22_global_sales_opportunity,
+        "q2_min_supplier": q2_min_acctbal_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "jaccard_pairs": q_jaccard_pairs,
+        "doc_repetition": q_doc_repetition,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "domain_cap": q_domain_cap,
+        "cluster_rep": q_cluster_rep,
+        "anomaly": q_anomaly,
+        "unpivot": q_unpivot,
+        "incr_gold": q_incr_gold,
+        "sketch_rollup": q_sketch_rollup,
+        "pit_join": q_pit_join,
+        "edit_join": q_edit_join,
+        "rolling_window": q_rolling_window,
+        "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
+        "vocab_build": q_vocab_build,
+        "token_ids": q_token_ids,
+        # --- round-5 additions (also inside the driver window) ---------
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merge": q_quantile_sketch_merge,
+        "star_clusters": q_star_clusters,
+        "topk_sketch": q_topk_sketch,
+        "weighted_sample": q_weighted_sample,
+        # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_latest": q_dedup_latest,
@@ -1362,51 +1420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "mixture": q_mixture,
         "pivot": q_pivot,
-        "semi_anti": q_semi_anti,
-        "sample_split": q_sample_split,
-        "stratified_sample": q_stratified_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "quality_filter": q_quality_filter,
-        "ngram_topk": q_ngram_topk,
-        "tfidf": q_tfidf,
-        "bm25": q_bm25,
-        "embed_quant": q_embed_quant,
-        "q10_returned_items": q10_returned_items,
-        "q4_priority_returns": q4_priority_returns,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_brand_quantity": q19_brand_quantity,
-        "q6_forecast": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_custdist": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_orders": q18_large_orders,
-        "q22_sales_opportunity": q22_global_sales_opportunity,
-        "q2_min_supplier": q2_min_acctbal_supplier,
-        "q11_important_parts": q11_important_parts,
-        "q12_shipping_delay": q12_shipping_delay,
-        "q16_supplier_counts": q16_supplier_counts,
-        "q20_promotion_suppliers": q20_promotion_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "jaccard_pairs": q_jaccard_pairs,
-        "doc_repetition": q_doc_repetition,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "domain_cap": q_domain_cap,
-        "cluster_rep": q_cluster_rep,
-        "anomaly": q_anomaly,
-        "unpivot": q_unpivot,
-        "incr_gold": q_incr_gold,
-        "sketch_rollup": q_sketch_rollup,
-        "pit_join": q_pit_join,
-        "edit_join": q_edit_join,
-        "rolling_window": q_rolling_window,
-        "decontaminate": q_decontaminate,
-        "chunk_docs": q_chunk_docs,
-        "vocab_build": q_vocab_build,
-        "token_ids": q_token_ids,
     }
 
 
@@ -2394,15 +2407,147 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time join (operators/scd.pit_join): every purchase event
-    enriched with the SCD2 state its user held THREE HOURS LATER (the
-    offset makes the matched version vary — joining at the event's own
-    ts would trivially match the version the event itself opened).
-    Non-overlapping intervals mean at most one match per fact; plain
-    equi-join on user_id with the interval residual."""
-    from lakehouse_ingestion_spark.operators.scd import pit_join
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile sketches (operators/sketches.py): one
+    digest of o_totalprice per order priority, built as map-only
+    per-partition partials merged per group — raw values never shuffle.
+    The oracle contract mirrors sketch_rollup: exact per-group counts
+    (hash-exact) plus rank-error booleans the oracle asserts as
+    literally TRUE — ``ok_p50``/``ok_p95`` = the estimated quantile's
+    true CDF position within 2% of the target rank (the t-digest
+    guarantee with margin; compression=400 bounds interior rank error
+    at ~0.4% per digestion)."""
+    from lakehouse_ingestion_spark.operators.sketches import (
+        digest_quantile,
+        quantile_sketches,
+    )
 
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    dig = quantile_sketches(o, ["o_orderpriority"], "o_totalprice")
+    est = dig.select(
+        "o_orderpriority",
+        digest_quantile(0.5).alias("__e50"),
+        digest_quantile(0.95).alias("__e95"),
+    )
+    j = o.join(F.broadcast(est), "o_orderpriority")
+    cdf50 = F.avg((F.col("o_totalprice") <= F.col("__e50")).cast("double"))
+    cdf95 = F.avg((F.col("o_totalprice") <= F.col("__e95")).cast("double"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.abs(cdf50 - 0.5) <= 0.02).alias("ok_p50"),
+        (F.abs(cdf95 - 0.95) <= 0.02).alias("ok_p95"),
+    )
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE path of the t-digest surface: per-NATION digests of
+    customer account balance roll up to per-REGION digests without
+    rescanning raw data (the percentile analog of sketch_rollup's HLL
+    union — exactly what operators/incremental.py rejects for exact
+    percentiles and delegates here). Rank-error contract at the coarser
+    grain: merged-estimate CDF position within 3% of target (merging
+    adds at most a couple of bin widths of rank error)."""
+    from lakehouse_ingestion_spark.operators.sketches import (
+        digest_quantile,
+        merge_digests,
+        quantile_sketches,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cu = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    per_nation = quantile_sketches(cu, ["r_name", "n_name"], "c_acctbal")
+    per_region = merge_digests(per_nation, ["r_name"])
+    est = per_region.select(
+        "r_name",
+        digest_quantile(0.5).alias("__e50"),
+        digest_quantile(0.9).alias("__e90"),
+    )
+    j = cu.join(F.broadcast(est), "r_name")
+    cdf50 = F.avg((F.col("c_acctbal") <= F.col("__e50")).cast("double"))
+    cdf90 = F.avg((F.col("c_acctbal") <= F.col("__e90")).cast("double"))
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.abs(cdf50 - 0.5) <= 0.03).alias("ok_p50"),
+        (F.abs(cdf90 - 0.9) <= 0.03).alias("ok_p90"),
+    )
+
+
+def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via the alternating large-star/small-star CC
+    algorithm (operators/graph.py, Kiveris et al. SoCC'14) — the
+    shuffle-volume-optimal alternative to label propagation for
+    edge-heavy graphs. Same input pairs and same cluster summary as
+    dedup_clusters, so the oracle (recursive transitive closure) checks
+    that both algorithms reach the identical fixpoint."""
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b", algorithm="star")
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("members_sum"),
+    )
+
+
+TOPK_MIN_SHARE = 0.002  # shared with the DuckDB mirror
+
+
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent words over the documents corpus via the two-pass
+    sketch-then-confirm heavy hitters (operators/frequent.py):
+    per-partition Misra-Gries candidates (bounded memory, no false
+    negatives above the threshold) + one exact count pass over the
+    broadcast candidate set. EXACT output — same rows the full groupBy
+    would produce, shuffling only candidate-item rows."""
+    from lakehouse_ingestion_spark.operators.frequent import frequent_items
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return frequent_items(toks, "tok", min_share=TOPK_MIN_SHARE)
+
+
+WSAMPLE_EXPECTED = 200.0  # shared with the DuckDB mirror
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Poisson sampling (operators/sampling.py):
+    documents kept with probability proportional to length (n_chars),
+    expected sample size 200 — the mixture-weighting sampler where the
+    TOKEN budget, not the doc count, follows the target distribution.
+    Membership is a pure content-hash function, so both engines select
+    the identical sample; summarized per language for a compact
+    hash-exact check."""
+    from lakehouse_ingestion_spark.operators.sampling import weighted_sample
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    s = weighted_sample(d, "doc_id", "n_chars", expected_n=WSAMPLE_EXPECTED)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+_pit_built_for: str | None = None
+_PIT_DIM_PATH = "/tmp/spark_graft_pit_dim"
+
+
+def pit_build(spark: SparkSession, sf_dir: str) -> None:
+    """Build phase of q_pit_join: materialize the SCD2 dimension to
+    parquet. In production the Type-2 dimension is an ingest-time
+    artifact maintained by scd2_merge, not something every probe query
+    recomputes from raw history — so the bench bills the dim build to
+    pit_join_build and the probe measures only the join, which is what
+    a fact-enrichment workload actually pays per query. Reading the dim
+    from parquet also gives the planner real size statistics, so the
+    small dimension side broadcasts (plan-asserted in
+    tests/test_plan_audit.py)."""
+    global _pit_built_for
     e = _t(spark, sf_dir, "events")
     dim = scd2_from_history(
         e, ["user_id"], "ts", attr_columns=["event_type"], tiebreakers=["event_id"]
@@ -2412,6 +2557,25 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
     )
+    dim.write.mode("overwrite").parquet(_PIT_DIM_PATH)
+    _pit_built_for = sf_dir
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.pit_join): every purchase event
+    enriched with the SCD2 state its user held THREE HOURS LATER (the
+    offset makes the matched version vary — joining at the event's own
+    ts would trivially match the version the event itself opened).
+    Non-overlapping intervals mean at most one match per fact; plain
+    equi-join on user_id with the interval residual. The dimension is a
+    pre-built parquet artifact (pit_build) — the standard warehouse
+    shape where SCD2 maintenance is ingest-time work."""
+    from lakehouse_ingestion_spark.operators.scd import pit_join
+
+    if _pit_built_for != sf_dir:
+        pit_build(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    dim = spark.read.parquet(_PIT_DIM_PATH)
     facts = e.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
@@ -4238,6 +4402,51 @@ pos AS (
 )
 SELECT p.doc_id, p.pos::INTEGER AS pos, v.vocab_id::INTEGER AS token_id
 FROM pos p JOIN vocab v USING (term)
+"""
+
+    # t-digest contract mirrors sketch_rollup's HLL contract: the exact
+    # per-group counts hash-compare, and the rank-error booleans are
+    # asserted literally TRUE (the sketch estimate's true CDF position is
+    # within tolerance of the target quantile)
+    qs["quantile_sketch"] = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       true AS ok_p50, true AS ok_p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+    qs["quantile_sketch_merge"] = """
+SELECT r_name, count(*) AS n_customers,
+       true AS ok_p50, true AS ok_p90
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    # large-star/small-star CC must reach the same fixpoint as the
+    # min-label propagation — identical oracle to dedup_clusters
+    qs["star_clusters"] = qs["dedup_clusters"]
+
+    qs["topk_sketch"] = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+tt AS (SELECT tok FROM toks WHERE tok <> ''),
+n AS (SELECT count(*)::DOUBLE AS N FROM tt)
+SELECT tok AS item, count(*) AS cnt,
+       round(count(*)::DOUBLE / N, 6) AS share
+FROM tt, n GROUP BY tok, N
+HAVING count(*)::DOUBLE >= {TOPK_MIN_SHARE} * N
+"""
+
+    qs["weighted_sample"] = f"""
+WITH t AS (SELECT *, {_duck_u('wsample')} AS u FROM documents),
+     w AS (SELECT sum(n_chars)::DOUBLE AS W FROM documents)
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM t, w
+WHERE u < least(1.0, {WSAMPLE_EXPECTED!r} * n_chars / W)
+GROUP BY lang
 """
 
     return qs

@@ -60,14 +60,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    # Full per-query map goes to a side artifact + a non-final stdout line;
+    # the FINAL line stays compact so the driver's bounded tail capture can
+    # always parse it (at 95 queries the full map overflowed the capture
+    # and BENCH_r04 recorded parsed=null).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1)
+    print(json.dumps({"per_query_sec": timings}))
     print(
         json.dumps(
             {
                 "metric": "query_set_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": {"_full_map": "BENCH_QUERIES.json"},
             }
         )
     )

@@ -117,23 +117,28 @@ def edit_distance_join(
         .select(
             "__idb",
             "__sb",
-            "__seg",
+            # probe-side key columns get their OWN names: both sides
+            # descend from with_seg, and same-named keys make Spark log a
+            # spurious "trivially true equals predicate __seg == __seg"
+            # warning even though the analyzed plan resolves them to
+            # distinct attributes
+            F.col("__seg").alias("__segb"),
             "__la_t",
             F.substring(
                 F.col("__sb"),
                 F.col("__start") + F.col("__shift") + 1,
                 F.col("__seglen"),
-            ).alias("__segtext"),
+            ).alias("__segtextb"),
         )
-        .filter(F.length("__segtext") > 0)
+        .filter(F.length("__segtextb") > 0)
     )
 
     cand = (
         index_a.join(
             probes,
-            (index_a["__seg"] == probes["__seg"])
-            & (index_a["__segtext"] == probes["__segtext"])
-            & (index_a["__la"] == probes["__la_t"])
+            (F.col("__seg") == F.col("__segb"))
+            & (F.col("__segtext") == F.col("__segtextb"))
+            & (F.col("__la") == F.col("__la_t"))
             & (F.col("__ida") < F.col("__idb")),
         )
         .select("__ida", "__idb", "__sa", "__sb")

@@ -46,7 +46,13 @@ def funnel_stages(
     k = len(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
 
-    ev = df.filter(F.col(step_col).isin(steps)).select(
+    # null timestamps carry no ordering signal and would otherwise let a
+    # stage-0 match advance for free (last_ts stays null, so EVERY later
+    # matching event advances) — drop them, matching retention() and
+    # streaming_funnel() semantics
+    ev = df.filter(
+        F.col(step_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("user"),
         F.struct(F.col(ts_col).alias("ts"), F.col(step_col).alias("step")).alias(
             "__ev"

@@ -125,6 +125,54 @@ def stratified_sample(
     return df.filter(hash_uniform(key_col, seed) < rate)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    expected_n: float,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted (Poisson) sampling: each row is kept with
+    inclusion probability ``min(1, expected_n * w / W)`` where ``W`` is
+    the total weight — expected sample size ``expected_n`` (exactly, when
+    no row saturates the cap), inclusion odds proportional to weight.
+    The draw is the same content-hash uniform as every sampler here, so
+    membership is a pure function of (key, seed, weight distribution):
+    re-runs and cluster-size changes reproduce the SAME sample.
+
+    The mixture-weighting workhorse: sample documents proportional to
+    length/quality so the training token budget, not the document count,
+    follows the target distribution.
+
+    Scale shape: ONE scalar aggregate for ``W`` (map-side combined,
+    1-row broadcast back) + a shuffle-free filter — no sort, no top-k
+    heap, nothing driver-side. NULL or negative weights raise loudly
+    (they cannot be sampled proportionally and dropping them silently
+    would bias the mixture).
+    """
+    if expected_n <= 0:
+        raise ConfigError(f"expected_n must be positive, got {expected_n}")
+    w = F.col(weight_col)
+    checked_w = F.when(
+        w.isNull() | (w < 0),
+        F.raise_error(F.lit("weighted_sample: weights must be non-null and >= 0")),
+    ).otherwise(w)
+    # sum in the column's NATIVE type, cast after: integer weights then
+    # give an exact, partition-order-independent total (a double sum is
+    # non-associative, and a W that wobbles across runs/engines flips
+    # rows at the inclusion boundary)
+    total = df.select(F.sum(checked_w).cast("double").alias("__W"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(expected_n)) * checked_w.cast("double") / F.col("__W"),
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(hash_uniform(key_col, seed) < rate)
+        .drop("__W")
+    )
+
+
 def group_cap(
     df: DataFrame,
     group_col: str,

@@ -102,6 +102,19 @@ def streaming_zscore(
             return
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        # `batches` arrives in Arrow-sized chunks; the scoring snapshot is
+        # the PRE-batch state for EVERY chunk (never state mid-updated by
+        # an earlier chunk of the same batch), so output is independent of
+        # spark.sql.execution.arrow.maxRecordsPerBatch — the documented
+        # "score against the state as of the END of the previous batch"
+        # contract. Chunk stats fold into separate accumulators committed
+        # once after the loop.
+        snap_n, snap_mean, snap_m2 = n, mean, m2
+        snap_std = (
+            _math.sqrt(snap_m2 / snap_n)
+            if snap_n >= need and snap_m2 > 0.0
+            else None
+        )
         hits_v: list = []
         hits_z: list = []
         for pdf in batches:
@@ -109,15 +122,15 @@ def streaming_zscore(
             v = v[~_np.isnan(v)]
             if len(v) == 0:
                 continue
-            # score against the pre-batch distribution
-            if n >= need and m2 > 0.0:
-                std = _math.sqrt(m2 / n)
-                zs = (v - mean) / std
+            # score against the pre-batch snapshot
+            if snap_std is not None:
+                zs = (v - snap_mean) / snap_std
                 mask = _np.abs(zs) > z_limit
                 if mask.any():
                     hits_v.append(v[mask])
                     hits_z.append(zs[mask])
-            # Chan parallel merge of the batch's own (n, mean, M2)
+            # Chan parallel merge of the chunk's own (n, mean, M2) into
+            # the accumulators (NOT the scoring snapshot)
             bn = len(v)
             bmean = float(v.mean())
             bm2 = float(((v - bmean) ** 2).sum())

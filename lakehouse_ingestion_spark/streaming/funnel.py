@@ -88,17 +88,30 @@ def streaming_funnel(
 
         stage, last_ts = state.get if state.exists else (0, None)
         start_stage = stage
-        for pdf in batches:
-            sub = pdf[[ts_col, step_col]].dropna()
-            sub = sub.sort_values(ts_col, kind="stable")
-            for ts, step in zip(
-                sub[ts_col].astype("int64") / 1e9, sub[step_col]
-            ):
-                if stage >= len(steps_l):
-                    break
-                if step == steps_l[stage] and (last_ts is None or ts > last_ts):
-                    stage += 1
-                    last_ts = float(ts)
+        # concat the user's Arrow chunks so the time sort spans the WHOLE
+        # micro-batch (per-chunk sorting would leak arrival order across
+        # chunk boundaries); per-user-per-batch volume bounds the buffer
+        chunks = [pdf[[ts_col, step_col]].dropna() for pdf in batches]
+        sub = (
+            _pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else _pd.DataFrame({ts_col: [], step_col: []}))
+        )
+        sub = sub.sort_values(ts_col, kind="stable")
+        tsv = sub[ts_col]
+        if _pd.api.types.is_datetime64_any_dtype(tsv):
+            # datetime64[ns] -> epoch seconds; numeric ts columns are
+            # already epoch seconds and pass through unscaled (a blanket
+            # /1e9 would silently store wrong-unit state)
+            tsv = tsv.astype("int64") / 1e9
+        else:
+            tsv = tsv.astype("float64")
+        for ts, step in zip(tsv, sub[step_col]):
+            if stage >= len(steps_l):
+                break
+            if step == steps_l[stage] and (last_ts is None or ts > last_ts):
+                stage += 1
+                last_ts = float(ts)
         state.update((int(stage), last_ts))
         if armed:
             state.setTimeoutDuration(duration)
