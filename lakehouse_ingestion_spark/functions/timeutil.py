@@ -28,10 +28,64 @@ need the same pin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ColumnOrName = "Column | str"
+
+# fixed-offset zone spellings Spark accepts that zoneinfo can't resolve:
+# "+05:30", "-08:00", "UTC+8", "GMT-03:30", bare "UTC"/"GMT"/"Z"/"UT"
+_FIXED_OFFSET_RE = re.compile(
+    r"^(UTC|GMT|UT|Z)?([+-]\d{1,2}(:\d{2})?)?$", re.IGNORECASE
+)
+
+
+def _is_fixed_offset_zone(tz: str) -> bool:
+    if _FIXED_OFFSET_RE.match(tz.strip()):
+        return True
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        probes = [datetime(2025, m, 1) for m in (1, 4, 7, 10)]
+        offs = {z.utcoffset(p) for p in probes}
+        return len(offs) == 1
+    except Exception:
+        # unresolvable zone: claim nothing — callers treat it as unsafe
+        return False
+
+
+def ensure_ntz_safe_session(
+    df: DataFrame, ts_cols: list[str], op: str
+) -> None:
+    """Enforce the module-docstring contract at runtime: if any of
+    ``ts_cols`` is ``TIMESTAMP_NTZ``, the session timezone must be a
+    FIXED-offset zone (UTC, Etc/GMT+N, "+05:30", ...). Under a DST zone
+    the NTZ wall-clock interpretation shifts by the transition, so
+    as-of tolerances and range-window membership silently come out
+    wrong by up to an hour — raise loudly instead."""
+    ntz = [
+        c
+        for c in ts_cols
+        if c in df.columns
+        and df.schema[c].dataType.typeName() == "timestamp_ntz"
+    ]
+    if not ntz:
+        return
+    spark = df.sparkSession
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if not _is_fixed_offset_zone(tz):
+        raise ValueError(
+            f"{op}: column(s) {ntz} are TIMESTAMP_NTZ and the session "
+            f"timezone {tz!r} observes DST (or cannot be resolved). "
+            "Relative time arithmetic on the NTZ interpretation would "
+            "shift across transitions; set "
+            "spark.sql.session.timeZone=UTC (or any fixed-offset zone) "
+            "or cast the column to TIMESTAMP explicitly."
+        )
 
 
 def _col(c: "Column | str") -> Column:

@@ -47,6 +47,12 @@ def asof_join(
     collides with a left column, in which case ``suffix`` is appended.
     Rows with no qualifying right match keep nulls (left-join semantics).
     """
+    # relative time math on NTZ columns is only exact under a
+    # fixed-offset session timezone — enforce, don't document
+    from ..functions.timeutil import ensure_ntz_safe_session
+
+    ensure_ntz_safe_session(left, [left_on], "asof_join")
+    ensure_ntz_safe_session(right, [right_on], "asof_join")
     if value_columns is None:
         value_columns = [
             c for c in right.columns if c not in by and c != right_on

@@ -58,7 +58,9 @@ def partial_aggregate(
             raise ValueError(
                 f"aggregate {a.func!r} is not incrementally mergeable; "
                 "mergeable: " + ", ".join(sorted(_MERGE)) + " (avg via "
-                "sum+count, distinct counts need sketches)"
+                "sum+count; distinct counts via operators/sketches HLL; "
+                "percentiles via operators/sketches t-digest "
+                "quantile_sketches/merge_digests)"
             )
         cols.append(_MERGE[a.func][0](a.column).alias(_alias(a)))
     return delta.groupBy(*group_by).agg(*cols)

@@ -60,7 +60,12 @@ def range_join(
 
     # epoch_seconds is NTZ-safe (TIMESTAMP_NTZ can't cast straight to
     # double); only differences/bucket containment matter here, so the
-    # session-tz interpretation offset cancels.
+    # session-tz interpretation offset cancels — PROVIDED the offset is
+    # constant, which the guard enforces (DST zones raise).
+    from ..functions.timeutil import ensure_ntz_safe_session
+
+    ensure_ntz_safe_session(left, [left_ts], "range_join")
+    ensure_ntz_safe_session(right, [right_ts], "range_join")
     l_sec = epoch_seconds(left_ts)
     r_sec = epoch_seconds(right_ts)
 

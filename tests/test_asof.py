@@ -75,3 +75,42 @@ def test_single_shuffle_plan(spark):
     # union+window formulation: exactly one exchange, no join node
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_ntz_dst_session_timezone_raises(spark):
+    """TIMESTAMP_NTZ through relative-time operators under a DST session
+    timezone must raise (the interpretation offset no longer cancels);
+    fixed-offset zones pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.functions.timeutil import (
+        _is_fixed_offset_zone,
+    )
+    from lakehouse_ingestion_spark.operators.asof import asof_join
+    from lakehouse_ingestion_spark.operators.range_join import range_join
+
+    assert _is_fixed_offset_zone("UTC")
+    assert _is_fixed_offset_zone("+05:30")
+    assert _is_fixed_offset_zone("Etc/GMT+5")
+    assert not _is_fixed_offset_zone("America/New_York")
+    assert not _is_fixed_offset_zone("not/a_zone")
+
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k long, ts string")
+    left = left.select("k", F.to_timestamp_ntz("ts").alias("ts"))
+    right = left.select("k", F.col("ts").alias("rts"), F.lit(1).alias("v"))
+    assert dict(left.dtypes)["ts"] == "timestamp_ntz"
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+            asof_join(left, right, ["k"], "ts", "rts")
+        with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+            range_join(left, right, "ts", "rts", -60.0, 60.0)
+        # fixed offset: both plan fine
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert asof_join(left, right, ["k"], "ts", "rts").count() == 1
+        assert range_join(left, right, "ts", "rts", -60.0, 60.0).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -507,3 +507,30 @@ def test_edit_join_null_and_empty_texts(spark):
     # null joins nothing; "" pairs with "a" (lev 1) and nothing longer;
     # abc~abd at distance 1
     assert got == [(1, 5, 1), (3, 4, 1)]
+
+
+def test_funnel_drops_null_timestamps(spark):
+    """A null-ts event must not advance the funnel: before the fix a
+    stage-0 match with null ts advanced AND left last_ts null, letting
+    every later matching event advance regardless of order."""
+    from datetime import datetime
+
+    from lakehouse_ingestion_spark.operators.funnel import funnel_stages
+
+    ev = spark.createDataFrame(
+        [
+            # u1: null-ts view, then a click BEFORE any valid view -> must
+            # not reach stage 1 (the null view can't anchor the funnel)
+            (1, None, "view"),
+            (1, datetime(2024, 1, 1, 10, 0), "click"),
+            # u2: the control — valid view then click completes
+            (2, datetime(2024, 1, 1, 9, 0), "view"),
+            (2, datetime(2024, 1, 1, 10, 0), "click"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(ev, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    }
+    assert got == {1: 0, 2: 2}

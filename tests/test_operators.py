@@ -367,6 +367,56 @@ def test_connected_components_jump_equals_propagate(spark):
         ).collect()
     }
     assert lab_p == lab_j
+    lab_s = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, "doc_a", "doc_b", algorithm="star"
+        ).collect()
+    }
+    assert lab_p == lab_s
+
+
+def test_connected_components_star_basics(spark):
+    """Large-star/small-star: same fixpoint as propagation on the
+    chain+triangle fixture, logarithmic rounds on a long chain, loud
+    failure on an impossible round budget, NULL endpoints raise."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (12, 10), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, "doc_a", "doc_b", algorithm="star"
+        ).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    # 60-link chain: each star round roughly halves component diameter,
+    # so 25 default rounds are plenty (propagate would need 60)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    full = connected_components(chain, "doc_a", "doc_b", algorithm="star")
+    assert {r["cluster_id"] for r in full.collect()} == {0}
+    assert full.count() == 61
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(
+            chain, "doc_a", "doc_b", algorithm="star", max_iterations=1
+        )
+
+    bad = spark.createDataFrame([(1, 2), (3, None)], "doc_a long, doc_b long")
+    with pytest.raises(PySparkException, match="must not be NULL"):
+        connected_components(bad, "doc_a", "doc_b", algorithm="star").collect()
+
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(edges, "doc_a", "doc_b", algorithm="bogus")
 
 
 def test_connected_components_jump_survives_long_chain(spark):

@@ -359,3 +359,53 @@ def test_edit_join_segment_index_no_cartesian(spark, entrymod):
     a = audit(df)
     assert a.joins.get("CartesianProduct", 0) == 0
     assert not a.python_in_plan
+
+
+def test_pit_join_dim_broadcasts_from_parquet(spark, entrymod):
+    """With the SCD2 dimension materialized to parquet (pit_build), the
+    planner sees real size stats: the dim side broadcasts and the fact
+    table never shuffles."""
+    df = entrymod.queries()["pit_join"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert a.shuffle_exchanges == 0
+    assert not a.has_nested_loop
+
+
+def test_tdigest_partials_map_only(spark):
+    """The t-digest build is classic partial aggregation: raw values
+    NEVER shuffle (partials are map-only); only the bounded digest rows
+    shuffle in the merge."""
+    from lakehouse_ingestion_spark.operators.sketches import (
+        quantile_sketches,
+        tdigest_partials,
+    )
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    assert audit(tdigest_partials(df, ["g"], "v")).shuffle_exchanges == 0
+    a = audit(quantile_sketches(df, ["g"], "v"))
+    assert a.shuffle_exchanges == 1
+    assert a.joins == {}
+
+
+def test_topk_sketch_candidates_broadcast(spark, entrymod):
+    """The exact-confirm pass semi-joins against the BROADCAST candidate
+    set (never a shuffle of the full token table against candidates);
+    the only nested loop is the 1-row total attach."""
+    df = entrymod.queries()["topk_sketch"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert a.joins.get("BroadcastNestedLoopJoin", 0) <= 1
+
+
+def test_weighted_sample_no_sort_no_cartesian(spark, entrymod):
+    """Weighted sampling is a filter, not a top-k: no global sort, no
+    cartesian; the single nested loop is the 1-row total-weight attach."""
+    df = entrymod.queries()["weighted_sample"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert a.joins.get("BroadcastNestedLoopJoin", 0) <= 1
+    assert "Sort [" not in a.plan or "SortAggregate" in a.plan

@@ -455,3 +455,168 @@ def test_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
         (3, "i3", None),   # null-padded only after watermark passage
         (9, "i9", "c9"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-restart for the applyInPandasWithState trio: every run below
+# is a FRESH query instance resuming from the same checkpoint (the
+# kill-and-resume shape) — state must restore, emissions must not replay
+# ---------------------------------------------------------------------------
+
+
+def _restart_runner(out_df, sink, cp):
+    from pyspark.sql import functions as F
+
+    def run(tag):
+        q = (
+            out_df.writeStream.foreachBatch(
+                lambda b, e: b.withColumn("tag", F.lit(tag))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    return run
+
+
+def test_heavy_hitters_restart_restores_summary(spark, tmp_path):
+    """After a restart, the Misra-Gries summary continues from the
+    checkpointed counters (total_seen spans both lives) and the batch-1
+    emission is not replayed."""
+    from lakehouse_ingestion_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"g": "k", "item": it})
+            for it in ["x"] * 10 + ["y"] * 5
+        )
+    )
+    stream = (
+        spark.readStream.schema("g string, item string")
+        .format("json")
+        .load(str(indir))
+    )
+    out = streaming_heavy_hitters(stream, "g", "item", capacity=8)
+    sink, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run = _restart_runner(out, sink, cp)
+
+    run("r1")
+    r1 = {
+        r["item"]: (r["est_count"], r["total_seen"])
+        for r in spark.read.parquet(sink).filter("tag = 'r1'").collect()
+    }
+    assert r1 == {"x": (10, 15), "y": (5, 15)}
+
+    # new query instance, same checkpoint: counts must ACCUMULATE
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"g": "k", "item": "y"}) for _ in range(7))
+    )
+    run("r2")
+    r2 = {
+        r["item"]: (r["est_count"], r["total_seen"])
+        for r in spark.read.parquet(sink).filter("tag = 'r2'").collect()
+    }
+    assert r2 == {"x": (10, 22), "y": (12, 22)}
+
+    # restart with NO new data: nothing replays
+    run("r3")
+    assert spark.read.parquet(sink).filter("tag = 'r3'").count() == 0
+
+
+def test_streaming_funnel_restart_restores_stage_and_ts(spark, tmp_path):
+    """Restart must restore BOTH state fields: the stage (batch-2 click
+    advances 1 -> 2 only if stage survived) and last_ts (a click at an
+    EARLIER timestamp than the restored match must NOT advance)."""
+    from lakehouse_ingestion_spark.streaming.funnel import streaming_funnel
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"u": 1, "ts": "2026-01-01T10:00:00", "ev": "view"},
+                {"u": 2, "ts": "2026-01-01T10:00:00", "ev": "view"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("u long, ts timestamp, ev string")
+        .format("json")
+        .load(str(indir))
+    )
+    out = streaming_funnel(stream, "u", "ts", "ev", ["view", "click"])
+    sink, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run = _restart_runner(out, sink, cp)
+
+    run("r1")
+    r1 = {
+        (r["u"], r["stage"])
+        for r in spark.read.parquet(sink).filter("tag = 'r1'").collect()
+    }
+    assert r1 == {(1, 1), (2, 1)}
+
+    # user 1: click AFTER the restored last_ts -> advances; user 2: click
+    # BEFORE it -> the strict-order guard (restored last_ts) blocks it
+    (indir / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"u": 1, "ts": "2026-01-01T10:01:00", "ev": "click"},
+                {"u": 2, "ts": "2026-01-01T09:59:00", "ev": "click"},
+            ]
+        )
+    )
+    run("r2")
+    r2 = {
+        (r["u"], r["stage"])
+        for r in spark.read.parquet(sink).filter("tag = 'r2'").collect()
+    }
+    assert r2 == {(1, 2)}  # u2 emits nothing: stage did not advance
+
+    run("r3")  # no new data -> no replay of earlier advancements
+    assert spark.read.parquet(sink).filter("tag = 'r3'").count() == 0
+
+
+def test_streaming_zscore_restart_no_double_emission(spark, tmp_path):
+    """The batch-2 outlier is flagged against RESTORED batch-1 stats and
+    appears exactly once across restarts."""
+    from lakehouse_ingestion_spark.streaming.anomaly import streaming_zscore
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"key": "a", "v": float(v)})
+            for v in (10, 11, 9, 10, 12, 8, 10, 11, 9, 10)
+        )
+    )
+    stream = (
+        spark.readStream.schema("key string, v double")
+        .format("json")
+        .load(str(indir))
+    )
+    out = streaming_zscore(stream, "key", "v", z=3.0, min_count=10)
+    sink, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    run = _restart_runner(out, sink, cp)
+
+    run("r1")
+    assert spark.read.parquet(sink).count() == 0
+
+    (indir / "b2.jsonl").write_text(json.dumps({"key": "a", "v": 50.0}))
+    run("r2")  # fresh instance: stats restored from checkpoint
+    r2 = spark.read.parquet(sink).filter("tag = 'r2'").collect()
+    assert [(r["key"], r["value"]) for r in r2] == [("a", 50.0)]
+
+    run("r3")
+    run("r4")  # repeated restarts with no data: still exactly one flag
+    assert spark.read.parquet(sink).count() == 1

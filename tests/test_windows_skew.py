@@ -419,3 +419,100 @@ def test_streaming_funnel_validates(spark, tmp_path):
         streaming_funnel(stream, "user", "ts", "step", [])
     with pytest.raises(ValueError, match="timeout"):
         streaming_funnel(stream, "user", "ts", "step", ["view"], timeout="never")
+
+
+def test_streaming_zscore_chunk_size_independent(spark, tmp_path):
+    """Every value in a micro-batch scores against the PRE-batch state
+    snapshot, so emitted z-scores are identical regardless of Arrow
+    chunking — repeated outliers in one batch all get the SAME score
+    (mid-batch state absorption would shrink later ones)."""
+    from lakehouse_ingestion_spark.streaming.anomaly import streaming_zscore
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        indir = tmp_path / "in"
+        indir.mkdir()
+        (indir / "b1.jsonl").write_text(
+            "\n".join(
+                json.dumps({"key": "a", "v": float(v)})
+                for v in (10, 11, 9, 10, 12, 8, 10, 11, 9, 10)
+            )
+        )
+        stream = (
+            spark.readStream.schema("key string, v double")
+            .format("json")
+            .load(str(indir))
+        )
+        out = streaming_zscore(stream, "key", "v", z=3.0, min_count=10)
+        sink, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+        def run():
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda b, e: b.write.mode("append").parquet(sink)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        # six identical outliers spanning 3 Arrow chunks in ONE batch
+        (indir / "b2.jsonl").write_text(
+            "\n".join(json.dumps({"key": "a", "v": 50.0}) for _ in range(6))
+        )
+        run()
+        zs = [r["zscore"] for r in spark.read.parquet(sink).collect()]
+        assert len(zs) == 6
+        assert len(set(zs)) == 1, f"chunk-dependent scores: {sorted(set(zs))}"
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_funnel_numeric_epoch_ts(spark, tmp_path):
+    """A numeric epoch-seconds ts column must work unscaled: the strict
+    ordering guard still applies and stored state stays in epoch
+    seconds (a blanket /1e9 would silently divide it)."""
+    from lakehouse_ingestion_spark.streaming.funnel import streaming_funnel
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"u": 1, "ts": 1000.0, "ev": "view"},
+                {"u": 1, "ts": 2000.0, "ev": "click"},
+                # out-of-order click at the same batch: sorted first, so
+                # the later view->click pair still completes
+                {"u": 2, "ts": 500.0, "ev": "click"},
+                {"u": 2, "ts": 600.0, "ev": "view"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("u long, ts double, ev string")
+        .format("json")
+        .load(str(indir))
+    )
+    out = streaming_funnel(stream, "u", "ts", "ev", ["view", "click"])
+    sink, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, e: b.write.mode("append").parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["u"], r["stage"]) for r in spark.read.parquet(sink).collect()}
+    # u1 completes both steps; u2's click precedes its view -> stage 1 only
+    assert got == {(1, 2), (2, 1)}
