@@ -516,3 +516,89 @@ def test_streaming_funnel_numeric_epoch_ts(spark, tmp_path):
     got = {(r["u"], r["stage"]) for r in spark.read.parquet(sink).collect()}
     # u1 completes both steps; u2's click precedes its view -> stage 1 only
     assert got == {(1, 2), (2, 1)}
+
+
+def test_streaming_quantiles_accumulates_across_restart(spark, tmp_path):
+    """Digest state folds across micro-batches AND survives a restart:
+    after two batches the p50 tracks the COMBINED distribution, n spans
+    both lives, and rank error stays inside the digest bound."""
+    import numpy as np
+
+    from lakehouse_ingestion_spark.streaming.quantiles import (
+        streaming_quantiles,
+    )
+
+    rng = np.random.default_rng(13)
+    b1 = rng.uniform(0, 100, 600)
+    b2 = rng.uniform(100, 200, 600)  # shifts the combined median to ~100
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"key": "a", "v": float(v)}) for v in b1)
+    )
+    stream = (
+        spark.readStream.schema("key string, v double")
+        .format("json")
+        .load(str(indir))
+    )
+    out = streaming_quantiles(stream, "key", "v", quantiles=[0.5, 0.95])
+    sink, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run(tag):
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, e: b.withColumn("tag", F.lit(tag))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("r1")
+    r1 = spark.read.parquet(sink).filter("tag = 'r1'").collect()[0]
+    assert r1["n"] == 600
+    all1 = np.sort(b1)
+    assert abs((all1 <= r1["q_5"]).mean() - 0.5) <= 0.02
+
+    (indir / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"key": "a", "v": float(v)}) for v in b2)
+    )
+    run("r2")  # fresh query instance: digest restored from checkpoint
+    r2 = spark.read.parquet(sink).filter("tag = 'r2'").collect()[0]
+    assert r2["n"] == 1200
+    comb = np.sort(np.concatenate([b1, b2]))
+    assert abs((comb <= r2["q_5"]).mean() - 0.5) <= 0.03
+    assert abs((comb <= r2["q_95"]).mean() - 0.95) <= 0.03
+
+    run("r3")  # no new data: no emission, no replay
+    assert spark.read.parquet(sink).filter("tag = 'r3'").count() == 0
+
+
+def test_streaming_quantiles_validates(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.quantiles import (
+        streaming_quantiles,
+    )
+
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    (indir / "b.jsonl").write_text(json.dumps({"key": "a", "v": 1.0}))
+    stream = (
+        spark.readStream.schema("key string, v double")
+        .format("json")
+        .load(str(indir))
+    )
+    with pytest.raises(ValueError, match="quantiles"):
+        streaming_quantiles(stream, "key", "v", quantiles=[])
+    with pytest.raises(ValueError, match="quantiles"):
+        streaming_quantiles(stream, "key", "v", quantiles=[1.5])
+    with pytest.raises(ValueError, match="compression"):
+        streaming_quantiles(stream, "key", "v", compression=2)
+    with pytest.raises(ValueError, match="timeout"):
+        streaming_quantiles(stream, "key", "v", timeout="sometimes")
+    with pytest.raises(ValueError, match="duplicate"):
+        streaming_quantiles(stream, "key", "v", quantiles=[0.5, 0.50])
