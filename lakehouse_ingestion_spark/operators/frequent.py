@@ -53,18 +53,23 @@ def frequent_items(
     def _mg_candidates(batches):
         import pandas as _pd
 
-        summary: dict = {}
+        summary = _pd.Series(dtype="int64")
         for pdf in batches:
             vc = pdf["item"].value_counts()
-            for it, c in vc.items():
-                summary[it] = summary.get(it, 0) + int(c)
+            # vectorized summary-merge fold: union-index add, then the
+            # Misra-Gries decrement (subtract the (cap+1)-th largest,
+            # drop non-positives -> <= capacity survive)
+            summary = (
+                summary.add(vc, fill_value=0).astype("int64")
+                if len(summary)
+                else vc.astype("int64")
+            )
             if len(summary) > capacity:
-                # summary-merge decrement: subtract the (cap+1)-th largest
-                # count, drop non-positives -> <= capacity survive
-                kth = sorted(summary.values(), reverse=True)[capacity]
-                summary = {i: c - kth for i, c in summary.items() if c - kth > 0}
-        if summary:
-            yield _pd.DataFrame({"item": list(summary)})
+                kth = summary.nlargest(capacity + 1).iloc[-1]
+                summary = summary - kth
+                summary = summary[summary > 0]
+        if len(summary):
+            yield _pd.DataFrame({"item": summary.index})
 
     candidates = items.mapInPandas(_mg_candidates, "item string").distinct()
 

@@ -188,6 +188,7 @@ def _star_components(
         .distinct()
         .localCheckpoint()
     )
+    cur_count = cur.count()
     for it in range(max_iterations):
         # -- large-star over the bidirectional neighbor view ------------
         bi = cur.select(F.col("x").alias("a"), F.col("y").alias("b")).union(
@@ -215,9 +216,10 @@ def _star_components(
             .distinct()
             .localCheckpoint()  # eager; truncates per-round lineage
         )
-        # fixed point: same canonical edge set as last round
-        same_count = nxt.count() == cur.count()
-        if same_count and nxt.exceptAll(cur).count() == 0:
+        # fixed point: same canonical edge set as last round (count from
+        # the previous round is cached — one job per round, not two)
+        nxt_count = nxt.count()
+        if nxt_count == cur_count and nxt.exceptAll(cur).count() == 0:
             log.info("star CC converged after %d rounds", it + 1)
             nodes = (
                 nxt.select(F.col("x").alias("node"))
@@ -235,6 +237,7 @@ def _star_components(
                 )
             )
         cur = nxt
+        cur_count = nxt_count
     raise RuntimeError(
         f"star connected components did not converge in {max_iterations} "
         "rounds; raise max_iterations"
