@@ -65,12 +65,64 @@ def plan_compaction(
     }
 
 
+def zorder_column(
+    df: DataFrame, columns: list[str], bits: int = 16
+) -> "F.Column":
+    """Interleaved-bit Z-order value over 2+ numeric/date/timestamp
+    columns — the multi-column clustering key behind Delta OPTIMIZE
+    ZORDER BY. A single-column range sort prunes scans on THAT column
+    only; sorting by the Z-value keeps files tight on EVERY participating
+    column simultaneously (each file covers a small hyper-rectangle of
+    the key space), so min/max row-group stats prune selective predicates
+    on any of them.
+
+    Each column is linearly scaled to ``[0, 2^bits)`` between its global
+    min and max (ONE aggregate pass, driver-resident scalars — standard
+    for numeric keys; heavily skewed columns cluster unevenly, in which
+    case pre-bucket by rank upstream). NULLs map to bucket 0. The bit
+    interleave itself is a pure JVM expression tree (shift/and/or), fully
+    codegen'd — no Python anywhere.
+    """
+    if len(columns) < 2:
+        raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
+    if not 4 <= bits <= 20:
+        raise ValueError(f"bits must be in [4, 20], got {bits}")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(columns)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(columns)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(columns):
+        mn, mx = stats[f"__mn_{i}"], stats[f"__mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        s = F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(float(mx - mn))
+            * F.lit(float(top))
+        ).cast("long")
+        scaled.append(F.coalesce(s, F.lit(0)))
+    ncols = len(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * ncols + j
+                )
+            )
+    return z
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` into ~target-sized parquet files (coalesce to the
     planned file count; repartition by partition columns when given so
@@ -95,12 +147,31 @@ def compact_parquet(
     — the Delta/Iceberg sinks' OPTIMIZE path at scale.)"""
     import shutil
 
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by OR zorder_by, not both")
+    if zorder_by and partition_by:
+        raise ValueError(
+            "zorder_by within Hive partitions is not supported; "
+            "z-cluster each partition separately"
+        )
     stats = plan_compaction(spark, path, target_file_bytes)
     if stats["target_files"] == 0:
         return {**stats, "rewritten": False}
 
     df: DataFrame = spark.read.parquet(path)
-    if partition_by:
+    if zorder_by:
+        # multi-column clustering: range-partition + sort on the
+        # interleaved Z-value (dropped before write); same salt logic as
+        # sort_by for hot Z-values
+        z = zorder_column(df, zorder_by)
+        salt = F.pmod(F.hash(*df.columns), F.lit(1 << 20))
+        out = (
+            df.withColumn("__z", z)
+            .repartitionByRange(stats["target_files"], F.col("__z"), salt)
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif partition_by:
         # hash on (partition cols + rand) with the planned task count:
         # plain repartition(*partition_by) would route each Hive
         # partition value to ONE task/file regardless of its size

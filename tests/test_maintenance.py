@@ -94,3 +94,85 @@ def test_compact_sorted_clusters_for_pruning(spark, tmp_path):
     # disjoint key ranges: each file's max stays below the next file's min
     for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
         assert hi_a <= lo_b
+
+
+def test_zorder_compaction_tightens_both_columns(spark, tmp_path):
+    """Z-order clustering vs single-column sort: the linear sort leaves
+    the SECOND column spanning its full range in every file; the Z-order
+    rewrite keeps per-file spans tight on BOTH columns, which is what
+    lets min/max stats prune predicates on either one."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.operators.maintenance import (
+        compact_parquet,
+        zorder_column,
+    )
+
+    n = 40_000
+    df = (
+        spark.range(0, n, 1, 8)
+        .select(
+            # two independent uniform keys (bit-mixed from id)
+            F.pmod(F.hash(F.col("id")), F.lit(10_000)).alias("x"),
+            F.pmod(F.hash(F.col("id") + 1_000_000), F.lit(10_000)).alias("y"),
+        )
+    )
+
+    def file_spans(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        assert len(per_file) > 4  # multiple files or the test is vacuous
+        return sum(r["span"] for r in per_file) / len(per_file) / 10_000.0
+
+    linear = str(tmp_path / "linear")
+    df.write.parquet(linear)
+    compact_parquet(spark, linear, target_file_bytes=16_000, sort_by=["x"])
+    zord = str(tmp_path / "zord")
+    df.write.parquet(zord)
+    compact_parquet(
+        spark, zord, target_file_bytes=16_000, zorder_by=["x", "y"]
+    )
+
+    # same rows either way
+    assert spark.read.parquet(zord).count() == n
+    lin_x, lin_y = file_spans(linear, "x"), file_spans(linear, "y")
+    z_x, z_y = file_spans(zord, "x"), file_spans(zord, "y")
+    assert lin_x < 0.25          # the sorted column is tight
+    assert lin_y > 0.9           # ...but y spans everything per file
+    assert z_x < 0.6 and z_y < 0.6  # z-order: BOTH dimensions bounded
+    assert max(z_x, z_y) < lin_y / 1.5
+
+
+def test_zorder_validation(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.operators.maintenance import (
+        compact_parquet,
+        zorder_column,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+    )
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_column(df, ["x"])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_column(df, ["x", "y"], bits=2)
+
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    with pytest.raises(ValueError, match="not both"):
+        compact_parquet(spark, p, sort_by=["x"], zorder_by=["x", "y"])
+    with pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, p, partition_by=["x"], zorder_by=["x", "y"])
+
+    # constant / all-null columns degrade to bucket 0, not an error
+    c = spark.range(10).select(
+        F.lit(1).alias("x"), F.lit(None).cast("long").alias("y")
+    )
+    assert c.select(zorder_column(c, ["x", "y"]).alias("z")).distinct().count() == 1
