@@ -226,6 +226,35 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
         return retention(
             df, o["user"], o["ts"], period_days=int(o.get("period_days", 7))
         )
+    if op == "weighted_sample":
+        from lakehouse_ingestion_spark.operators.sampling import weighted_sample
+
+        return weighted_sample(
+            df, o["key"], o["weight"], float(o["expected_n"]),
+            seed=o.get("seed", "wsample"),
+        )
+    if op == "frequent_items":
+        from lakehouse_ingestion_spark.operators.frequent import frequent_items
+
+        return frequent_items(
+            df, o["item"], min_share=float(o.get("min_share", 0.001))
+        )
+    if op == "quantile_sketch":
+        from lakehouse_ingestion_spark.operators.sketches import (
+            digest_quantile,
+            quantile_sketches,
+        )
+
+        dig = quantile_sketches(
+            df, list(o["group_by"]), o["value"],
+            compression=int(o.get("compression", 400)),
+        )
+        qs_list = [float(q) for q in o.get("quantiles", [0.5, 0.95])]
+        cols = [
+            digest_quantile(q).alias(f"p{str(q).replace('0.', '')}")
+            for q in qs_list
+        ]
+        return dig.select(*o["group_by"], F.col("td_n").alias("n"), *cols)
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":

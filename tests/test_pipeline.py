@@ -331,3 +331,38 @@ def test_shipped_curation_config_runs_end_to_end(spark, registry, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() == 5  # one 512-window chunk per short doc
     assert {"split", "chunk_text"} <= set(rows.columns)
+
+
+def test_apply_transform_round5_ops(spark):
+    """Config-driven dispatch of the round-5 operators: weighted_sample,
+    frequent_items, quantile_sketch."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    df = spark.range(0, 2_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 100 + 1).alias("w"),
+        (F.col("id") % 50).cast("double").alias("v"),
+    )
+    s = apply_transform(
+        df, "weighted_sample", {"key": "id", "weight": "w", "expected_n": 100}
+    )
+    n = s.count()
+    assert 40 <= n <= 200
+    assert set(s.columns) == {"id", "g", "w", "v"}
+
+    fi = apply_transform(df, "frequent_items", {"item": "g", "min_share": 0.2})
+    assert {r["item"] for r in fi.collect()} == {"0", "1", "2", "3"}
+
+    qs = apply_transform(
+        df,
+        "quantile_sketch",
+        {"group_by": ["g"], "value": "v", "quantiles": [0.5]},
+    )
+    rows = {r["g"]: (r["n"], r["p5"]) for r in qs.collect()}
+    assert set(rows) == {"0", "1", "2", "3"}
+    for n_g, p50 in rows.values():
+        assert n_g == 500
+        assert 15.0 <= p50 <= 35.0  # median of 0..49-ish values
