@@ -211,3 +211,61 @@ def test_weighted_sample_validation(spark):
         weighted_sample(df, "id", "w", 10.0).collect()
     with pytest.raises(ConfigError, match="positive"):
         weighted_sample(df, "id", "w", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy t-digest core invariants (hypothesis, no Spark round trip)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=3_000,
+    )
+)
+def test_td_compress_invariants(vals):
+    from lakehouse_ingestion_spark.operators.sketches import _td_compress
+
+    v = np.sort(np.asarray(vals, dtype="float64"))
+    w = np.ones(len(v))
+    means, weights = _td_compress(v, w, 128)
+    # weight is conserved exactly, total mean to fp tolerance
+    assert weights.sum() == len(v)
+    assert np.isclose((means * weights).sum(), v.sum(), rtol=1e-9, atol=1e-6)
+    # bounded size and sorted centroids
+    assert len(means) <= 128
+    assert np.all(np.diff(means) >= -1e-9)
+    # every centroid mean stays inside the data range
+    assert means.min() >= v[0] - 1e-9 and means.max() <= v[-1] + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=50,
+        max_size=3_000,
+    ),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_td_estimate_rank_error_bound(vals, q):
+    from lakehouse_ingestion_spark.operators.sketches import (
+        _td_compress,
+        _td_estimate,
+    )
+
+    v = np.sort(np.asarray(vals, dtype="float64"))
+    means, weights = _td_compress(v, np.ones(len(v)), 256)
+    est = _td_estimate(means, weights, float(v[0]), float(v[-1]), q)
+    # CDF positions straddling the estimate must bracket q within ~one
+    # bin width (pi/(2*256) ~ 0.62% interior; ties can widen the left
+    # side, so check the bracket, not a point)
+    below = (v < est).mean()
+    at_or_below = (v <= est).mean()
+    assert below - 0.02 <= q <= at_or_below + 0.02
