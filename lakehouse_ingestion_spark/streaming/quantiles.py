@@ -78,7 +78,7 @@ def streaming_quantiles(
         )
 
     def _qname(q: float) -> str:
-        s = f"{q:.10f}".rstrip("0").lstrip("0").lstrip(".")
+        s = f"{q:.10f}".rstrip("0").lstrip("0").strip(".")
         return f"q_{s or '0'}"
 
     qnames = [_qname(q) for q in qs]

@@ -40,11 +40,10 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).mapInArrow(lambda it: it, "id long").count()
     # ...and scalar pandas UDFs (ArrowEvalPython) a third one, used by the
     # t-digest quantile estimates
-    import pandas as _pd
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
-    def _warm(s: _pd.Series) -> _pd.Series:
+    def _warm(s):
         return s
 
     spark.range(0, 1024, 1, 32).select(_warm("id")).count()
