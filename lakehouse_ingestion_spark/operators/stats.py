@@ -1,0 +1,127 @@
+"""Descriptive statistics operators: equi-width histograms, grouped
+correlation / covariance panels, and quantile (ntile) bucketing.
+
+The reference exposes aggregation capabilities in its declared Gold
+surface (``core/IngestionJob.scala`` routes aggregate configs;
+``README.md`` "aggregations" bullet) but ships no profiling/statistics
+operators; these are the standard exploratory companions a lakehouse
+team runs before modelling, expressed as single-pass JVM aggregates.
+
+100-TB posture:
+
+- ``equi_width_histogram`` with explicit bounds is ONE map-side-combined
+  aggregate — the bucket id is a pure projection, so the shuffle carries
+  at most ``nbins`` rows per map partition. With ``lo``/``hi`` omitted
+  it first runs a 1-row min/max aggregate (a second full scan — pass
+  bounds explicitly when you already know the domain).
+- ``grouped_corr`` is one ``groupBy().agg()`` over co-moment aggregates
+  (corr/covar/stddev are all streaming-combinable partials in Spark);
+  nothing here is a window or a join.
+- ``quantile_buckets`` uses ``ntile`` — a full sort of each partition
+  key's rows. Unbounded-key ntile at 100 TB means one giant range sort;
+  keep the partition column selective or use the t-digest sketch path
+  (``operators/sketches.py``) when approximate bucket edges suffice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col``: rows land in
+    ``nbins`` buckets over ``[lo, hi)``; values outside the range clamp
+    into the edge buckets (bucket 0 / nbins-1), NULLs are dropped.
+
+    The bucket id uses the portable ``floor((x - lo) / w)`` formula
+    (identical semantics in every ANSI engine) rather than
+    ``width_bucket`` so results are cross-engine reproducible.
+
+    Returns one row per non-empty bucket: ``bucket`` (0-based),
+    ``bucket_lo``/``bucket_hi`` edges, ``n`` and any ``extra_aggs``.
+    """
+    if nbins < 1:
+        raise ConfigError(f"nbins must be >= 1, got {nbins}")
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(value_col).cast("double"),
+            F.max(value_col).cast("double"),
+        ).first()
+        lo = bounds[0] if lo is None else lo
+        hi = bounds[1] if hi is None else hi
+        if lo is None:  # all-NULL column
+            raise ConfigError(f"cannot infer histogram bounds: {value_col} is all NULL")
+    lo_f, hi_f = float(lo), float(hi)
+    if not hi_f > lo_f:
+        raise ConfigError(f"histogram needs hi > lo, got [{lo_f}, {hi_f})")
+    width = (hi_f - lo_f) / nbins
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo_f)) / F.lit(width)).cast("int")
+    bucket = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), *(extra_aggs or []))
+        .withColumn("bucket_lo", F.round(F.lit(lo_f) + F.col("bucket") * F.lit(width), 6))
+        .withColumn("bucket_hi", F.round(F.lit(lo_f) + (F.col("bucket") + 1) * F.lit(width), 6))
+    )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_by: list[str],
+    pairs: list[tuple[str, str]],
+    round_digits: int = 5,
+) -> DataFrame:
+    """Pearson correlation + sample covariance for each (x, y) column
+    pair, per group, in ONE aggregate pass (all co-moment partials fold
+    map-side). Output columns: ``corr_<x>_<y>`` and ``covar_<x>_<y>``.
+
+    ``round_digits`` bounds cross-engine float drift: corr/covar are
+    ratios of large co-moment sums whose partition fold order differs
+    between engines; 5 decimals is far above double noise on realistic
+    row counts yet strict enough to catch real bugs.
+    """
+    if not pairs:
+        raise ConfigError("grouped_corr needs at least one (x, y) pair")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for x, y in pairs:
+        aggs.append(F.round(F.corr(x, y), round_digits).alias(f"corr_{x}_{y}"))
+        aggs.append(F.round(F.covar_samp(x, y), round_digits).alias(f"covar_{x}_{y}"))
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    nbuckets: int,
+    partition_by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+    bucket_col: str = "q_bucket",
+) -> DataFrame:
+    """Assign every row an equal-frequency (quantile) bucket via
+    ``ntile(nbuckets)`` ordered by ``value_col``. ``tiebreak`` columns
+    make the assignment total (and therefore deterministic / oracle-
+    checkable) when values tie — always pass a unique key.
+
+    ntile sorts every partition's rows; with no ``partition_by`` that is
+    a single range-sort of the full table. Fine for Gold-sized frames;
+    for raw-fact scale prefer t-digest edges + ``equi_width_histogram``.
+    """
+    if nbuckets < 1:
+        raise ConfigError(f"nbuckets must be >= 1, got {nbuckets}")
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.orderBy(*order)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+    return df.withColumn(bucket_col, F.ntile(nbuckets).over(w))
