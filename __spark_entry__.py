@@ -1369,6 +1369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_clusters": q_star_clusters,
         "topk_sketch": q_topk_sketch,
         "weighted_sample": q_weighted_sample,
+        # --- round-5 additions: rotate into the driver window in r06 ---
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -2898,6 +2903,129 @@ ranked AS (
 SELECT q_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
 FROM ranked WHERE rk <= 3
 """
+
+
+def _with_pii(d: DataFrame) -> DataFrame:
+    """Deterministically inject PII-shaped strings (the fixture corpus
+    has none): every doc gets an email/phone/IP keyed off doc_id; docs
+    with doc_id % 3 == 0 also get an SSN + card. Both engines apply the
+    identical injection, so the scrub contract is what's compared."""
+    extra = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" ssn 123-45-6789 card 4111-1111-1111-1111"),
+        ).otherwise(F.lit("")),
+    )
+    return d.withColumn("text", F.concat(F.col("text"), extra))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrubbing (operators/pii.scrub_text): email / card /
+    SSN / phone / IPv4 regexes in one fused JVM projection — per-doc
+    match counts (audit trail) plus the rewritten text, zero shuffles.
+    The fixture corpus carries no PII, so both engines first apply the
+    same deterministic doc_id-keyed injection."""
+    from lakehouse_ingestion_spark.operators.pii import scrub_text
+
+    d = _with_pii(ensure_parallelism(_t(spark, sf_dir, "documents")))
+    out = scrub_text(d, text_col="text", out_col="scrubbed")
+    return out.select(
+        "doc_id",
+        "scrubbed",
+        "pii_email_n",
+        "pii_credit_card_n",
+        "pii_ssn_n",
+        "pii_phone_n",
+        "pii_ipv4_n",
+    )
+
+
+LINE_DEDUP_TOKENS_PER_LINE = 3
+LINE_DEDUP_MAX_OCCUR = 2
+
+
+def _as_lines(d: DataFrame, ntok: int) -> DataFrame:
+    """Regroup each doc's tokens into ntok-token newline-joined lines
+    (the fixture is single-line word soup; real corpora arrive with
+    newlines already). Mirrored exactly in the DuckDB oracle."""
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    tk = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(tk)
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-token case
+    nlines = F.ceil(F.size(tk) / ntok).cast("int")
+    lines = F.when(
+        nlines > 0,
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.array_join(F.slice(tk, i * ntok + 1, ntok), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn("text", F.array_join(lines, "\n"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal
+    (operators/linededup.dedup_lines): posexplode lines, ONE md5-keyed
+    count shuffle across the corpus, drop lines occurring more than
+    LINE_DEDUP_MAX_OCCUR times, reassemble in document order via
+    struct-sort. The fixture is regrouped into 3-token lines first so
+    line frequencies are non-degenerate."""
+    from lakehouse_ingestion_spark.operators.linededup import dedup_lines
+
+    d = _as_lines(
+        ensure_parallelism(_t(spark, sf_dir, "documents")),
+        LINE_DEDUP_TOKENS_PER_LINE,
+    )
+    out = dedup_lines(d, max_occurrences=LINE_DEDUP_MAX_OCCUR)
+    return out.select("doc_id", "text", "n_lines_dropped")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filtering signal (operators/lm_score):
+    KenLM-shaped add-1 bigram model trained on the corpus itself
+    (the CCNet self-scoring setup), scored as mean -log2 P(w|prev)
+    per document. Model counts broadcast; scoring is one shuffle."""
+    from lakehouse_ingestion_spark.operators.lm_score import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    bg, ctx, v = train_bigram_lm(d)
+    out = score_perplexity(d, bg, ctx, v, k=1.0)
+    return out.select(
+        "doc_id", F.round("bits_per_token", 6).alias("bits_per_token")
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.5
+SEMDEDUP_BITS = 6
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup): deterministic
+    sign-orthant bucketing + intra-bucket cosine, keep the smallest id
+    of every tight neighborhood. keep=False rows are the drop set."""
+    from lakehouse_ingestion_spark.operators.semdedup import semantic_dedup
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    out = semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        n_bits=SEMDEDUP_BITS,
+    )
+    return out.select("vec_id", "label", "keep")
 
 
 def _duck_bands_select() -> str:
@@ -4447,6 +4575,132 @@ SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM t, w
 WHERE u < least(1.0, {WSAMPLE_EXPECTED!r} * n_chars / W)
 GROUP BY lang
+"""
+
+    _pii_inject = (
+        "text || ' contact user' || doc_id::VARCHAR || '@example.com or "
+        "555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' at 10.0.' || (doc_id % 256)::VARCHAR || '.' || "
+        "(doc_id % 250)::VARCHAR || CASE WHEN doc_id % 3 = 0 THEN "
+        "' ssn 123-45-6789 card 4111-1111-1111-1111' ELSE '' END"
+    )
+    _rx_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _rx_card = r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"
+    _rx_ssn = r"\b\d{3}-\d{2}-\d{4}\b"
+    _rx_phone = r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b"
+    _rx_ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    qs["pii_scrub"] = f"""
+WITH d AS (SELECT doc_id, {_pii_inject} AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(text, '{_rx_email}', '<EMAIL>', 'g'),
+         '{_rx_card}', '<CARD>', 'g'),
+         '{_rx_ssn}', '<SSN>', 'g'),
+         '{_rx_phone}', '<PHONE>', 'g'),
+         '{_rx_ip}', '<IP>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{_rx_email}'))::BIGINT AS pii_email_n,
+       len(regexp_extract_all(text, '{_rx_card}'))::BIGINT AS pii_credit_card_n,
+       len(regexp_extract_all(text, '{_rx_ssn}'))::BIGINT AS pii_ssn_n,
+       len(regexp_extract_all(text, '{_rx_phone}'))::BIGINT AS pii_phone_n,
+       len(regexp_extract_all(text, '{_rx_ip}'))::BIGINT AS pii_ipv4_n
+FROM d
+"""
+
+    qs["line_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, CAST(ceil(len(tk) / {LINE_DEDUP_TOKENS_PER_LINE}.0)
+                         AS BIGINT) + 1),
+           i -> array_to_string(
+                  tk[(i-1)*{LINE_DEDUP_TOKENS_PER_LINE}+1
+                     :(i-1)*{LINE_DEDUP_TOKENS_PER_LINE}
+                       +{LINE_DEDUP_TOKENS_PER_LINE}], ' ')) AS lines
+  FROM base
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(lines) + 1),
+                i -> struct_pack(pos := i, line := lines[i]))) AS s
+  FROM ln
+),
+e2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ex),
+counts AS (
+  SELECT lower(trim(line)) AS k, count(*) AS n FROM e2 GROUP BY 1
+),
+j AS (
+  SELECT e2.doc_id, e2.pos, e2.line,
+         (n <= {LINE_DEDUP_MAX_OCCUR} AND length(trim(line)) > 0) AS keep
+  FROM e2 JOIN counts ON lower(trim(e2.line)) = counts.k
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                             ORDER BY pos), '') AS new_text,
+         sum(CASE WHEN NOT keep AND length(trim(line)) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.new_text, '') AS text,
+       coalesce(agg.n_dropped, 0)::BIGINT AS n_lines_dropped
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    qs["lm_perplexity"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN ['<s>']
+              ELSE list_prepend('<s>',
+                     string_split_regex(trim(lower(text)), '\s+')) END AS p
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(p)),
+                i -> struct_pack(prev := p[i], word := p[i+1]))) AS s
+  FROM base
+),
+b2 AS (SELECT doc_id, s.prev AS prev, s.word AS word FROM bg),
+cbg AS (SELECT prev, word, count(*) AS c_bg FROM b2 GROUP BY prev, word),
+cctx AS (SELECT prev, sum(c_bg) AS c_ctx FROM cbg GROUP BY prev),
+v AS (SELECT count(DISTINCT word) AS vs FROM cbg),
+scored AS (
+  SELECT b2.doc_id,
+         -log2((c_bg + 1.0) / (c_ctx + vs)) AS nl
+  FROM b2 JOIN cbg USING (prev, word) JOIN cctx USING (prev), v
+),
+agg AS (
+  SELECT doc_id, round(avg(nl), 6) AS bits_per_token
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, agg.bits_per_token
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+    qs["semantic_dedup"] = f"""
+WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         array_to_string(list_transform(embedding[1:{SEMDEDUP_BITS}],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt
+  FROM embeddings
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v)
+                     * list_dot_product(b.v, b.v)), 9)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT e.vec_id, e.label, (dup.vec_id IS NULL) AS keep
+FROM emb e LEFT JOIN dup ON e.vec_id = dup.vec_id
 """
 
     return qs

@@ -1,0 +1,187 @@
+"""Round-5 curation operators: free-text PII scrubbing, line-level
+boilerplate dedup, bigram-LM perplexity, semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.operators.linededup import dedup_lines, line_stats
+from lakehouse_ingestion_spark.operators.lm_score import (
+    score_perplexity,
+    train_bigram_lm,
+)
+from lakehouse_ingestion_spark.operators.pii import scrub_text
+from lakehouse_ingestion_spark.operators.semdedup import semantic_dedup
+
+
+# ---------------------------------------------------------------- pii ----
+def test_scrub_text_all_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail a@b.io call 555-123-4567 ip 10.0.0.1 "
+                "ssn 123-45-6789 card 4111-1111-1111-1111",
+            ),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = scrub_text(df, out_col="scrubbed").orderBy("doc_id").collect()
+    s1 = out[0]["scrubbed"]
+    assert "<EMAIL>" in s1 and "<PHONE>" in s1 and "<IP>" in s1
+    assert "<SSN>" in s1 and "<CARD>" in s1
+    assert "a@b.io" not in s1 and "4111" not in s1
+    assert out[0]["pii_email_n"] == 1
+    assert out[0]["pii_credit_card_n"] == 1
+    assert out[0]["pii_ssn_n"] == 1
+    assert out[0]["pii_phone_n"] == 1
+    assert out[0]["pii_ipv4_n"] == 1
+    assert out[1]["scrubbed"] == "no pii here at all"
+    assert out[1]["pii_email_n"] == 0
+
+
+def test_scrub_text_card_not_half_matched_as_phone(spark):
+    # card runs before phone: the 16-digit dashed run must become ONE
+    # <CARD>, never a partial <PHONE> bite
+    df = spark.createDataFrame(
+        [(1, "pay 4111-1111-1111-1111 now")], "doc_id long, text string"
+    )
+    row = scrub_text(df).collect()[0]
+    assert row["text"] == "pay <CARD> now"
+    assert row["pii_phone_n"] == 0
+
+
+def test_scrub_text_in_place_and_validation(spark):
+    df = spark.createDataFrame([(1, "x a@b.io")], "doc_id long, text string")
+    out = scrub_text(df, count_cols=False)
+    assert out.columns == ["doc_id", "text"]
+    assert out.collect()[0]["text"] == "x <EMAIL>"
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        scrub_text(df, patterns=[])
+    with pytest.raises(ConfigError):
+        scrub_text(df, patterns=[("a", r"x", "y"), ("a", r"z", "w")])
+
+
+# ----------------------------------------------------------- linededup ----
+def test_line_stats_positions_and_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha\nbeta\n ALPHA ")], "doc_id long, text string"
+    )
+    rows = line_stats(df).orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == [0, 1, 2]
+    # normalized hashing: 'Alpha' and ' ALPHA ' collide, 'beta' doesn't
+    assert rows[0]["line_hash"] == rows[2]["line_hash"]
+    assert rows[0]["line_hash"] != rows[1]["line_hash"]
+    assert rows[2]["line"] == " ALPHA "  # original text preserved
+
+
+def test_dedup_lines_drops_corpus_frequent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique one"),
+            (2, "cookie banner\nunique two"),
+            (3, "cookie banner\nunique three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, max_occurrences=2).collect()
+    }
+    assert out[1]["text"] == "unique one"
+    assert out[2]["text"] == "unique two"
+    assert out[1]["n_lines_dropped"] == 1
+    # threshold honored: occurrences <= max survive
+    kept = dedup_lines(df.limit(2), max_occurrences=2).collect()
+    assert all("cookie banner" in r["text"] for r in kept)
+
+
+def test_dedup_lines_order_blanks_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "keep a\n\nkeep b\n  \nkeep c"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    # blanks dropped, order preserved, not counted in the stat
+    assert out[1]["text"] == "keep a\nkeep b\nkeep c"
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["text"] == ""
+    assert out[2]["n_lines_dropped"] == 0
+    with pytest.raises(ValueError):
+        dedup_lines(df, max_occurrences=0)
+
+
+# ------------------------------------------------------------ lm_score ----
+def test_bigram_lm_hand_computed(spark):
+    # corpus: "a b" and "a c": contexts <s>->a (x2), a->{b,c}; V=3 (a,b,c)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    bg, ctx, v = train_bigram_lm(df)
+    assert v == 3
+    cbg = {(r["prev"], r["word"]): r["c_bg"] for r in bg.collect()}
+    assert cbg[("<s>", "a")] == 2 and cbg[("a", "b")] == 1
+    scored = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity(df, bg, ctx, v, k=1.0).collect()
+    }
+    # doc 1: P(a|<s>) = (2+1)/(2+3) = 0.6 ; P(b|a) = (1+1)/(2+3) = 0.4
+    expect = (-math.log2(0.6) - math.log2(0.4)) / 2
+    assert abs(scored[1] - expect) < 1e-9
+    assert scored[1] == scored[2]  # symmetric corpus
+
+
+def test_score_perplexity_unseen_and_empty(spark):
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    bg, ctx, v = train_bigram_lm(train)
+    test = spark.createDataFrame(
+        [(10, "z z"), (11, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity(test, bg, ctx, v, k=1.0).collect()
+    }
+    # model: (<s>,a),(a,b) -> V=2. First token: seen context <s>
+    # (c_ctx=1), unseen word: P=(0+1)/(1+2)=1/3. Second: unseen context
+    # z: P=(0+1)/(0+2)=1/2. Mean bits = (log2(3)+1)/2.
+    assert abs(rows[10] - (math.log2(3) + 1.0) / 2) < 1e-9
+    assert rows[11] is None  # empty doc scores NULL, never crashes
+    with pytest.raises(ValueError):
+        score_perplexity(test, bg, ctx, v, k=0.0)
+
+
+# ------------------------------------------------------------ semdedup ----
+def test_semantic_dedup_keeps_smallest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),  # near-parallel to 1 -> dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),  # same orthant, orthogonal -> kept
+            (4, [-1.0, 0.0, 0.0, 0.0]),  # different orthant -> kept
+        ],
+        "emb_id long, embedding array<double>",
+    )
+    out = {
+        r["emb_id"]: r["keep"]
+        for r in semantic_dedup(df, threshold=0.95, n_bits=4).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_semantic_dedup_boundary_bucketing_miss_documented(spark):
+    # two near-identical vectors straddling an orthant boundary are NOT
+    # paired — the documented single-probe tradeoff
+    df = spark.createDataFrame(
+        [(1, [0.001, 1.0]), (2, [-0.001, 1.0])],
+        "emb_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.9, n_bits=2)
+    assert all(r["keep"] for r in out.collect())
+    with pytest.raises(ValueError):
+        semantic_dedup(df, threshold=0.0)
