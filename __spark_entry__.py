@@ -1374,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
+        "exact_substr": q_exact_substr,
+        "ngram_novelty": q_ngram_novelty,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3026,6 +3028,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=SEMDEDUP_BITS,
     )
     return out.select("vec_id", "label", "keep")
+
+
+EXACT_SUBSTR_K = 3
+NOVELTY_K = 2
+
+
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span audit
+    (operators/substr_dedup.dup_stats): k-token shingles with position,
+    one corpus-wide count shuffle, per-doc gaps-and-islands span merge.
+    k=3 on this 50-word-vocab fixture so cross-doc repeats exist; real
+    corpora use k~50 (Lee et al., ACL 2022)."""
+    from lakehouse_ingestion_spark.operators.substr_dedup import dup_stats
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = dup_stats(d, k=EXACT_SUBSTR_K)
+    return out.select("doc_id", "n_dup_spans", "dup_tokens", "dup_token_frac")
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus novelty (operators/substr_dedup.ngram_novelty):
+    fraction of each doc's distinct k-shingles first introduced by that
+    doc (min-id introducer) — the incremental-redundancy curve."""
+    from lakehouse_ingestion_spark.operators.substr_dedup import ngram_novelty
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = ngram_novelty(d, k=NOVELTY_K)
+    return out.select("doc_id", "n_shingles", "novelty")
 
 
 def _duck_bands_select() -> str:
@@ -4701,6 +4731,92 @@ dup AS (
 )
 SELECT e.vec_id, e.label, (dup.vec_id IS NULL) AS keep
 FROM emb e LEFT JOIN dup ON e.vec_id = dup.vec_id
+"""
+
+    # shingle strings group-by replaces Spark's xxhash64 grouping —
+    # identical span/novelty semantics (collisions are ~n²/2⁶⁵)
+    _K = EXACT_SUBSTR_K
+    qs["exact_substr"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+  FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {_K}
+              THEN list_transform(range(1, len(tk) - {_K} + 2),
+                   i -> struct_pack(pos := i - 1,
+                        sg := array_to_string(tk[i:i+{_K}-1], ' ')))
+              ELSE [] END AS sl
+  FROM base
+),
+shu AS (SELECT doc_id, unnest(sl) AS s FROM ln),
+sh AS (SELECT doc_id, s.pos AS pos, s.sg AS sg FROM shu),
+dup AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) >= 2),
+hits AS (
+  SELECT sh.doc_id, sh.pos, sh.pos + {_K} - 1 AS e
+  FROM sh JOIN dup USING (sg)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         sum(e - s + 1)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(agg.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(b.tk) > 0
+            THEN round(coalesce(agg.dup_tokens, 0)::DOUBLE / len(b.tk), 6)
+            ELSE 0.0 END AS dup_token_frac
+FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+    qs["ngram_novelty"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, u.sg
+  FROM base,
+  LATERAL unnest(CASE WHEN len(tk) >= {NOVELTY_K}
+    THEN list_transform(range(1, len(tk) - {NOVELTY_K} + 2),
+         i -> array_to_string(tk[i:i+{NOVELTY_K}-1], ' '))
+    ELSE [] END) AS u(sg)
+),
+first AS (SELECT sg, min(doc_id) AS fid FROM sh GROUP BY sg),
+per AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN sh.doc_id = first.fid THEN 1 ELSE 0 END) AS novel
+  FROM sh JOIN first USING (sg) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+       round(per.novel::DOUBLE / per.n_shingles, 6) AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)
 """
 
     return qs

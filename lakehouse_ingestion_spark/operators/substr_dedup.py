@@ -1,0 +1,195 @@
+"""Exact-substring duplication analysis (ExactSubstr-style).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al., ACL 2022) shows that repeated SUBSTRINGS — not just whole
+near-duplicate documents — measurably hurt LMs, and dedups at the
+50-token-span level with a suffix array. A distributed suffix array is
+the wrong tool on Spark; the same spans fall out of shingle algebra:
+
+1. explode k-token shingles WITH POSITION (map-only; one row per
+   token, ~k× the token count in shuffle bytes only for the 8-byte
+   ``xxhash64`` of each shingle, never the text);
+2. count shingle-hash occurrences corpus-wide — ONE shuffle,
+   map-side partial aggregation, and frequency skew (the classic
+   boilerplate shingle) partial-aggregates before it moves;
+3. a shingle occurring ≥ 2 times anywhere marks its k-token span
+   duplicated; join the (tiny) duplicated-hash set back and merge
+   overlapping spans per document with gaps-and-islands windowing —
+   the window is per-document (keyed shuffle, bounded partitions),
+   never global.
+
+Output is an AUDIT frame (span counts + duplicated-token fraction per
+doc), not a rewrite: curation pipelines threshold or strip on it, and
+the span bounds are exact so a downstream ``substring`` cut can remove
+precisely the duplicated text.
+
+``ngram_novelty`` reuses the same shingle pass for the cumulative
+corpus-redundancy curve: for each document, the fraction of its
+distinct shingles never seen in any earlier document (by id order) —
+the standard "how much new text does each increment add" curation
+statistic.
+
+100-TB posture: two shuffles for spans (count, per-doc window), two
+for novelty (first-doc min, per-doc ratio); all keys high-cardinality;
+nothing driver-sized; hash collisions (64-bit) are ~n²/2⁶⁵ false
+duplicate marks — negligible and conservative (flags, never deletes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, sh) rows: 64-bit hash of each k-token shingle at token
+    position ``pos`` (0-based). Docs shorter than k yield no rows."""
+    if k < 1:
+        raise ValueError(f"shingle size k must be >= 1, got {k}")
+    tk = tokens(F.lower(F.col(text_col)))
+    sh = F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - k),
+            lambda i: F.xxhash64(F.array_join(F.slice(tk, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(F.col(id_col), sh.alias("__sh")).select(
+        id_col, F.posexplode("__sh").alias("pos", "sh")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document maximal duplicated spans (token ranges).
+
+    A position opens a duplicated k-token window iff its shingle occurs
+    at least ``min_occurrences`` times corpus-wide (within-document
+    repeats count — a doc that repeats itself is duplication too, per
+    ExactSubstr). Overlapping/adjacent windows merge into maximal
+    spans. Returns one row per span: ``(id, span_start, span_end)``,
+    token-indexed inclusive. Docs with no duplication emit no rows
+    (aggregate with a left join; see ``dup_stats``).
+    """
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences}"
+        )
+    ex = _doc_shingles(df, text_col, id_col, k)
+    dup_hashes = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_occurrences)
+        .select("sh")
+    )
+    hits = ex.join(dup_hashes, "sh").select(
+        id_col, "pos", (F.col("pos") + (k - 1)).alias("__end")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn("__prev_max_end", F.max("__end").over(w))
+        .withColumn(
+            "__new_island",
+            F.when(
+                F.col("__prev_max_end").isNull()
+                | (F.col("pos") > F.col("__prev_max_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new_island").over(
+                Window.partitionBy(id_col)
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("__end").alias("span_end"),
+    ).drop("__island")
+
+
+def dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document duplication summary over ``duplicated_spans``:
+    ``n_dup_spans``, ``dup_tokens`` (tokens inside duplicated spans)
+    and ``dup_token_frac`` (of the doc's token count; 0.0 when clean —
+    every input row survives)."""
+    spans = duplicated_spans(df, text_col, id_col, k, min_occurrences)
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    n_tok = F.size(tokens(F.lower(F.col(text_col)))).cast("long")
+    return (
+        df.join(agg, id_col, "left")
+        .withColumn(
+            "n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+        )
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0).cast("long")))
+        .withColumn("__n_tok", n_tok)
+        .withColumn(
+            "dup_token_frac",
+            F.when(
+                F.col("__n_tok") > 0,
+                F.round(F.col("dup_tokens") / F.col("__n_tok"), round_to),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__n_tok")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fraction of each doc's DISTINCT k-shingles first introduced by
+    that doc (ids define corpus order; a shingle's introducer is the
+    minimum id containing it). 1.0 = all-new text, 0.0 = pure rehash.
+    Docs with fewer than k tokens score NULL (no shingles — length
+    rules own them). Adds ``n_shingles`` and ``novelty``."""
+    ex = _doc_shingles(df, text_col, id_col, k).select(id_col, "sh").distinct()
+    first = ex.groupBy("sh").agg(F.min(id_col).alias("__first_id"))
+    per_doc = (
+        ex.join(first, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__first_id"), 1).otherwise(0)
+            ).alias("__novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("__novel") / F.col("n_shingles"), round_to)
+        )
+        .drop("__novel")
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        "n_shingles", F.coalesce("n_shingles", F.lit(0)).cast("long")
+    )

@@ -185,3 +185,67 @@ def test_semantic_dedup_boundary_bucketing_miss_documented(spark):
     assert all(r["keep"] for r in out.collect())
     with pytest.raises(ValueError):
         semantic_dedup(df, threshold=0.0)
+
+
+# --------------------------------------------------------- substr_dedup ----
+def test_duplicated_spans_merge_and_stats(spark):
+    from lakehouse_ingestion_spark.operators.substr_dedup import (
+        dup_stats,
+        duplicated_spans,
+    )
+
+    # docs 1/2 share "a b c d" (two overlapping 3-shingles -> ONE span);
+    # doc 3 is clean
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "q a b c d w"),
+            (3, "p r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    assert (1, 0, 3) in spans and (2, 1, 4) in spans
+    assert not any(d == 3 for d, _, _ in spans)
+    stats = {r["doc_id"]: r for r in dup_stats(df, k=3).collect()}
+    assert stats[1]["n_dup_spans"] == 1 and stats[1]["dup_tokens"] == 4
+    assert abs(stats[1]["dup_token_frac"] - 4 / 7) < 1e-6
+    assert stats[3]["n_dup_spans"] == 0 and stats[3]["dup_token_frac"] == 0.0
+
+
+def test_duplicated_spans_within_doc_repeat_counts(spark):
+    from lakehouse_ingestion_spark.operators.substr_dedup import (
+        duplicated_spans,
+    )
+
+    # self-repetition is duplication too (ExactSubstr semantics)
+    df = spark.createDataFrame(
+        [(1, "x y z m m x y z")], "doc_id long, text string"
+    )
+    spans = duplicated_spans(df, k=3).collect()
+    got = {(r["span_start"], r["span_end"]) for r in spans}
+    assert (0, 2) in got and (5, 7) in got
+    with pytest.raises(ValueError):
+        duplicated_spans(df, k=3, min_occurrences=1)
+    with pytest.raises(ValueError):
+        duplicated_spans(df, k=0)
+
+
+def test_ngram_novelty_order_and_short_docs(spark):
+    from lakehouse_ingestion_spark.operators.substr_dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),     # introduces 'a b' and 'b c'
+            (2, "a b d"),     # 'a b' seen; 'b d' new -> 0.5
+            (3, "a"),         # < k tokens -> NULL novelty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, k=2).collect()}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_shingles"] == 2
+    assert out[2]["novelty"] == 0.5
+    assert out[3]["n_shingles"] == 0 and out[3]["novelty"] is None
