@@ -409,3 +409,72 @@ def test_weighted_sample_no_sort_no_cartesian(spark, entrymod):
     assert a.joins.get("CartesianProduct", 0) == 0
     assert a.joins.get("BroadcastNestedLoopJoin", 0) <= 1
     assert "Sort [" not in a.plan or "SortAggregate" in a.plan
+
+
+def test_pii_scrub_map_only(spark, entrymod):
+    """PII scrubbing is a single fused projection: zero shuffles, zero
+    joins, no Python workers — the regex chain rides codegen. (Audit
+    the operator on the raw scan: the query wrapper's
+    ensure_parallelism fan-out adds a round-robin shuffle at this
+    single-file fixture scale that is a no-op at real scale.)"""
+    from lakehouse_ingestion_spark.operators.pii import scrub_text
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = scrub_text(d, out_col="scrubbed")
+    a = audit(df)
+    assert a.shuffle_exchanges == 0
+    assert a.joins == {}
+    assert not a.python_in_plan
+    assert a.codegen_spans >= 1
+
+
+def test_line_dedup_two_keyed_shuffles_no_python(spark, entrymod):
+    """Line dedup: count shuffle + reassembly shuffle, both keyed; the
+    count side joins back without a nested loop; all JVM."""
+    df = entrymod.queries()["line_dedup"](spark, SF_DIR)
+    a = audit(df)
+    assert not a.has_nested_loop
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_lm_perplexity_model_broadcasts(spark, entrymod):
+    """Scoring joins the bigram/context count frames via broadcast —
+    the exploded corpus side must never shuffle for the model join."""
+    df = entrymod.queries()["lm_perplexity"](spark, SF_DIR)
+    a = audit(df)
+    assert a.broadcast_exchanges >= 2
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_semantic_dedup_bucket_join_no_cartesian(spark, entrymod):
+    """The intra-bucket self-join is an equi-join on the orthant key —
+    never an all-pairs nested loop; cosine is a JVM fold."""
+    df = entrymod.queries()["semantic_dedup"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_exact_substr_window_keyed_no_python(spark, entrymod):
+    """Span merge windows are per-document (keyed shuffle, bounded
+    partitions) — no global single-partition window, no Python."""
+    df = entrymod.queries()["exact_substr"](spark, SF_DIR)
+    a = audit(df)
+    assert "partial" not in {j.lower() for j in a.joins}  # sanity
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+    # per-doc windows: plan must show a Window with partition spec
+    assert "Window" in a.plan and "doc_id" in a.plan
+
+
+def test_ngram_novelty_two_shuffles_no_python(spark, entrymod):
+    """Novelty: distinct + min-id + per-doc ratio — keyed aggregations
+    only, no cartesian, no Python."""
+    df = entrymod.queries()["ngram_novelty"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
