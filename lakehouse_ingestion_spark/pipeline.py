@@ -255,6 +255,76 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             for q in qs_list
         ]
         return dig.select(*o["group_by"], F.col("td_n").alias("n"), *cols)
+    if op == "scrub_text":
+        # richer typed PII scrub (email/card/ssn/phone/ip) with optional
+        # per-pattern audit counts; `redact_pii` above is the light form
+        from lakehouse_ingestion_spark.operators.pii import scrub_text
+
+        return scrub_text(
+            df,
+            text_col=o.get("text_col", "text"),
+            out_col=o.get("out_col"),
+            count_cols=bool(o.get("count_cols", True)),
+        )
+    if op == "line_dedup":
+        from lakehouse_ingestion_spark.operators.linededup import dedup_lines
+
+        return dedup_lines(
+            df,
+            text_col=o.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
+            max_occurrences=int(o.get("max_occurrences", 1)),
+            drop_blank=bool(o.get("drop_blank", True)),
+        )
+    if op == "lm_perplexity":
+        # self-scoring: train the bigram LM on this frame and attach
+        # bits_per_token (CCNet-style LM filtering signal)
+        from lakehouse_ingestion_spark.operators.lm_score import (
+            score_perplexity,
+            train_bigram_lm,
+        )
+
+        tc = o.get("text_col", "text")
+        ic = o.get("id_col", "doc_id")
+        bg, ctx, v = train_bigram_lm(df, text_col=tc, id_col=ic)
+        return score_perplexity(
+            df, bg, ctx, v, text_col=tc, id_col=ic,
+            k=float(o.get("k", 1.0)),
+        )
+    if op == "semantic_dedup":
+        from lakehouse_ingestion_spark.operators.semdedup import semantic_dedup
+
+        out = semantic_dedup(
+            df,
+            id_col=o.get("id_col", "doc_id"),
+            vec_col=o.get("vec_col", "embedding"),
+            threshold=float(o.get("threshold", 0.95)),
+            n_bits=int(o.get("n_bits", 8)),
+        )
+        if o.get("keep_only", False):
+            return out.filter(F.col("keep")).drop("keep")
+        return out
+    if op == "dup_stats":
+        from lakehouse_ingestion_spark.operators.substr_dedup import dup_stats
+
+        return dup_stats(
+            df,
+            text_col=o.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
+            k=int(o.get("k", 8)),
+            min_occurrences=int(o.get("min_occurrences", 2)),
+        )
+    if op == "ngram_novelty":
+        from lakehouse_ingestion_spark.operators.substr_dedup import (
+            ngram_novelty,
+        )
+
+        return ngram_novelty(
+            df,
+            text_col=o.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
+            k=int(o.get("k", 8)),
+        )
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":

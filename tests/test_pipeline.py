@@ -366,3 +366,47 @@ def test_apply_transform_round5_ops(spark):
     for n_g, p50 in rows.values():
         assert n_g == 500
         assert 15.0 <= p50 <= 35.0  # median of 0..49-ish values
+
+
+def test_apply_transform_curation_ops(spark):
+    """Config-driven dispatch of the round-5 curation operators:
+    scrub_text, line_dedup, lm_perplexity, semantic_dedup, dup_stats,
+    ngram_novelty."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler plate\nreach me a@b.io now"),
+            (2, "boiler plate\nfresh words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    s = apply_transform(docs, "scrub_text", {"out_col": "clean"})
+    r = {x["doc_id"]: x for x in s.collect()}
+    assert "<EMAIL>" in r[1]["clean"] and r[1]["pii_email_n"] == 1
+
+    ld = apply_transform(docs, "line_dedup", {"max_occurrences": 1})
+    out = {x["doc_id"]: x["text"] for x in ld.collect()}
+    assert "boiler plate" not in out[1] and "a@b.io" in out[1]
+
+    lm = apply_transform(docs, "lm_perplexity", {})
+    assert all(x["bits_per_token"] > 0 for x in lm.collect())
+
+    ds = apply_transform(docs, "dup_stats", {"k": 2})
+    st = {x["doc_id"]: x["n_dup_spans"] for x in ds.collect()}
+    assert st[1] >= 1  # "boiler plate" repeats across docs
+
+    nv = apply_transform(docs, "ngram_novelty", {"k": 2})
+    nov = {x["doc_id"]: x["novelty"] for x in nv.collect()}
+    assert nov[1] == 1.0 and nov[2] < 1.0
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [-1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    sd = apply_transform(
+        emb, "semantic_dedup", {"threshold": 0.9, "n_bits": 2, "keep_only": True}
+    )
+    assert {x["doc_id"] for x in sd.collect()} == {1, 3}
