@@ -4717,6 +4717,8 @@ FROM documents d LEFT JOIN agg USING (doc_id)
     qs["semantic_dedup"] = f"""
 WITH emb AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS nrm,
          array_to_string(list_transform(embedding[1:{SEMDEDUP_BITS}],
            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt
   FROM embeddings
@@ -4724,9 +4726,7 @@ WITH emb AS (
 dup AS (
   SELECT DISTINCT b.vec_id
   FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.v, b.v)
-              / sqrt(list_dot_product(a.v, a.v)
-                     * list_dot_product(b.v, b.v)), 9)
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
         >= {SEMDEDUP_THRESHOLD}
 )
 SELECT e.vec_id, e.label, (dup.vec_id IS NULL) AS keep

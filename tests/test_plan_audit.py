@@ -448,14 +448,15 @@ def test_lm_perplexity_model_broadcasts(spark, entrymod):
     assert not a.python_in_plan
 
 
-def test_semantic_dedup_bucket_join_no_cartesian(spark, entrymod):
-    """The intra-bucket self-join is an equi-join on the orthant key —
-    never an all-pairs nested loop; cosine is a JVM fold."""
+def test_semantic_dedup_bucket_matmul_no_cartesian(spark, entrymod):
+    """Intra-bucket pair cosines ride ONE grouped Arrow/BLAS stage
+    (FlatMapGroupsInPandas, the cosine_dup idiom) — never an all-pairs
+    nested loop or an interpreted per-pair fold."""
     df = entrymod.queries()["semantic_dedup"](spark, SF_DIR)
     a = audit(df)
     assert a.joins.get("CartesianProduct", 0) == 0
     assert not a.has_nested_loop
-    assert not a.python_in_plan
+    assert "FlatMapGroupsInPandas" in a.plan
 
 
 def test_exact_substr_window_keyed_no_python(spark, entrymod):
