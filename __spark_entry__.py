@@ -1376,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "exact_substr": q_exact_substr,
         "ngram_novelty": q_ngram_novelty,
+        "incr_near_dup": q_incr_near_dup,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3028,6 +3029,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=SEMDEDUP_BITS,
     )
     return out.select("vec_id", "label", "keep")
+
+
+def q_incr_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (operators/incremental_dedup):
+    docs with doc_id % 5 == 0 arrive as the NEW batch and dedup against
+    the persisted index of the other 80% plus themselves — per-batch
+    cost, no corpus rescan. Pair orientation: doc_b is always new;
+    historical partner first, both-new pairs (min, max)."""
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        incremental_near_dup,
+        minhash_index,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    hist = d.where(F.col("doc_id") % 5 != 0)
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    idx = minhash_index(hist, num_hashes=MH_K, num_bands=MH_BANDS, seed=42)
+    pairs, _delta = incremental_near_dup(
+        batch, idx, NEAR_DUP_THRESHOLD, num_hashes=MH_K, num_bands=MH_BANDS
+    )
+    return pairs
 
 
 EXACT_SUBSTR_K = 3
@@ -4732,6 +4754,39 @@ dup AS (
 SELECT e.vec_id, e.label, (dup.vec_id IS NULL) AS keep
 FROM emb e LEFT JOIN dup ON e.vec_id = dup.vec_id
 """
+
+    qs["incr_near_dup"] = (
+        "WITH "
+        + _duck_shingles_cte()
+        + ",\nsig AS (SELECT doc_id, "
+        + ", ".join(_duck_minhash_exprs("sh"))
+        + " FROM sh_t),\n"
+        + _duck_hashed_cte()
+        + ",\nbands AS ("
+        + _duck_bands_select()
+        + f"""),
+cand AS (
+  -- incremental semantics: only pairs whose doc_b face is the new
+  -- batch (doc_id mod 5 = 0); historical partner rides as doc_a
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE b.doc_id % 5 = 0 AND a.doc_id != b.doc_id
+    AND (a.doc_id % 5 != 0 OR a.doc_id < b.doc_id)
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+                    THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                         / len(list_distinct(list_concat(sa.hs, sb.hs)))
+                    ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN hsh sa ON sa.doc_id = c.doc_a
+  JOIN hsh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+"""
+    )
 
     # shingle strings group-by replaces Spark's xxhash64 grouping —
     # identical span/novelty semantics (collisions are ~n²/2⁶⁵)

@@ -1,0 +1,160 @@
+"""Incremental MinHash-LSH near-dup against a persisted index.
+
+``q_near_dup`` (the batch formulation) rescans and re-signs the WHOLE
+corpus every run — correct for a one-shot job, wrong for a corpus that
+grows by continuous ingest: at 100 TB you cannot afford to re-shingle
+petabytes to admit a 10 GB batch. The standard production shape (same
+posture as ``operators/incremental.py``'s partial-aggregate lifting) is
+an **index you maintain**:
+
+- ``minhash_index`` distills a corpus (or a batch) into two frames:
+  ``bands`` (doc, band, key — the LSH postings) and ``hashes`` (doc,
+  distinct 60-bit shingle hashes — the verification sets). Both are
+  write-once parquet/Delta appends, sized ~O(corpus docs), and both
+  join on narrow keys.
+- ``incremental_near_dup`` dedups a NEW batch in one pass: candidates =
+  (batch bands ⋈ index bands) ∪ (batch self-join), verified by exact
+  Jaccard over the hash sets, emitting ``(doc_a, doc_b, jaccard)``
+  where ``doc_b`` is always the new document (historical partner first,
+  both-new pairs canonicalized ``min, max``). Appending the batch's own
+  index frames to the store completes the increment.
+
+Per-batch cost scales with the BATCH (its shingling, its band joins),
+never with the corpus: the index side of the candidate join is an
+equi-join on (band, key) — bucket the stored postings by key at write
+time (``sinks/parquet`` bucketing / Z-order in ``maintenance.py``) and
+the shuffle touches only matching buckets. Nothing rescans history;
+the verification join fetches only the candidates' hash sets.
+
+Matches the batch operator exactly: running increments over any split
+of a corpus yields the same verified pair set as ``q_near_dup`` on the
+union, restricted to pairs involving the new docs (property-tested).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    minhash_bands,
+    minhash_from_hashes,
+    ngram_jaccard,
+    shingle_hashes,
+    shingles,
+)
+
+
+@dataclass(frozen=True)
+class MinHashIndexFrames:
+    """The two persisted faces of the LSH index (see module docstring)."""
+
+    bands: DataFrame  # id, band, key
+    hashes: DataFrame  # id, hs: array<long>
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 8,
+    seed: int = 42,
+) -> MinHashIndexFrames:
+    """Build the index frames for a corpus or batch. ``num_hashes`` must
+    split evenly into ``num_bands`` (rows_per_band = the quotient)."""
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into num_bands"
+            f" ({num_bands})"
+        )
+    rows = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_n, "word").alias("__sh"),
+    )
+    hashes = sh.select(
+        id_col, F.array_distinct(shingle_hashes(F.col("__sh"))).alias("hs")
+    )
+    sig = hashes.select(
+        id_col, minhash_from_hashes(F.col("hs"), num_hashes, seed).alias("__sig")
+    )
+    bands = sig.select(
+        id_col,
+        F.explode(minhash_bands(F.col("__sig"), num_bands, rows)).alias("__b"),
+    ).select(
+        id_col,
+        F.col("__b.band").alias("band"),
+        F.col("__b.key").alias("key"),
+    )
+    return MinHashIndexFrames(bands=bands, hashes=hashes)
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    index: MinHashIndexFrames | None,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 8,
+    seed: int = 42,
+    round_to: int = 6,
+) -> tuple[DataFrame, MinHashIndexFrames]:
+    """Verified near-dup pairs for a new batch, plus the batch's index
+    delta (append it to the store to complete the increment).
+
+    ``index=None`` bootstraps: the batch dedups only against itself.
+    Batch ids must be disjoint from index ids (ingest's append
+    contract); hash-verification joins would silently mispair otherwise.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    delta = minhash_index(
+        batch, text_col, id_col, shingle_n, num_hashes, num_bands, seed
+    )
+    bb = delta.bands
+    self_pairs = (
+        bb.alias("a")
+        .join(bb.alias("b"), ["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+    if index is not None:
+        cross = (
+            index.bands.alias("i")
+            .join(bb.alias("n"), ["band", "key"])
+            .select(
+                F.col(f"i.{id_col}").alias("doc_a"),
+                F.col(f"n.{id_col}").alias("doc_b"),
+            )
+        )
+        cand = cross.unionByName(self_pairs).distinct()
+        all_hashes = index.hashes.unionByName(delta.hashes)
+    else:
+        cand = self_pairs.distinct()
+        all_hashes = delta.hashes
+    hs_a = all_hashes.select(
+        F.col(id_col).alias("doc_a"), F.col("hs").alias("__hs_a")
+    )
+    hs_b = delta.hashes.select(
+        F.col(id_col).alias("doc_b"), F.col("hs").alias("__hs_b")
+    )
+    verified = (
+        cand.join(hs_a, "doc_a")
+        .join(hs_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(ngram_jaccard(F.col("__hs_a"), F.col("__hs_b")), round_to),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified, delta

@@ -249,3 +249,65 @@ def test_ngram_novelty_order_and_short_docs(spark):
     assert out[1]["novelty"] == 1.0 and out[1]["n_shingles"] == 2
     assert out[2]["novelty"] == 0.5
     assert out[3]["n_shingles"] == 0 and out[3]["novelty"] is None
+
+
+# ----------------------------------------------------- incremental_dedup ----
+def test_incremental_near_dup_matches_batch_restriction(spark):
+    """Increments over any corpus split must equal the batch q_near_dup
+    pair set restricted to pairs involving new docs."""
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        incremental_near_dup,
+        minhash_index,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely different words about spark and parquet files"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "words about spark and parquet files completely different"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    hist = df.where("doc_id < 3")
+    batch = df.where("doc_id >= 3")
+
+    idx = minhash_index(hist, num_hashes=8, num_bands=4)
+    pairs, delta = incremental_near_dup(
+        batch, idx, 0.3, num_hashes=8, num_bands=4
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    # full-corpus reference: index everything, self-dedup, keep pairs
+    # touching the batch
+    full_idx_pairs, _ = incremental_near_dup(
+        df, None, 0.3, num_hashes=8, num_bands=4
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in full_idx_pairs.collect()
+        if r["doc_b"] >= 3 or r["doc_a"] >= 3
+    }
+    assert got == want
+    # doc 3 duplicates docs 0 (exact) and 1 (near)
+    assert (0, 3) in got and got[(0, 3)] == 1.0
+    # the delta is appendable: same schemas as the index
+    assert delta.bands.columns == idx.bands.columns
+    assert delta.hashes.columns == idx.hashes.columns
+
+
+def test_incremental_near_dup_bootstrap_and_validation(spark):
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        incremental_near_dup,
+        minhash_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    pairs, _ = incremental_near_dup(df, None, 0.3, num_hashes=8, num_bands=4)
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(1, 2)]
+    with pytest.raises(ValueError):
+        incremental_near_dup(df, None, 0.0)
+    with pytest.raises(ValueError):
+        minhash_index(df, num_hashes=7, num_bands=4)
