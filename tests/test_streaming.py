@@ -620,3 +620,78 @@ def test_streaming_zscore_restart_no_double_emission(spark, tmp_path):
     run("r3")
     run("r4")  # repeated restarts with no data: still exactly one flag
     assert spark.read.parquet(sink).count() == 1
+
+
+def test_streaming_near_dup_index_maintained(spark, tmp_path):
+    """Two micro-batches through the index-maintaining near-dup filter:
+    batch-2 near-dups of batch-1 survivors are dropped, survivors land
+    in the sink, and the index holds exactly the survivors."""
+    import json as _json
+
+    from lakehouse_ingestion_spark.streaming.near_dup import (
+        near_dup_foreach_batch,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    indir = tmp_path / "nd_in"
+    indir.mkdir()
+    b1 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "entirely different content about spark jobs"},
+        # in-batch exact dup of doc 1 -> dropped inside batch 1
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog"},
+    ]
+    b2 = [
+        # near-dup of the INDEXED doc 1 -> dropped cross-batch
+        {"doc_id": 11, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 12, "text": "fresh words never seen before in any batch"},
+    ]
+    (indir / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in b1) + "\n"
+    )
+    (indir / "b2.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in b2) + "\n"
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    out = str(tmp_path / "nd_out")
+    dups = str(tmp_path / "nd_dups")
+    bands_p = str(tmp_path / "nd_bands")
+    hashes_p = str(tmp_path / "nd_hashes")
+
+    fn = near_dup_foreach_batch(
+        (bands_p, hashes_p),
+        threshold=0.3,
+        sink=lambda df, _e: df.write.mode("append").parquet(out),
+        dup_sink=lambda df, _e: df.write.mode("append").parquet(dups),
+        num_hashes=8,
+        num_bands=4,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "nd_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 12}
+    dup_rows = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(dups).collect()
+    }
+    assert set(dup_rows) == {3, 11}
+    assert dup_rows[3] == (1, 1.0)  # exact in-batch dup
+    assert dup_rows[11][0] == 1  # cross-batch near-dup of indexed doc
+    # index holds exactly the survivors (duplicates never poison it)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(hashes_p).collect()
+    } == {1, 2, 12}
