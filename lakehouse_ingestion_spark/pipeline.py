@@ -314,6 +314,20 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             k=int(o.get("k", 8)),
             min_occurrences=int(o.get("min_occurrences", 2)),
         )
+    if op == "compress_filter":
+        from lakehouse_ingestion_spark.operators.compressibility import (
+            compressibility_filter,
+        )
+
+        out = compressibility_filter(
+            df,
+            min_ratio=float(o.get("min_ratio", 0.15)),
+            text_col=o.get("text_col", "text"),
+            min_chars=int(o.get("min_chars", 64)),
+        )
+        if o.get("keep_only", False):
+            return out.filter(F.col("keep_compress")).drop("keep_compress")
+        return out
     if op == "ngram_novelty":
         from lakehouse_ingestion_spark.operators.substr_dedup import (
             ngram_novelty,

@@ -311,3 +311,44 @@ def test_incremental_near_dup_bootstrap_and_validation(spark):
         incremental_near_dup(df, None, 0.0)
     with pytest.raises(ValueError):
         minhash_index(df, num_hashes=7, num_bands=4)
+
+
+# ------------------------------------------------------ compressibility ----
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from lakehouse_ingestion_spark.operators.compressibility import (
+        compression_ratio,
+    )
+
+    texts = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 10),  # redundant
+        (2, "the quick brown fox jumps over the lazy dog and then naps"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["compress_ratio"] for r in compression_ratio(df).collect()}
+    for i, t in texts:
+        if not t:
+            assert got[i] is None
+        else:
+            raw = t.encode("utf-8")
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[1] < got[2]  # boilerplate compresses harder than prose
+    with pytest.raises(ValueError):
+        compression_ratio(df, level=10)
+
+
+def test_compressibility_filter_short_doc_passes(spark):
+    from lakehouse_ingestion_spark.operators.compressibility import (
+        compressibility_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "zz" * 500), (2, "short"), (3, "genuine prose with many distinct words here today" * 3)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["keep_compress"] for r in compressibility_filter(df, min_ratio=0.15).collect()}
+    assert out[1] is False   # extreme redundancy
+    assert out[2] is True    # under min_chars: passes unconditionally
+    assert out[3] is True
