@@ -1377,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr": q_exact_substr,
         "ngram_novelty": q_ngram_novelty,
         "incr_near_dup": q_incr_near_dup,
+        "resample": q_resample,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3029,6 +3030,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=SEMDEDUP_BITS,
     )
     return out.select("vec_id", "label", "keep")
+
+
+RESAMPLE_STEP = 3600
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid with forward fill (operators/resample):
+    bucket -> last-per-cell aggregation -> per-key sequence explode ->
+    grid join -> one ffill window. Grid timestamps emitted as epoch
+    seconds (both engines floor identically)."""
+    from lakehouse_ingestion_spark.operators.resample import resample_ffill
+
+    e = _t(spark, sf_dir, "events")
+    out = resample_ffill(
+        e, ["user_id"], "ts", "value", RESAMPLE_STEP
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("grid_ts").alias("grid_epoch"),
+        "value",
+        "value_ffill",
+    )
 
 
 def q_incr_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4753,6 +4776,34 @@ dup AS (
 )
 SELECT e.vec_id, e.label, (dup.vec_id IS NULL) AS keep
 FROM emb e LEFT JOIN dup ON e.vec_id = dup.vec_id
+"""
+
+    qs["resample"] = f"""
+WITH obs0 AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT // {RESAMPLE_STEP} AS bkt,
+         floor(epoch(ts))::BIGINT AS tse, value,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts))::BIGINT // {RESAMPLE_STEP}
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM events
+),
+obs AS (SELECT user_id, bkt, value FROM obs0 WHERE rn = 1),
+spans AS (
+  SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(b0, b1 + 1)) AS bkt FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.bkt, o.value,
+         last_value(o.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+)
+SELECT user_id, bkt * {RESAMPLE_STEP} AS grid_epoch, value, value_ffill
+FROM joined
 """
 
     qs["incr_near_dup"] = (

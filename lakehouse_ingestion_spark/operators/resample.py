@@ -1,0 +1,98 @@
+"""Time-series resampling: regular grid + gap filling per key.
+
+The standard feature-engineering step Spark lacks as a built-in:
+sensor/event streams arrive irregularly; models and dashboards want a
+regular grid with gaps carried forward (pandas ``resample().ffill()``,
+TimescaleDB ``time_bucket_gapfill``, InfluxDB ``fill(previous)``).
+
+DataFrame-algebra formulation (no Python, no iteration):
+
+1. bucket every observation to its grid cell (integer division on
+   epoch seconds — pure codegen);
+2. ONE aggregation keyed (key, bucket) keeps the LAST observation per
+   cell (``max_by`` on the timestamp — partial-aggregates map-side);
+3. per key, the grid materializes from min..max bucket via
+   ``sequence`` + explode — grid size is data-bounded per key
+   (span/step cells), and the explode is map-only off a one-row-per-key
+   aggregate, NOT a join against a generated calendar table;
+4. a left join places observations on the grid; forward fill is
+   ``last(value, ignorenulls=True)`` over the per-key bucket order —
+   one window pass over the grid (already the join's partitioning).
+
+100-TB posture: two keyed shuffles (cell aggregation, grid join) plus
+the per-key window; grid volume = Σ_key span/step — the caller chooses
+``step``, so the operator never amplifies data unboundedly on its own;
+a key with a pathological span surfaces as its own grid partition
+(AQE-splittable), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    out_ts_col: str = "grid_ts",
+    fill_col: str | None = None,
+) -> DataFrame:
+    """Per-key regular grid at ``step_seconds`` with forward fill.
+
+    Output: one row per (key, grid cell) from each key's first to last
+    observation (inclusive), with ``value_col`` = the last observation
+    in that cell, ``fill_col`` (default ``<value_col>_ffill``) = the
+    cell value carried forward across empty cells. Leading cells before
+    a key's first observation do not exist (the grid starts at the
+    first observation, so the fill never fabricates a value). The grid
+    timestamp is the CELL START, UTC-epoch anchored.
+    """
+    if not key_cols:
+        raise ValueError("resample_ffill needs at least one key column")
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    filled = fill_col or f"{value_col}_ffill"
+
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+    obs = (
+        df.select(
+            *key_cols,
+            bucket.alias("__bkt"),
+            F.col(ts_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(*key_cols, "__bkt")
+        .agg(
+            # last observation in the cell wins (max ts; ties broken by
+            # value to stay deterministic under equal timestamps)
+            F.max_by(F.col("__v"), F.struct("__ts", "__v")).alias("__v")
+        )
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("__bkt").alias("__b0"), F.max("__bkt").alias("__b1")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__b0"), F.col("__b1"))).alias("__bkt"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [*key_cols, "__bkt"], "left")
+        .withColumn(filled, F.last("__v", ignorenulls=True).over(w))
+        .select(
+            *key_cols,
+            F.timestamp_seconds(F.col("__bkt") * step_seconds).alias(
+                out_ts_col
+            ),
+            F.col("__v").alias(value_col),
+            F.col(filled),
+        )
+    )

@@ -352,3 +352,34 @@ def test_compressibility_filter_short_doc_passes(spark):
     assert out[1] is False   # extreme redundancy
     assert out[2] is True    # under min_chars: passes unconditionally
     assert out[3] is True
+
+
+# ------------------------------------------------------------- resample ----
+def test_resample_ffill_grid_and_fill(spark):
+    from lakehouse_ingestion_spark.operators.resample import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:05:00", 1.0),
+            ("a", "2024-01-01 00:50:00", 2.0),   # same hour: last wins
+            ("a", "2024-01-01 03:10:00", 9.0),   # 2 empty hours between
+            ("b", "2024-01-01 10:00:00", 5.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_ffill(df, ["k"], "ts", "v", 3600)
+    rows = {
+        (r["k"], r["grid_ts"].hour): (r["v"], r["v_ffill"])
+        for r in out.collect()
+    }
+    # key a: hours 0..3; hour 0 keeps last obs (2.0); 1-2 filled; 3 = 9.0
+    assert rows[("a", 0)] == (2.0, 2.0)
+    assert rows[("a", 1)] == (None, 2.0)
+    assert rows[("a", 2)] == (None, 2.0)
+    assert rows[("a", 3)] == (9.0, 9.0)
+    # key b: single cell, no fabricated leading cells
+    assert [k for k in rows if k[0] == "b"] == [("b", 10)]
+    with pytest.raises(ValueError):
+        resample_ffill(df, [], "ts", "v", 3600)
+    with pytest.raises(ValueError):
+        resample_ffill(df, ["k"], "ts", "v", 0)
