@@ -479,3 +479,25 @@ def test_ngram_novelty_two_shuffles_no_python(spark, entrymod):
     assert a.joins.get("CartesianProduct", 0) == 0
     assert not a.has_nested_loop
     assert not a.python_in_plan
+
+
+def test_incr_near_dup_no_cartesian_batch_sized(spark, entrymod):
+    """Candidates come from (band, key) equi-joins — batch vs index and
+    batch self — never a cartesian; verification joins fetch only the
+    candidates' hash sets."""
+    df = entrymod.queries()["incr_near_dup"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_resample_grid_from_spans_no_calendar_join(spark, entrymod):
+    """The grid explodes from the one-row-per-key span aggregate (no
+    generated-calendar join); the ffill window is keyed per user."""
+    df = entrymod.queries()["resample"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+    assert "Window" in a.plan and "user_id" in a.plan
