@@ -1378,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "incr_near_dup": q_incr_near_dup,
         "resample": q_resample,
+        "resample_interp": q_resample_interp,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3051,6 +3052,32 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("grid_ts").alias("grid_epoch"),
         "value",
         "value_ffill",
+    )
+
+
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across grid gaps (operators/resample
+    .resample_interpolate): straight-line between the surrounding
+    observed cells, carry-forward after the last one. Weights on cell
+    indices; round(6) pins the cross-engine float division."""
+    from lakehouse_ingestion_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    # round_to=None: interpolation weights are small-integer ratios, so
+    # exact .xx5 decimal ties are COMMON — Spark round (HALF_UP on the
+    # shortest repr) and DuckDB round (half-even) then disagree in the
+    # last digit. The raw doubles are bit-identical (same IEEE expr both
+    # engines); the harness's own uniform rounding compares them.
+    out = resample_interpolate(
+        e, ["user_id"], "ts", "value", RESAMPLE_STEP, round_to=None
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("grid_ts").alias("grid_epoch"),
+        "value",
+        "value_interp",
     )
 
 
@@ -4804,6 +4831,49 @@ joined AS (
 )
 SELECT user_id, bkt * {RESAMPLE_STEP} AS grid_epoch, value, value_ffill
 FROM joined
+"""
+
+    qs["resample_interp"] = f"""
+WITH obs0 AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT // {RESAMPLE_STEP} AS bkt,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id, floor(epoch(ts))::BIGINT // {RESAMPLE_STEP}
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM events
+),
+obs AS (SELECT user_id, bkt, value FROM obs0 WHERE rn = 1),
+spans AS (
+  SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(b0, b1 + 1)) AS bkt FROM spans
+),
+j AS (
+  SELECT g.user_id, g.bkt, o.value
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+),
+aug AS (
+  SELECT user_id, bkt, value,
+         last_value(value IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN value IS NOT NULL THEN bkt END IGNORE NULLS)
+           OVER wb AS pb,
+         first_value(CASE WHEN value IS NOT NULL THEN bkt END IGNORE NULLS)
+           OVER wf AS nb,
+         first_value(value IGNORE NULLS) OVER wf AS nv
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY bkt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bkt
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bkt * {RESAMPLE_STEP} AS grid_epoch, value,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN nb IS NOT NULL
+            THEN pv + (nv - pv) * (bkt - pb) / (nb - pb)
+            ELSE pv END AS value_interp
+FROM aug
 """
 
     qs["incr_near_dup"] = (

@@ -96,3 +96,67 @@ def resample_ffill(
             F.col(filled),
         )
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    out_ts_col: str = "grid_ts",
+    fill_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-key regular grid with LINEAR interpolation across gaps
+    (pandas ``resample().interpolate()``): empty cells between two
+    observed cells get the straight-line value; cells after the last
+    observation carry it forward (nothing to interpolate toward).
+    Interpolation weights use CELL indices (each observed cell is
+    represented by its last observation, per ``resample_ffill``).
+
+    Same shuffle structure as ``resample_ffill`` plus one backward
+    window pass (next observed cell); ``round_to`` rounds the
+    interpolated value so cross-engine float division agrees.
+    """
+    if not key_cols:
+        raise ValueError("resample_interpolate needs at least one key column")
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    filled = fill_col or f"{value_col}_interp"
+
+    base = resample_ffill(
+        df, key_cols, ts_col, value_col, step_seconds, out_ts_col, "__prev_v"
+    )
+    bkt = (F.unix_timestamp(F.col(out_ts_col)) / step_seconds).cast("long")
+    base = base.withColumn("__bkt", bkt)
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bkt")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bkt = F.when(F.col(value_col).isNotNull(), F.col("__bkt"))
+    out = (
+        base.withColumn("__pb", F.last(obs_bkt, ignorenulls=True).over(wb))
+        .withColumn("__nb", F.first(obs_bkt, ignorenulls=True).over(wf))
+        .withColumn("__nv", F.first(value_col, ignorenulls=True).over(wf))
+    )
+    interp = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col)
+    ).when(
+        F.col("__nb").isNotNull(),
+        F.col("__prev_v")
+        + (F.col("__nv") - F.col("__prev_v"))
+        * (F.col("__bkt") - F.col("__pb"))
+        / (F.col("__nb") - F.col("__pb")),
+    ).otherwise(F.col("__prev_v"))
+    if round_to is not None:
+        interp = F.round(interp, round_to)
+    return out.withColumn(filled, interp).select(
+        *key_cols, out_ts_col, value_col, filled
+    )

@@ -383,3 +383,27 @@ def test_resample_ffill_grid_and_fill(spark):
         resample_ffill(df, [], "ts", "v", 3600)
     with pytest.raises(ValueError):
         resample_ffill(df, ["k"], "ts", "v", 0)
+
+
+def test_resample_interpolate_linear_and_tail(spark):
+    from lakehouse_ingestion_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1.0),
+            ("a", "2024-01-01 03:00:00", 7.0),   # 2 empty hours between
+            ("a", "2024-01-01 04:30:00", 4.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["grid_ts"].hour: (r["v"], r["v_interp"])
+        for r in resample_interpolate(df, ["k"], "ts", "v", 3600).collect()
+    }
+    assert out[0] == (1.0, 1.0)
+    assert out[1] == (None, 3.0)   # 1 + (7-1)*1/3
+    assert out[2] == (None, 5.0)   # 1 + (7-1)*2/3
+    assert out[3] == (7.0, 7.0)
+    assert out[4] == (4.0, 4.0)
