@@ -135,16 +135,22 @@ def resample_interpolate(
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wf = (
+    # "next observed cell" = running last(ignorenulls) over the grid in
+    # REVERSE bucket order. A [CURRENT ROW, UNBOUNDED FOLLOWING] frame
+    # computes the same thing but Spark's UnboundedFollowing frame
+    # re-scans current..end PER ROW — O(cells²) per key (measured 151 s
+    # vs 13 s at sf1 on 10.5M grid rows / ~7k cells per key); the
+    # reversed running frame is the O(cells) formulation.
+    wr = (
         Window.partitionBy(*key_cols)
-        .orderBy("__bkt")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_bkt = F.when(F.col(value_col).isNotNull(), F.col("__bkt"))
     out = (
         base.withColumn("__pb", F.last(obs_bkt, ignorenulls=True).over(wb))
-        .withColumn("__nb", F.first(obs_bkt, ignorenulls=True).over(wf))
-        .withColumn("__nv", F.first(value_col, ignorenulls=True).over(wf))
+        .withColumn("__nb", F.last(obs_bkt, ignorenulls=True).over(wr))
+        .withColumn("__nv", F.last(value_col, ignorenulls=True).over(wr))
     )
     interp = F.when(
         F.col(value_col).isNotNull(), F.col(value_col)
