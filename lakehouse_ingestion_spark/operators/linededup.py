@@ -50,6 +50,8 @@ def line_stats(
     Blank lines are kept (pos must stay dense for reassembly) but
     hash to the empty-string bucket, which any sane threshold drops.
     """
+    # NB: Spark split() treats the separator as a REGEX — fine for the
+    # default "\n"; callers passing metacharacters must escape them
     lines = F.split(F.col(text_col), F.lit(line_sep), -1)
     ex = df.select(
         F.col(id_col),

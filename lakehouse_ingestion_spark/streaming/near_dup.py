@@ -68,13 +68,18 @@ def near_dup_foreach_batch(
     bands_path, hashes_path = index_paths
 
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             index: MinHashIndexFrames | None = MinHashIndexFrames(
                 bands=spark.read.parquet(bands_path),
                 hashes=spark.read.parquet(hashes_path),
             )
-        except Exception:  # first batch: no index yet
+        except AnalysisException:
+            # PATH_NOT_FOUND on the first batch: bootstrap. Any other
+            # failure (corrupt footer, permission) must surface — a
+            # swallowed index-read error would silently disable dedup.
             index = None
         batch_df.persist()
         try:
