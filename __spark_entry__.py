@@ -1379,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_near_dup": q_incr_near_dup,
         "resample": q_resample,
         "resample_interp": q_resample_interp,
+        "snapshot_diff": q_snapshot_diff,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3031,6 +3032,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=SEMDEDUP_BITS,
     )
     return out.select("vec_id", "label", "keep")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff (operators/diff.snapshot_diff): the 'new'
+    snapshot is built deterministically from the fixture (drop
+    doc_id%7==0, append ' v2' to text where doc_id%5==0, add shifted
+    copies where doc_id%11==0) so both engines diff identical inputs.
+    One full-outer join on the key; length-prefixed null-tagged md5
+    content hashes."""
+    from lakehouse_ingestion_spark.operators.diff import snapshot_diff
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    base = d.where(did % 7 != 0)
+    modified = base.withColumn(
+        "text",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = d.where(did % 11 == 0).withColumn("doc_id", did + 1000000)
+    new = modified.unionByName(added)
+    out = snapshot_diff(d, new, ["doc_id"], ["text", "lang", "source"])
+    return out.select("doc_id", "old_hash", "new_hash", "diff_status")
 
 
 RESAMPLE_STEP = 3600
@@ -4831,6 +4856,35 @@ joined AS (
 )
 SELECT user_id, bkt * {RESAMPLE_STEP} AS grid_epoch, value, value_ffill
 FROM joined
+"""
+
+    _dhash = (
+        "md5("
+        + " || ".join(
+            f"CASE WHEN {c} IS NULL THEN 'N:' "
+            f"ELSE 'V' || length({c}::VARCHAR)::VARCHAR || ':' || {c}::VARCHAR END"
+            for c in ("text", "lang", "source")
+        )
+        + ")"
+    )
+    qs["snapshot_diff"] = f"""
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+o AS (SELECT doc_id, {_dhash} AS old_hash FROM documents),
+n AS (SELECT doc_id, {_dhash} AS new_hash FROM newsnap)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
     qs["resample_interp"] = f"""

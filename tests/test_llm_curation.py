@@ -407,3 +407,52 @@ def test_resample_interpolate_linear_and_tail(spark):
     assert out[2] == (None, 5.0)   # 1 + (7-1)*2/3
     assert out[3] == (7.0, 7.0)
     assert out[4] == (4.0, 4.0)
+
+
+# ----------------------------------------------------------------- diff ----
+def test_snapshot_diff_statuses(spark):
+    from lakehouse_ingestion_spark.operators.diff import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        "id long, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (4, "d", "z")],
+        "id long, v string, w string",
+    )
+    got = {
+        r["id"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {
+        r["diff_status"]: r["n_rows"]
+        for r in diff_summary(old, new, ["id"]).collect()
+    }
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_hash_boundaries_and_nulls(spark):
+    """Field boundaries and NULL vs '' must not collide (the length-
+    prefixed null-tagged hash contract)."""
+    from lakehouse_ingestion_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "ab", "c"), (2, None, "q")], "id long, v string, w string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "bc"), (2, "", "q")], "id long, v string, w string"
+    )
+    got = {
+        r["id"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, ["id"], ["nope"])
