@@ -132,3 +132,49 @@ def test_ngram_novelty_bounds_and_first_doc(spark, data, k):
         else:
             assert rows[i]["n_shingles"] == 0
             assert rows[i]["novelty"] is None
+
+
+# ------------------------------------------------------------- resample ----
+ts_strat = st.integers(0, 60 * 60 * 8)  # seconds across 8 hours
+obs = st.lists(
+    st.tuples(st.sampled_from("ab"), ts_strat, st.integers(-5, 5)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=obs)
+def test_resample_ffill_matches_pandas(spark, data):
+    """Hourly ffill grid must equal pandas' resample('h').last().ffill()
+    per key (pandas keeps the last observation per cell and carries it
+    forward — the exact operator contract)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from lakehouse_ingestion_spark.operators.resample import resample_ffill
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in data
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        (r["k"], r["grid_ts"]): r["v_ffill"]
+        for r in resample_ffill(df, ["k"], "ts", "v", 3600).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    want = {}
+    for k, g in pdf.groupby("k"):
+        # same tie-break as the operator: max ts, then max value
+        g = g.sort_values(["ts", "v"]).set_index("ts")
+        ser = g["v"].resample("h").last().ffill()
+        # pandas grid spans min..max cell like the operator
+        for t, v in ser.items():
+            want[(k, t.to_pydatetime())] = v
+    assert got == want, (sorted(got.items()), sorted(want.items()))
