@@ -3001,13 +3001,11 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the CCNet self-scoring setup), scored as mean -log2 P(w|prev)
     per document. Model counts broadcast; scoring is one shuffle."""
     from lakehouse_ingestion_spark.operators.lm_score import (
-        score_perplexity,
-        train_bigram_lm,
+        self_score_perplexity,
     )
 
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    bg, ctx, v = train_bigram_lm(d)
-    out = score_perplexity(d, bg, ctx, v, k=1.0)
+    out = self_score_perplexity(d, k=1.0)
     return out.select(
         "doc_id", F.round("bits_per_token", 6).alias("bits_per_token")
     )

@@ -112,3 +112,49 @@ def score_perplexity(
     neg_log2 = -F.log2(F.col("__p"))
     scored = joined.groupBy(id_col).agg(F.avg(neg_log2).alias(out_col))
     return df.join(scored, id_col, "left")
+
+
+def self_score_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    out_col: str = "bits_per_token",
+) -> DataFrame:
+    """Train on ``df`` and score ``df`` (the CCNet self-scoring setup)
+    sharing ONE bigram explode: train/score/vocab each need the exploded
+    corpus, and composing ``train_bigram_lm`` + ``score_perplexity``
+    re-tokenizes it three times (the vocab count is an eager job). The
+    exploded frame persists across the three uses — the standard
+    cache-the-shared-subtree trade: explode output is ~tokens-sized, so
+    at true 100 TB prefer the recompute (drop the persist) or write the
+    bigram frame once and read it back.
+    """
+    if k <= 0:
+        raise ValueError(f"add-k smoothing needs k > 0, got {k}")
+    bg_rows = _bigrams(df, text_col, id_col).persist()
+    bigram_counts = bg_rows.groupBy("prev", "word").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    context_counts = bigram_counts.groupBy("prev").agg(
+        F.sum("c_bg").alias("c_ctx")
+    )
+    vocab_size = bigram_counts.select("word").distinct().count()
+    joined = (
+        bg_rows.join(F.broadcast(bigram_counts), ["prev", "word"], "left")
+        .join(F.broadcast(context_counts), ["prev"], "left")
+        .select(
+            id_col,
+            (
+                (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(k))
+                / (
+                    F.coalesce(F.col("c_ctx"), F.lit(0))
+                    + F.lit(k) * vocab_size
+                )
+            ).alias("__p"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.avg(-F.log2(F.col("__p"))).alias(out_col)
+    )
+    return df.join(scored, id_col, "left")

@@ -280,15 +280,13 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
         # self-scoring: train the bigram LM on this frame and attach
         # bits_per_token (CCNet-style LM filtering signal)
         from lakehouse_ingestion_spark.operators.lm_score import (
-            score_perplexity,
-            train_bigram_lm,
+            self_score_perplexity,
         )
 
-        tc = o.get("text_col", "text")
-        ic = o.get("id_col", "doc_id")
-        bg, ctx, v = train_bigram_lm(df, text_col=tc, id_col=ic)
-        return score_perplexity(
-            df, bg, ctx, v, text_col=tc, id_col=ic,
+        return self_score_perplexity(
+            df,
+            text_col=o.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
             k=float(o.get("k", 1.0)),
         )
     if op == "semantic_dedup":

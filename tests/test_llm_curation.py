@@ -456,3 +456,28 @@ def test_snapshot_diff_hash_boundaries_and_nulls(spark):
         snapshot_diff(old, new, [])
     with pytest.raises(ValueError):
         snapshot_diff(old, new, ["id"], ["nope"])
+
+
+def test_self_score_matches_composed_train_score(spark):
+    from lakehouse_ingestion_spark.operators.lm_score import (
+        score_perplexity,
+        self_score_perplexity,
+        train_bigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b d"), (3, "")],
+        "doc_id long, text string",
+    )
+    bg, ctx, v = train_bigram_lm(df)
+    composed = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in score_perplexity(df, bg, ctx, v).collect()
+    }
+    fused = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in self_score_perplexity(df).collect()
+    }
+    assert composed == fused
+    with pytest.raises(ValueError):
+        self_score_perplexity(df, k=0)
