@@ -1380,6 +1380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "resample_interp": q_resample_interp,
         "snapshot_diff": q_snapshot_diff,
+        "histogram": q_histogram,
+        "corr_panel": q_corr_panel,
+        "quantile_buckets": q_quantile_buckets,
+        "table_profile": q_table_profile,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3030,6 +3034,78 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=SEMDEDUP_BITS,
     )
     return out.select("vec_id", "label", "keep")
+
+
+HIST_BINS, HIST_LO, HIST_HI = 8, 0.0, 600_000.0
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/stats.equi_width_histogram) with
+    EXPLICIT bounds: the bucket id is a pure projection, so the whole
+    histogram is one map-side-combined aggregate; out-of-range rows
+    clamp into the edge buckets."""
+    from lakehouse_ingestion_spark.operators.stats import equi_width_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return equi_width_histogram(
+        o, "o_totalprice", HIST_BINS, lo=HIST_LO, hi=HIST_HI
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "bucket_lo",
+        "bucket_hi",
+        "n",
+    )
+
+
+def q_corr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation/covariance panel (operators/stats
+    .grouped_corr): all co-moment partials fold map-side in ONE
+    aggregate pass; round(5) bounds cross-engine fold-order drift."""
+    from lakehouse_ingestion_spark.operators.stats import grouped_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_corr(
+        li,
+        ["l_returnflag"],
+        [("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")],
+    )
+
+
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (ntile) bucketing (operators/stats
+    .quantile_buckets) over the supplier dimension — the unique-key
+    tiebreak makes the assignment total and oracle-checkable."""
+    from lakehouse_ingestion_spark.operators.stats import quantile_buckets
+
+    s = _t(spark, sf_dir, "supplier")
+    out = quantile_buckets(
+        s, "s_acctbal", 4, tiebreak=["s_suppkey"]
+    )
+    return out.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.col("q_bucket").cast("long").alias("q_bucket"),
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profile.profile_table,
+    exact_distinct for the oracle): per-column null/distinct counts and
+    string-cast extrema from ONE fused aggregate + a 1-row stack.
+    avg_len is dropped from the oracle row (float .xx5 round ties are
+    engine-divergent; it stays pytest-covered); profiled columns are
+    int/string/date typed so string casts agree across engines."""
+    from lakehouse_ingestion_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    out = profile_table(
+        o,
+        ["o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"],
+        exact_distinct=True,
+    )
+    return out.select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str"
+    )
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4855,6 +4931,49 @@ joined AS (
 SELECT user_id, bkt * {RESAMPLE_STEP} AS grid_epoch, value, value_ffill
 FROM joined
 """
+
+    _hw = (HIST_HI - HIST_LO) / HIST_BINS
+    qs["histogram"] = f"""
+WITH b AS (
+  SELECT least({HIST_BINS - 1}, greatest(0,
+           floor((o_totalprice::DOUBLE - {HIST_LO}) / {_hw})::INT)) AS bucket
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket,
+       round({HIST_LO} + bucket * {_hw}, 6) AS bucket_lo,
+       round({HIST_LO} + (bucket + 1) * {_hw}, 6) AS bucket_hi,
+       count(*) AS n
+FROM b GROUP BY bucket
+"""
+
+    qs["corr_panel"] = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 5)
+         AS corr_l_quantity_l_extendedprice,
+       round(covar_samp(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 5)
+         AS covar_l_quantity_l_extendedprice,
+       round(corr(l_discount::DOUBLE, l_tax::DOUBLE), 5)
+         AS corr_l_discount_l_tax,
+       round(covar_samp(l_discount::DOUBLE, l_tax::DOUBLE), 5)
+         AS covar_l_discount_l_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    qs["quantile_buckets"] = """
+SELECT s_suppkey, s_acctbal,
+       ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS q_bucket
+FROM supplier
+"""
+
+    _prof_cols = ("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey")
+    qs["table_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}::VARCHAR) AS min_str, max({c}::VARCHAR) AS max_str
+FROM orders"""
+        for c in _prof_cols
+    )
 
     _dhash = (
         "md5("
