@@ -443,7 +443,12 @@ def test_lm_perplexity_model_broadcasts(spark, entrymod):
     the exploded corpus side must never shuffle for the model join."""
     df = entrymod.queries()["lm_perplexity"](spark, SF_DIR)
     a = audit(df)
-    assert a.broadcast_exchanges >= 2
+    # with the fused self-scoring path the bigram explode is cached and
+    # broadcast exchanges are REUSED (one physical BroadcastExchange,
+    # multiple BroadcastHashJoins) — assert the join strategy, not the
+    # exchange count
+    assert a.joins.get("BroadcastHashJoin", 0) >= 2
+    assert a.broadcast_exchanges >= 1
     assert a.joins.get("CartesianProduct", 0) == 0
     assert not a.python_in_plan
 
