@@ -43,15 +43,25 @@ _FIXED_OFFSET_RE = re.compile(
 
 
 def _is_fixed_offset_zone(tz: str) -> bool:
-    if _FIXED_OFFSET_RE.match(tz.strip()):
+    m = _FIXED_OFFSET_RE.match(tz.strip())
+    # both groups optional means the regex matches "" — require at
+    # least one to have actually matched
+    if m and (m.group(1) or m.group(2)):
         return True
     try:
-        from datetime import datetime
+        from datetime import datetime, timedelta
         from zoneinfo import ZoneInfo
 
         z = ZoneInfo(tz)
-        probes = [datetime(2025, m, 1) for m in (1, 4, 7, 10)]
-        offs = {z.utcoffset(p) for p in probes}
+        # dense probe: every 10 days across two years. Month-start
+        # probes miss zones whose entire DST window falls between them
+        # (e.g. Africa/Casablanca's Ramadan-anchored ~5-week reversal);
+        # no IANA zone has a DST interval shorter than ~3 weeks, so a
+        # 10-day grid cannot skip over one.
+        start = datetime(2025, 1, 1)
+        offs = {
+            z.utcoffset(start + timedelta(days=d)) for d in range(0, 730, 10)
+        }
         return len(offs) == 1
     except Exception:
         # unresolvable zone: claim nothing — callers treat it as unsafe

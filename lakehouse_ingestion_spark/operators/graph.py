@@ -179,6 +179,15 @@ def _star_components(
     the edge set only shrinks toward n-1 star edges — this is the
     shuffle-volume-optimal formulation for edge-heavy graphs.
     """
+    # full node set BEFORE dropping self-loops: a node whose only edge
+    # is (v, v) must still label itself (propagate/jump include it via
+    # the bidirectional view; the star output must agree)
+    all_nodes = (
+        edges.select(_checked(src).alias("node"))
+        .union(edges.select(_checked(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     cur = (
         edges.select(
             F.greatest(_checked(src), _checked(dst)).alias("x"),
@@ -221,16 +230,11 @@ def _star_components(
         nxt_count = nxt.count()
         if nxt_count == cur_count and nxt.exceptAll(cur).count() == 0:
             log.info("star CC converged after %d rounds", it + 1)
-            nodes = (
-                nxt.select(F.col("x").alias("node"))
-                .union(nxt.select(F.col("y").alias("node")))
-                .distinct()
-            )
             attached = nxt.select(
                 F.col("x").alias("node"), F.col("y").alias("cluster_id")
             )
             return (
-                nodes.join(attached, "node", "left")
+                all_nodes.join(attached, "node", "left")
                 .select(
                     "node",
                     F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),

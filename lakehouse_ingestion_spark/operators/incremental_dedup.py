@@ -78,6 +78,15 @@ def minhash_index(
     )
     hashes = sh.select(
         id_col, F.array_distinct(shingle_hashes(F.col("__sh"))).alias("hs")
+    ).where(
+        # docs shorter than the shingle width have an EMPTY hash set —
+        # their MinHash signature is the all-sentinel vector, so every
+        # short doc would share every band key with every other short
+        # doc: O(short²) candidate rows that verification then discards
+        # at jaccard 0. Excluding them is semantics-preserving (an empty
+        # set can never reach a positive threshold) and kills the
+        # quadratic blowup.
+        F.size(F.col("hs")) > 0
     )
     sig = hashes.select(
         id_col, minhash_from_hashes(F.col("hs"), num_hashes, seed).alias("__sig")

@@ -154,7 +154,13 @@ def self_score_perplexity(
             ).alias("__p"),
         )
     )
+    # materialize the doc-sized score frame, then RELEASE the
+    # token-sized bigram cache — without this every pipeline invocation
+    # leaks a corpus-of-tokens cache into executor storage for the
+    # session's lifetime (eagerness is already the contract here: the
+    # vocab count above runs jobs at call time)
     scored = joined.groupBy(id_col).agg(
         F.avg(-F.log2(F.col("__p"))).alias(out_col)
-    )
+    ).localCheckpoint(eager=True)
+    bg_rows.unpersist()
     return df.join(scored, id_col, "left")

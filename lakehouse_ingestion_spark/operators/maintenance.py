@@ -87,6 +87,19 @@ def zorder_column(
         raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
     if not 4 <= bits <= 20:
         raise ValueError(f"bits must be in [4, 20], got {bits}")
+    # every interleaved bit must fit in the 63 value bits of a signed
+    # long: position (bits-1)*ncols + (ncols-1) is the highest. Beyond
+    # 63 the top column's bit lands in the SIGN bit (rows sort negative)
+    # and shifts >= 64 wrap mod 64 in the JVM, silently scrambling the
+    # ordering — reduce bits (e.g. 4 cols -> bits <= 15).
+    n = len(columns)
+    max_pos = (bits - 1) * n + (n - 1)
+    if max_pos > 62:
+        max_bits = (63 - n) // n + 1
+        raise ValueError(
+            f"bits={bits} x {n} columns needs bit position {max_pos} — "
+            f"exceeds a signed long's 63 value bits; use bits <= {max_bits}"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(columns)],
         *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(columns)],

@@ -57,7 +57,12 @@ def resample_ffill(
         raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
     filled = fill_col or f"{value_col}_ffill"
 
-    bucket = (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+    # floor, not cast-truncation: a pre-epoch timestamp (negative epoch)
+    # must land in the cell that STARTS AT OR BEFORE it (-0.5 -> -1,
+    # not 0) — matches DuckDB's // and pandas resample
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast(
+        "long"
+    )
     obs = (
         df.select(
             *key_cols,
@@ -128,7 +133,11 @@ def resample_interpolate(
     base = resample_ffill(
         df, key_cols, ts_col, value_col, step_seconds, out_ts_col, "__prev_v"
     )
-    bkt = (F.unix_timestamp(F.col(out_ts_col)) / step_seconds).cast("long")
+    # grid timestamps are cell starts (exact multiples of step), but
+    # floor keeps the negative-epoch case aligned with resample_ffill
+    bkt = F.floor(F.unix_timestamp(F.col(out_ts_col)) / step_seconds).cast(
+        "long"
+    )
     base = base.withColumn("__bkt", bkt)
     wb = (
         Window.partitionBy(*key_cols)

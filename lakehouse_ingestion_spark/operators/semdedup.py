@@ -76,6 +76,14 @@ def semantic_dedup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # the id must be integral: a lossy cast("long") on string/float ids
+    # yields NULLs and the operator would silently mark EVERYTHING keep
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"semantic_dedup needs an integral id column; {id_col!r} is "
+            f"{id_type!r} — map string/hash ids to a surrogate long first"
+        )
     # one shuffle groups each orthant; the intra-bucket pair cosines are
     # ONE BLAS matmul per bucket (the similarity_join._block idiom —
     # ~10x the interpreted per-pair zip_with/aggregate fold this

@@ -76,10 +76,14 @@ def near_dup_foreach_batch(
                 bands=spark.read.parquet(bands_path),
                 hashes=spark.read.parquet(hashes_path),
             )
-        except AnalysisException:
-            # PATH_NOT_FOUND on the first batch: bootstrap. Any other
-            # failure (corrupt footer, permission) must surface — a
-            # swallowed index-read error would silently disable dedup.
+        except AnalysisException as e:
+            # ONLY a missing path (first batch) bootstraps. Any other
+            # analysis failure — unreadable dir, schema-inference
+            # failure on a half-written store — must surface: a
+            # swallowed index-read error silently disables dedup AND
+            # appends on top of the broken store.
+            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+                raise
             index = None
         batch_df.persist()
         try:
@@ -94,15 +98,23 @@ def near_dup_foreach_batch(
                 num_bands=num_bands,
                 seed=seed,
             )
-            # best partner per duplicate (max jaccard, min partner id)
-            best = pairs.groupBy("doc_b").agg(
-                F.max_by(
-                    F.struct("jaccard", "doc_a"), F.struct("jaccard", -F.col("doc_a"))
-                ).alias("__m")
-            ).select(
-                F.col("doc_b"),
-                F.col("__m.doc_a").alias("dup_of"),
-                F.col("__m.jaccard").alias("jaccard"),
+            # best partner per duplicate (max jaccard, then MIN partner
+            # id) — row_number, not max_by(struct(jaccard, -doc_a)):
+            # unary minus breaks non-numeric ids (ANSI: runtime error;
+            # non-ANSI: NULL -> nondeterministic tie-break)
+            from pyspark.sql import Window as W
+
+            best = (
+                pairs.withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        W.partitionBy("doc_b").orderBy(
+                            F.col("jaccard").desc(), F.col("doc_a").asc()
+                        )
+                    ),
+                )
+                .where(F.col("__rk") == 1)
+                .select("doc_b", F.col("doc_a").alias("dup_of"), "jaccard")
             )
             # MATERIALIZE before any index append: best's plan reads the
             # index paths, and the bands append below would otherwise be
@@ -129,14 +141,21 @@ def near_dup_foreach_batch(
                     dup_sink(dup_rows, epoch_id)
                 sink(survivors, epoch_id)
                 # survivors' slice of the batch delta (anti-join on the
-                # duplicate ids) — duplicates must not poison the index
+                # duplicate ids) — duplicates must not poison the index.
+                # HASHES append FIRST: a crash between the two appends
+                # with bands-first leaves orphaned postings whose
+                # candidates silently vanish at the verification join
+                # (no hash set) FOREVER; hashes-first merely leaves
+                # hash rows without postings, and the redelivered batch
+                # re-appends both (duplicate hash rows are harmless to
+                # verification and compacted by maintenance).
                 dup_ids = best.select("doc_b")
-                delta.bands.join(
-                    dup_ids, delta.bands[id_col] == F.col("doc_b"), "left_anti"
-                ).write.mode("append").parquet(bands_path)
                 delta.hashes.join(
                     dup_ids, delta.hashes[id_col] == F.col("doc_b"), "left_anti"
                 ).write.mode("append").parquet(hashes_path)
+                delta.bands.join(
+                    dup_ids, delta.bands[id_col] == F.col("doc_b"), "left_anti"
+                ).write.mode("append").parquet(bands_path)
             finally:
                 survivors.unpersist()
         finally:

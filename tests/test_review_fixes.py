@@ -250,3 +250,96 @@ def test_pushed_filters_nested_brackets():
     plan = "Scan parquet [id] PushedFilters: [In(id, [1,2,3]), IsNotNull(id)], ReadSchema: x"
     got = _extract_bracketed(plan, "PushedFilters: ")
     assert got == ["[In(id, [1,2,3]), IsNotNull(id)]"]
+
+
+# ------------------------------------------------- round-5 review fixes ----
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "doc_a long, doc_b long"
+    )
+    for alg in ("propagate", "jump", "star"):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                edges, src="doc_a", dst="doc_b", algorithm=alg
+            ).collect()
+        }
+        assert got == {5: 5, 1: 1, 2: 1}, alg
+
+
+def test_resample_pre_epoch_floor(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.operators.resample import resample_ffill
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(1969, 12, 31, 23, 30), 1.0),
+         ("a", dt.datetime(1970, 1, 1, 0, 30), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = sorted(
+        (r["grid_ts"], r["v"])
+        for r in resample_ffill(df, ["k"], "ts", "v", 3600).collect()
+    )
+    # the pre-epoch observation lands in the 23:00 cell (floor), NOT 00:00
+    assert rows[0][0] == dt.datetime(1969, 12, 31, 23, 0)
+    assert rows[0][1] == 1.0
+    assert rows[1][0] == dt.datetime(1970, 1, 1, 0, 0)
+
+
+def test_semantic_dedup_rejects_non_integral_ids(spark):
+    import pytest as _pytest
+
+    from lakehouse_ingestion_spark.operators.semdedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "doc_id string, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="integral id"):
+        semantic_dedup(df, id_col="doc_id")
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    import pytest as _pytest
+
+    from lakehouse_ingestion_spark.operators.maintenance import zorder_column
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    with _pytest.raises(ValueError, match="63 value bits"):
+        zorder_column(df, ["a", "b", "c", "d"], bits=16)
+    # 4 cols at 15 bits fits (max position 59)
+    zorder_column(df, ["a", "b", "c", "d"], bits=15)
+
+
+def test_fixed_offset_probe_catches_short_dst_and_empty():
+    from lakehouse_ingestion_spark.functions.timeutil import (
+        _is_fixed_offset_zone,
+    )
+
+    assert not _is_fixed_offset_zone("")  # regex must not match ""
+    assert _is_fixed_offset_zone("UTC")
+    assert _is_fixed_offset_zone("+05:30")
+    assert not _is_fixed_offset_zone("Africa/Casablanca")
+    assert not _is_fixed_offset_zone("Europe/Berlin")
+    assert _is_fixed_offset_zone("Etc/GMT+5")
+
+
+def test_minhash_index_excludes_shingle_less_docs(spark):
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        incremental_near_dup,
+        minhash_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, ""), (4, "x y z w q r s t")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(df, num_hashes=8, num_bands=4)
+    banded = {r["doc_id"] for r in idx.bands.select("doc_id").distinct().collect()}
+    assert banded == {4}  # short docs carry the sentinel signature: excluded
+    pairs, _ = incremental_near_dup(df, None, 0.3, num_hashes=8, num_bands=4)
+    assert pairs.count() == 0  # and never pair quadratically
