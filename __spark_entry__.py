@@ -1307,7 +1307,11 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
     """Per-query one-time build phases the bench should time separately
     (reported as ``<name>_build``). The query itself then measures only
     the steady-state probe, which is what the ingest investment buys."""
-    return {"bucketed_join": bucketed_build, "pit_join": pit_build}
+    return {
+        "bucketed_join": bucketed_build,
+        "pit_join": pit_build,
+        "incr_near_dup": incr_build,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3180,21 +3184,52 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_incr_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash-LSH dedup (operators/incremental_dedup):
-    docs with doc_id % 5 == 0 arrive as the NEW batch and dedup against
-    the persisted index of the other 80% plus themselves — per-batch
-    cost, no corpus rescan. Pair orientation: doc_b is always new;
-    historical partner first, both-new pairs (min, max)."""
+_INCR_IDX_PATH = "/tmp/spark_graft_incr_idx"
+_incr_built_for: str | None = None
+
+
+def incr_build(spark: SparkSession, sf_dir: str) -> None:
+    """Build phase of q_incr_near_dup: persist the historical corpus's
+    MinHash index frames to parquet. The WHOLE POINT of the incremental
+    operator is that the index is an ingest-time artifact maintained as
+    batches arrive — re-deriving it inside the probe billed corpus-
+    sized work to a batch-sized operation (measured 92 s vs 47 s for
+    the full batch near_dup at sf10, inverting the operator's value).
+    The bench bills it to incr_near_dup_build; the probe measures
+    index-read + batch dedup, which is what continuous ingest pays."""
+    global _incr_built_for
     from lakehouse_ingestion_spark.operators.incremental_dedup import (
-        incremental_near_dup,
         minhash_index,
     )
 
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     hist = d.where(F.col("doc_id") % 5 != 0)
-    batch = d.where(F.col("doc_id") % 5 == 0)
     idx = minhash_index(hist, num_hashes=MH_K, num_bands=MH_BANDS, seed=42)
+    idx.bands.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/bands")
+    idx.hashes.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/hashes")
+    _incr_built_for = sf_dir
+
+
+def q_incr_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (operators/incremental_dedup):
+    docs with doc_id % 5 == 0 arrive as the NEW batch and dedup against
+    the PERSISTED index of the other 80% (incr_build — the ingest-time
+    artifact) plus themselves — per-batch cost, no corpus rescan. Pair
+    orientation: doc_b is always new; historical partner first,
+    both-new pairs (min, max)."""
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        MinHashIndexFrames,
+        incremental_near_dup,
+    )
+
+    if _incr_built_for != sf_dir:
+        incr_build(spark, sf_dir)
+    idx = MinHashIndexFrames(
+        bands=spark.read.parquet(f"{_INCR_IDX_PATH}/bands"),
+        hashes=spark.read.parquet(f"{_INCR_IDX_PATH}/hashes"),
+    )
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    batch = d.where(F.col("doc_id") % 5 == 0)
     pairs, _delta = incremental_near_dup(
         batch, idx, NEAR_DUP_THRESHOLD, num_hashes=MH_K, num_bands=MH_BANDS
     )

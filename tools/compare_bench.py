@@ -49,6 +49,12 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).select(_warm("id")).count()
 
     con = duckdb.connect()
+    # bound the oracle's memory and let it spill: at sf10 the text-heavy
+    # oracle SQL materializes corpus-sized token lists and an unbounded
+    # DuckDB (default ~80% of RAM, contending with the Spark JVM in this
+    # same process) dies with OutOfMemoryException instead
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
