@@ -1388,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_panel": q_corr_panel,
         "quantile_buckets": q_quantile_buckets,
         "table_profile": q_table_profile,
+        "bloom_dedup": q_bloom_dedup,
         # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3234,6 +3235,32 @@ def q_incr_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, idx, NEAR_DUP_THRESHOLD, num_hashes=MH_K, num_bands=MH_BANDS
     )
     return pairs
+
+
+BLOOM_EXPECTED = 500_000
+BLOOM_FPP = 0.01
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened exact membership dedup (operators/bloom): docs
+    with doc_id % 5 == 0 arrive as the batch and are flagged against
+    the text-fingerprint history of the other 80%. The filter splits
+    the batch map-side; only maybe-seen rows pay the exact semi-
+    verification, and the answer is EXACT regardless of the filter's
+    false-positive rate. Geometry is sized for ingest (BLOOM_EXPECTED
+    keys), not for this fixture — at sf beyond it the fp fraction
+    degrades gracefully while correctness is untouched."""
+    from lakehouse_ingestion_spark.operators.bloom import (
+        bloom_build,
+        bloom_dedup,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    keyed = d.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    hist = keyed.where(F.col("doc_id") % 5 != 0)
+    batch = keyed.where(F.col("doc_id") % 5 == 0)
+    blm = bloom_build(hist, "fp", expected_items=BLOOM_EXPECTED, fpp=BLOOM_FPP)
+    return bloom_dedup(batch, hist, blm, "fp").select("doc_id", "is_dup")
 
 
 EXACT_SUBSTR_K = 3
@@ -5114,6 +5141,17 @@ SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= {NEAR_DUP_THRESHOLD}
 """
     )
+
+    # the Bloom filter is invisible to semantics (fps re-verified, no
+    # fns) — the oracle is the plain exact membership check
+    qs["bloom_dedup"] = """
+SELECT b.doc_id,
+       EXISTS (SELECT 1 FROM documents h
+               WHERE h.doc_id % 5 <> 0 AND md5(h.text) = md5(b.text)
+              ) AS is_dup
+FROM documents b
+WHERE b.doc_id % 5 = 0
+"""
 
     # shingle strings group-by replaces Spark's xxhash64 grouping —
     # identical span/novelty semantics (collisions are ~n²/2⁶⁵)

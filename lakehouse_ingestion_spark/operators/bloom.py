@@ -1,0 +1,275 @@
+"""Bloom-filter membership pre-screen for incremental ingest.
+
+At 100 TB the dominant cost of "have we seen this document before?" is
+not the comparison — it is touching the history at all. The standard
+production answer is a Bloom filter maintained at ingest time: a
+bit-array sized by the EXPECTED item count (not the data), OR-mergeable
+across batches/partitions/days, that splits an incoming batch map-side
+into *definitely-new* rows (no false negatives — they skip the history
+join entirely) and *maybe-seen* rows (a small, fp-bounded fraction)
+that alone pay the exact verification join. The filter never changes
+the answer; it only shrinks the expensive path.
+
+PySpark 4 does not expose the JVM ``bloomFilter`` stat helper or the
+internal ``bloom_filter_agg`` expression, so this module builds the
+filter as DataFrame algebra — which buys properties the JVM object
+lacks for free:
+
+- **build** (``bloom_build``): k positions per key via seeded
+  ``xxhash64``, folded with ``bit_or`` into 64-bit words, densified
+  into ONE row holding an ``array<long>`` bitmap plus its config. Two
+  shuffles, both bounded by m/64 words (filter-sized, never
+  data-sized); the result is an ordinary DataFrame — persist it as
+  parquet, read it back next batch.
+- **merge** (``bloom_merge``): ``zip_with(.., x | y)`` — the union
+  filter, exactly (same positions OR'd). Per-day filters roll up to
+  per-month ones losslessly, the same contract as the HLL sketches in
+  ``operators/sketches.py``.
+- **probe** (``bloom_screen``): the 1-row filter attaches via
+  broadcast crossJoin (the repo's scalar-attach idiom,
+  ``operators/text_ranking.py``) and membership is a ``forall`` over
+  the k recomputed positions — whole-stage-codegen JVM expressions,
+  zero shuffle, zero Python.
+
+Sizing follows the standard formulae m = -n·ln p/(ln 2)²,
+k = (m/n)·ln 2 (Bloom 1970; Broder & Mitzenmacher's survey). NULL keys
+screen as NULL (unknown): SQL equality can never match them, so the
+end-to-end dedup treats them as new.
+
+The reference has no membership surface at all (its dedup story is the
+batch rescan at ``core/IngestionJob.scala:60``); this is the
+incremental-ingest posture that replaces it, same spirit as
+``operators/incremental_dedup.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^27 words = 1 GiB of bitmap — past any sane broadcast. The cap is a
+# loud guard, not a tuning knob: at that size you want partitioned
+# filters (one per key range), not a bigger array.
+MAX_WORDS = 1 << 27
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    """Derived filter geometry (see bloom_build)."""
+
+    n_bits: int
+    num_hashes: int
+    seed: int
+
+
+def _geometry(expected_items: int, fpp: float) -> tuple[int, int]:
+    if expected_items <= 0:
+        raise ValueError(f"expected_items must be > 0, got {expected_items}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+    # round up to a whole word so the dense array has no ragged tail
+    m = ((m + 63) // 64) * 64
+    if m // 64 > MAX_WORDS:
+        raise ValueError(
+            f"filter would need {m // 64} words (> {MAX_WORDS}); shard the"
+            " keyspace into partitioned filters instead"
+        )
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _positions(key: Column, cfg: BloomConfig) -> Column:
+    """array<long> of the k bit positions for a key — seeded xxhash64
+    per probe index, reduced mod n_bits. The k hashes genuinely differ
+    (the index is an argument), so per-element re-evaluation inside the
+    HOF lambda is inherent work, not the CSE trap."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.num_hashes - 1)),
+        lambda i: F.pmod(
+            F.xxhash64(key, F.lit(cfg.seed), i), F.lit(cfg.n_bits)
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """ONE-row filter frame: (n_bits, num_hashes, seed, n_words,
+    words: array<long>). NULL keys are skipped (they screen as NULL).
+
+    The sparse word aggregation keeps every shuffle bounded by the
+    bitmap size: (n_bits/64)-row worst case regardless of input rows.
+    """
+    m, k = _geometry(expected_items, fpp)
+    cfg = BloomConfig(m, k, seed)
+    n_words = m // 64
+    pos = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(_positions(F.col(key_col), cfg)).alias("__pos"))
+    )
+    sparse = pos.groupBy(
+        F.shiftright("__pos", 6).alias("__w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))")
+        ).alias("__bits")
+    )
+    dense = sparse.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+        ).alias("__m")
+    ).select(
+        F.lit(m).alias("n_bits"),
+        F.lit(k).alias("num_hashes"),
+        F.lit(seed).alias("seed"),
+        F.lit(n_words).alias("n_words"),
+        F.expr(
+            f"transform(sequence(0L, {n_words - 1}L),"
+            " w -> coalesce(__m[w], 0L))"
+        ).alias("words"),
+    )
+    return dense
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The filter of the UNION of the two build inputs — exact, not
+    approximate: identical geometry hashes identical keys to identical
+    positions, so OR-ing bitmaps is set union. Mismatched geometry
+    raises at action time (the frames stay lazy)."""
+    bb = b.select(
+        F.col("n_bits").alias("__nb"),
+        F.col("num_hashes").alias("__nh"),
+        F.col("seed").alias("__sd"),
+        F.col("words").alias("__wb"),
+    )
+    same = (
+        (F.col("n_bits") == F.col("__nb"))
+        & (F.col("num_hashes") == F.col("__nh"))
+        & (F.col("seed") == F.col("__sd"))
+    )
+    return (
+        a.crossJoin(F.broadcast(bb))
+        .select(
+            "n_bits",
+            "num_hashes",
+            "seed",
+            "n_words",
+            F.when(
+                same, F.zip_with("words", "__wb", lambda x, y: x.bitwiseOR(y))
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bloom_merge: filters have different geometry"
+                        " (n_bits/num_hashes/seed must match)"
+                    )
+                )
+            )
+            .alias("words"),
+        )
+    )
+
+
+def bloom_screen(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """batch + a ``maybe_seen`` boolean: False is definitive (no false
+    negatives), True is probabilistic (fp-bounded by the build's fpp),
+    NULL key screens NULL. Map-side only: the 1-row filter broadcasts
+    and the k probes are codegen'd expressions.
+
+    The k probes are UNROLLED into plain expressions rather than a
+    ``forall`` over a ``transform``: a filter on the screen output
+    (e.g. ``where(~maybe_seen)``) whose predicate is a higher-order
+    function referencing both join sides gets mis-pushed by Catalyst
+    into the broadcast side — the lambda's outer reference to the
+    batch key is missing from the predicate's reference set, so
+    pushdown binds ``key`` against the filter row's schema and the job
+    dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Plain expressions
+    carry sound reference sets; codegen CSE dedups the repeated
+    position hash within each conjunct.
+    """
+    # localCheckpoint pins the 1-row filter: (a) it severs lineage, so a
+    # batch sharing a scan with the filter's build input can't trip
+    # Spark's self-join attribute rewrite under the name-parsed probe
+    # expression; (b) callers that branch on the screen (bloom_dedup's
+    # definite/maybe split) share ONE materialized filter instead of
+    # re-running the build per branch; (c) the geometry row is on hand
+    # to unroll the probes. The filter is broadcast-sized by contract,
+    # so eager materialization costs what any action would.
+    blm = bloom.select(
+        F.col("n_bits").alias("__bf_m"),
+        F.col("num_hashes").alias("__bf_k"),
+        F.col("seed").alias("__bf_seed"),
+        F.col("words").alias("__bf_words"),
+    ).localCheckpoint(eager=True)
+    m, k, seed = blm.select("__bf_m", "__bf_k", "__bf_seed").first()
+    key = f"`{key_col}`"
+    # literal TYPES must match bloom_build's _positions exactly (int
+    # seed, int probe index) — xxhash64 hashes by argument type
+    terms = []
+    for i in range(k):
+        pos = f"pmod(xxhash64({key}, {seed}, {i}), {m}L)"
+        terms.append(
+            f"(element_at(__bf_words, cast(shiftright({pos}, 6) as int) + 1)"
+            f" & shiftleft(1L, cast({pos} % 64 as int))) != 0L"
+        )
+    probe = F.expr("(" + ") AND (".join(terms) + ")")
+    return (
+        batch.crossJoin(F.broadcast(blm.select("__bf_words")))
+        .withColumn(
+            out_col,
+            F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean"))
+            .otherwise(probe),
+        )
+        .drop("__bf_words")
+    )
+
+
+def bloom_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    out_col: str = "is_dup",
+) -> DataFrame:
+    """Exact duplicate flags for a batch against history, with the
+    Bloom screen carrying the load: definitely-new rows (the vast
+    majority under steady ingest) never touch the history join; only
+    maybe-seen rows pay the exact semi-verification. The result is
+    EXACT — identical to joining every row — because false positives
+    are re-checked and false negatives don't exist.
+
+    The two branches scan the batch twice (both map-side; at scale the
+    scan is noise next to the join the screen avoids). NULL keys can't
+    equal anything under SQL semantics: is_dup = false.
+    """
+    screened = bloom_screen(batch, bloom, key_col, out_col="__maybe")
+    definite_new = screened.where(
+        F.col("__maybe").isNull() | ~F.col("__maybe")
+    ).withColumn(out_col, F.lit(False))
+    hist_keys = history.select(F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    maybe = (
+        screened.where(F.col("__maybe"))
+        .join(
+            hist_keys.withColumn("__seen", F.lit(True)),
+            key_col,
+            "left",
+        )
+        .withColumn(out_col, F.coalesce(F.col("__seen"), F.lit(False)))
+        .drop("__seen")
+    )
+    return definite_new.unionByName(maybe).drop("__maybe")
