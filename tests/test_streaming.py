@@ -695,3 +695,110 @@ def test_streaming_near_dup_index_maintained(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(hashes_p).collect()
     } == {1, 2, 12}
+
+
+def test_streaming_bloom_dedup_exact_forever(spark, tmp_path):
+    """Three micro-batches through the Bloom-screened exact dedup:
+    cross-batch duplicates drop no matter how far apart (no watermark
+    horizon), false positives never drop new rows, the key store holds
+    exactly the survivors, and the persisted filter screens every
+    stored key as maybe-seen."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from lakehouse_ingestion_spark.operators.bloom import bloom_screen
+    from lakehouse_ingestion_spark.streaming.bloom_dedup import (
+        bloom_dedup_foreach_batch,
+    )
+
+    indir = tmp_path / "bd_in"
+    indir.mkdir()
+    batches = [
+        [
+            {"doc_id": 1, "k": "alpha"},
+            {"doc_id": 2, "k": "beta"},
+            {"doc_id": 3, "k": "alpha"},  # in-batch repeat -> collapsed
+        ],
+        [
+            {"doc_id": 11, "k": "alpha"},  # cross-batch dup -> routed
+            {"doc_id": 12, "k": "gamma"},
+        ],
+        [
+            {"doc_id": 21, "k": "beta"},  # dup of batch-1 survivor
+            {"doc_id": 22, "k": "gamma"},  # dup of batch-2 survivor
+            {"doc_id": 23, "k": None},  # NULL key: always survives
+        ],
+    ]
+    for i, b in enumerate(batches):
+        (indir / f"b{i}.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in b) + "\n"
+        )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("k", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    out = str(tmp_path / "bd_out")
+    dups = str(tmp_path / "bd_dups")
+    bloom_p = str(tmp_path / "bd_bloom")
+    keys_p = str(tmp_path / "bd_keys")
+
+    fn = bloom_dedup_foreach_batch(
+        (bloom_p, keys_p),
+        sink=lambda df, _e: df.write.mode("append").parquet(out),
+        key_col="k",
+        expected_items=1000,
+        fpp=0.01,
+        dup_sink=lambda df, _e: df.write.mode("append").parquet(dups),
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "bd_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"alpha", "beta", "gamma", None}
+    dup_keys = sorted(
+        r["k"] for r in spark.read.parquet(dups).collect()
+    )
+    assert dup_keys == ["alpha", "beta", "gamma"]
+    stored_keys = {r["k"] for r in spark.read.parquet(keys_p).collect()}
+    assert stored_keys == {"alpha", "beta", "gamma"}  # no NULL, no dups
+    # the persisted filter screens every stored key maybe-seen
+    blm = spark.read.parquet(bloom_p)
+    screened = bloom_screen(
+        spark.read.parquet(keys_p), blm, "k"
+    )
+    assert screened.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_streaming_bloom_dedup_redelivery_idempotent(spark, tmp_path):
+    """A fully-committed batch redelivered after a checkpoint loss
+    emits NOTHING the second time: the key store is consulted exactly,
+    so redelivery self-deduplicates (the property the module docstring
+    claims over fuzzy near-dup)."""
+    from lakehouse_ingestion_spark.streaming.bloom_dedup import (
+        bloom_dedup_foreach_batch,
+    )
+
+    out = str(tmp_path / "rd_out")
+    fn = bloom_dedup_foreach_batch(
+        (str(tmp_path / "rd_bloom"), str(tmp_path / "rd_keys")),
+        sink=lambda df, _e: df.write.mode("append").parquet(out),
+        key_col="k",
+        expected_items=100,
+    )
+    batch = spark.createDataFrame([("x",), ("y",)], "k string")
+    fn(batch, 0)
+    assert spark.read.parquet(out).count() == 2
+    fn(batch, 0)  # redelivered
+    assert spark.read.parquet(out).count() == 2
