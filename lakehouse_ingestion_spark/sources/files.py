@@ -1,5 +1,7 @@
-"""File sources: CSV / JSON / Parquet / Avro / text, batch or streaming
-(SURVEY.md D1).
+"""File sources: CSV / JSON / Parquet / ORC / Avro / text / binaryFile,
+batch or streaming (SURVEY.md D1). binaryFile is the raw-media ingest
+entry for the multimodal pipeline (`functions/multimodal.py`): fixed
+(path, modificationTime, length, content) schema, bytes untouched.
 
 Explicit schema is the default posture (reference policy: avoid schema
 inference — ``docs/02-tech-spec.md:92-98``); inference only when the
@@ -15,17 +17,41 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from lakehouse_ingestion_spark.errors import ConfigError, UnsupportedFeatureError
 from lakehouse_ingestion_spark.sources.base import BaseReader, register_reader
 
-_FORMATS = {"csv", "json", "parquet", "avro", "text", "orc"}
+_FORMATS = {"csv", "json", "parquet", "avro", "text", "orc", "binaryfile"}
+
+# Spark's DataSource name is camelCase; config accepts any case
+_FORMAT_NAMES = {"binaryfile": "binaryFile"}
+
+# binaryFile's fixed output schema (BinaryFileFormat.schema); built
+# field-by-field — fromDDL needs an active session at import time
+_BINARYFILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
 
 
 @register_reader("file")
 class FileReader(BaseReader):
-    aliases = ["csv", "json", "parquet", "avro", "text", "orc", "files"]
+    aliases = [
+        "csv", "json", "parquet", "avro", "text", "orc", "binaryfile",
+        "files",
+    ]
 
     def read(
         self,
@@ -49,10 +75,23 @@ class FileReader(BaseReader):
         streaming = str(opts.pop("streaming", "false")).lower() == "true"
         infer = str(opts.pop("infer", "false")).lower() == "true"
 
+        if fmt == "binaryfile" and schema is not None:
+            # binaryFile's schema is fixed (path, modificationTime,
+            # length, content) — Spark rejects user schemas; fail with
+            # the config-layer error, not a Spark stack trace
+            raise ConfigError(
+                "binaryFile has a fixed schema; drop the schema ref and"
+                " decode the content column downstream"
+                " (functions/multimodal.py)"
+            )
         reader = spark.readStream if streaming else spark.read
-        reader = reader.format(fmt)
+        reader = reader.format(_FORMAT_NAMES.get(fmt, fmt))
         if schema is not None:
             reader = reader.schema(schema)
+        elif streaming and fmt == "binaryfile":
+            # the streaming file source insists on an explicit schema
+            # even for fixed-schema formats — supply binaryFile's own
+            reader = reader.schema(_BINARYFILE_SCHEMA)
         elif streaming:
             raise ConfigError("streaming file source requires an explicit schema")
         elif fmt in ("csv", "json") and infer:

@@ -119,3 +119,37 @@ def test_kinesis_gated_and_validated(spark):
         reader.read(spark, {})
     with pytest.raises(UnsupportedFeatureError, match="connector"):
         reader.read(spark, {"streamName": "s", "region": "us-east-1"})
+
+
+def test_binaryfile_reader_batch_and_streaming(spark, tmp_path):
+    """binaryFile is the raw-media ingest entry (multimodal pipeline):
+    fixed schema, content as bytes; streaming works schema-less (the
+    one file format where that is correct)."""
+    blob = tmp_path / "img.bin"
+    payload = bytes(range(64))
+    blob.write_bytes(payload)
+
+    df = FileReader().read(
+        spark, {"path": str(tmp_path), "format": "binaryFile"}
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == payload
+    assert rows[0]["length"] == 64
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+
+    sdf = FileReader().read(
+        spark,
+        {"path": str(tmp_path), "format": "binaryfile", "streaming": "true"},
+    )
+    assert sdf.isStreaming
+    assert set(sdf.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_binaryfile_rejects_user_schema(spark, tmp_path):
+    with pytest.raises(ConfigError, match="fixed schema"):
+        FileReader().read(
+            spark,
+            {"path": str(tmp_path), "format": "binaryFile"},
+            PAYLOAD_SCHEMA,
+        )
