@@ -8,6 +8,7 @@ execution without result materialization on the driver).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -55,7 +56,17 @@ def main() -> None:
     setups = getattr(entrymod, "bench_setups", dict)()
     for name, fn in entrymod.queries().items():
         # timer wraps fn() too (some queries do eager work inside), and a
-        # query must not pin cache into its successors' measurements
+        # query must not pin cache into its successors' measurements.
+        # gc.collect() releases this query's py4j proxies so the JVM
+        # ContextCleaner can reclaim its localCheckpoint RDD blocks —
+        # without it those blocks accumulate across the full registry
+        # and the iterative-CC queries OOM'd the JVM at sf10 (each is
+        # fine in a fresh session). The periodic System.gc() is what
+        # actually enqueues the cleaner's weak references (its built-in
+        # periodic GC defaults to 30 min — longer than this whole run).
+        gc.collect()
+        if len(timings) % 16 == 15:
+            spark._jvm.System.gc()
         spark.catalog.clearCache()
         if name in setups:
             # one-time build phases (e.g. bucketed table writes) are an

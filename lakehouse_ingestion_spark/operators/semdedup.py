@@ -111,16 +111,28 @@ def semantic_dedup(
             return empty
         m = np.stack(pdf["__v"].to_numpy())
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
         ids = pdf["__id"].to_numpy()
-        mask = (sims >= cut) & (ids[:, None] < ids[None, :])
-        ra, rb = np.nonzero(mask)
-        return pd.DataFrame(
-            {
-                "__dup_id": np.maximum(ids[ra], ids[rb]),
-                "__cos": sims[ra, rb],
-            }
-        )
+        # tile the row side so the bucket's similarity matrix stays
+        # ~64 MB however large the orthant gets (the untiled |bucket|^2
+        # matrix is the similarity_join OOM shape: reused python
+        # workers keep the peak RSS forever)
+        tile = max(1, (64 << 20) // (8 * len(ids)))
+        frames = []
+        for lo in range(0, m.shape[0], tile):
+            sims = m[lo : lo + tile] @ m.T
+            mask = (sims >= cut) & (ids[lo : lo + tile, None] < ids[None, :])
+            ra, rb = np.nonzero(mask)
+            if len(ra) == 0:
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "__dup_id": np.maximum(ids[lo + ra], ids[rb]),
+                        "__cos": sims[ra, rb],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     dup_ids = (
         src.groupBy("__bkt")

@@ -87,27 +87,42 @@ def cosine_allpairs_blocked(
         b = np.stack(right["v"].to_numpy())
         a /= np.linalg.norm(a, axis=1, keepdims=True)
         b /= np.linalg.norm(b, axis=1, keepdims=True)
-        sims = a @ b.T
-        ids_a = left["vid"].to_numpy()[:, None]
+        ids_a_full = left["vid"].to_numpy()
         ids_b = right["vid"].to_numpy()[None, :]
         # raw cutoff relaxed by half an ulp at the rounding precision; the
         # caller's round-then-filter applies the exact threshold semantics
         cut = threshold if round_to is None else threshold - 0.5 * 10**-round_to
-        if i == j:
-            # both directions of every pair are in the matrix: keep one
-            mask = (sims >= cut) & (ids_a < ids_b)
-        else:
-            # each unordered cross-block pair appears exactly once
-            mask = sims >= cut
-        ra, rb = np.nonzero(mask)
-        va, vb = ids_a[ra, 0], ids_b[0, rb]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(va, vb),
-                "id_b": np.maximum(va, vb),
-                "cos_sim": sims[ra, rb],
-            }
-        )
+        # TILE the left side so the similarity matrix stays ~64 MB no
+        # matter the block size: the untiled |block|^2 matrix scaled
+        # quadratically with the corpus (at 200k vectors / 8 blocks each
+        # block pair materialized 25k x 25k = 5 GB, and 32 REUSED python
+        # workers holding that peak RSS OOM-killed the whole box). The
+        # matmul is tile-local; survivors per tile are threshold-sparse.
+        tile = max(1, (64 << 20) // (8 * max(1, b.shape[0])))
+        frames = []
+        for lo in range(0, a.shape[0], tile):
+            sims = a[lo : lo + tile] @ b.T
+            ids_a = ids_a_full[lo : lo + tile, None]
+            if i == j:
+                # both directions of every pair are in the matrix: keep one
+                mask = (sims >= cut) & (ids_a < ids_b)
+            else:
+                # each unordered cross-block pair appears exactly once
+                mask = sims >= cut
+            ra, rb = np.nonzero(mask)
+            if len(ra) == 0:
+                continue
+            va, vb = ids_a[ra, 0], ids_b[0, rb]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(va, vb),
+                        "id_b": np.maximum(va, vb),
+                        "cos_sim": sims[ra, rb],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     out = fanned.groupBy("pk").applyInPandas(
         _block, "id_a long, id_b long, cos_sim double"
