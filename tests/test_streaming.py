@@ -802,3 +802,42 @@ def test_streaming_bloom_dedup_redelivery_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
     fn(batch, 0)  # redelivered
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_bloom_dedup_stale_keys_fail_safe(spark, tmp_path):
+    """Crash-ordering rationale, exercised: if the bloom committed but
+    the keys append did not (the crash window the sink->bloom->keys
+    order leaves), a later batch's fp-screened rows verify against the
+    key store and SURVIVE — cost, never a wrong drop. (The reverse
+    order's stale-bloom window would silently pass duplicates.)"""
+    from lakehouse_ingestion_spark.operators.bloom import bloom_build
+    from lakehouse_ingestion_spark.streaming.bloom_dedup import (
+        bloom_dedup_foreach_batch,
+    )
+
+    bloom_p = str(tmp_path / "fs_bloom")
+    keys_p = str(tmp_path / "fs_keys")
+    out = str(tmp_path / "fs_out")
+
+    # simulate the torn state: batch-1's keys are IN the bloom but NOT
+    # in the key store (bloom write committed, keys append lost)
+    b1 = spark.createDataFrame([("alpha",), ("beta",)], "k string")
+    bloom_build(b1, "k", expected_items=100).write.parquet(bloom_p)
+    spark.createDataFrame([], "k string").write.parquet(keys_p)
+
+    fn = bloom_dedup_foreach_batch(
+        (bloom_p, keys_p),
+        sink=lambda df, _e: df.write.mode("append").parquet(out),
+        key_col="k",
+        expected_items=100,
+    )
+    # redelivered batch-1: every key screens maybe-seen (bloom has
+    # them), none is in the key store -> all survive and re-sink
+    fn(b1, 1)
+    assert {r.k for r in spark.read.parquet(out).collect()} == {
+        "alpha", "beta",
+    }
+    # and the state heals: the keys append ran this time
+    assert {r.k for r in spark.read.parquet(keys_p).collect()} == {
+        "alpha", "beta",
+    }
