@@ -62,6 +62,14 @@ def get_spark(cfg: SparkConfig | None = None) -> SparkSession:
         .config("spark.sql.ansi.enabled", str(cfg.ansi).lower())
         .config("spark.ui.enabled", str(cfg.ui_enabled).lower())
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # reused Arrow workers keep their PEAK rss forever (glibc never
+        # returns it); a worker that once held a large matmul tile or
+        # Arrow batch pins that memory for the session. Reap workers
+        # idle >5 min so long-lived sessions shed those peaks (the
+        # sf10 full-registry run was OOM-killed by exactly this before
+        # the operators were tiled; this is the engine-wide backstop)
+        .config("spark.python.worker.idleTimeoutSeconds", "300")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
     )
     if cfg.shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
