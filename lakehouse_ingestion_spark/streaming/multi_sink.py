@@ -1,0 +1,160 @@
+"""Exactly-once fan-out to multiple sinks from one stream.
+
+The reference names this as an open difficulty it does not solve
+(`docs/01-problem-statement.md:27`: exactly-once vs at-least-once
+semantics across sinks): foreachBatch gives at-least-once redelivery,
+and two independent appends cannot commit atomically, so a crash
+between them leaves one sink ahead and the redelivered batch
+double-appends the other. This module is the standard Spark-native
+answer, built from two pieces:
+
+1. **Epoch-keyed idempotent writes.** Every sink writes the batch into
+   an ``_epoch=<id>`` partition with DYNAMIC partition overwrite — a
+   redelivered epoch REPLACES its own partition instead of appending a
+   second copy. Each sink is therefore individually exactly-once under
+   any number of retries, with no transaction protocol: idempotence,
+   not atomicity, is what survives foreachBatch's contract. (With a
+   transactional sink — Delta — the same role is played by
+   txnAppId/txnVersion; this shape needs only parquet.)
+2. **A commit ledger.** After every sink commits its epoch, one row
+   (epoch, sink, rows) appends to a ledger table. The ledger makes the
+   fan-out observable and READ-consistent: ``read_committed`` shows a
+   sink's data only for epochs the ledger records for it, so a reader
+   never sees sink A's epoch-7 rows while sink B is still writing
+   epoch 7. Crash windows resolve safely in both directions — sinks
+   committed but ledger not written: redelivery overwrites the same
+   partitions and the ledger row appends once; ledger written but the
+   stream checkpoint not advanced: redelivery overwrites identical
+   data and appends a duplicate ledger row, which reads dedupe (the
+   ledger is a log, not a set).
+
+Per-sink transforms let one stream feed differently-shaped tables
+(bronze raw / silver conformed / quarantine) from a single pass; the
+batch is persisted once and unpersisted after the last sink.
+
+100-TB posture: epoch partitions keep every retry's write bounded by
+the batch, the ledger is rows-per-epoch-per-sink (tiny), and nothing
+here rescans prior epochs. Small-file growth across epochs is the
+normal compaction story (``operators/maintenance.compact_parquet``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+
+EPOCH_COL = "_epoch"
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    """One fan-out target: where to write and (optionally) how to shape
+    the batch first. ``transform`` runs per epoch on the shared persisted
+    batch; it must be deterministic for redelivery to converge."""
+
+    path: str
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+
+def multi_sink_foreach_batch(
+    sinks: dict[str, SinkSpec],
+    ledger_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function. Sink names key the ledger; the
+    write order is the dict order (make the most-downstream sink last
+    so partial failures skew conservative)."""
+    if not sinks:
+        raise ConfigError("multi_sink needs at least one SinkSpec")
+    for name in sinks:
+        if not name or "/" in name:
+            raise ConfigError(f"sink name must be a plain label, got {name!r}")
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _ledgered_sinks(spark, ledger_path, epoch_id)
+        todo = {n: s for n, s in sinks.items() if n not in done}
+        if not todo:
+            return
+        batch_df.persist()
+        try:
+            rows_written: dict[str, int] = {}
+            for name, spec in todo.items():
+                out = spec.transform(batch_df) if spec.transform else batch_df
+                if EPOCH_COL in out.columns:
+                    raise ConfigError(
+                        f"sink {name!r} already has {EPOCH_COL!r}; it is "
+                        "reserved for the idempotence partition"
+                    )
+                counted = out.withColumn(EPOCH_COL, F.lit(epoch_id))
+                # dynamic overwrite replaces ONLY this epoch's partition:
+                # a redelivered epoch converges instead of double-appending
+                (
+                    counted.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(EPOCH_COL)
+                    .parquet(spec.path)
+                )
+                rows_written[name] = out.count()
+            ledger = spark.createDataFrame(
+                [(epoch_id, n, rows_written[n]) for n in todo],
+                "epoch long, sink string, rows long",
+            )
+            ledger.write.mode("append").parquet(ledger_path)
+        finally:
+            batch_df.unpersist()
+
+    return _fn
+
+
+def _ledgered_sinks(
+    spark: SparkSession, ledger_path: str, epoch_id: int
+) -> set[str]:
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(ledger_path)
+            .where(F.col("epoch") == epoch_id)
+            .select("sink")
+            .distinct()
+            .collect()
+        )
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+        return set()
+    return {r.sink for r in rows}
+
+
+def committed_epochs(
+    spark: SparkSession, ledger_path: str, sink: str
+) -> DataFrame:
+    """Epochs the ledger records as fully written for ``sink``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        led = spark.read.parquet(ledger_path)
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+        return spark.createDataFrame([], "epoch long")
+    return led.where(F.col("sink") == sink).select("epoch").distinct()
+
+
+def read_committed(
+    spark: SparkSession, spec_path: str, ledger_path: str, sink: str
+) -> DataFrame:
+    """The sink's data restricted to ledger-committed epochs — the
+    consistent-read view (in-flight epochs invisible). The semi-join is
+    on the partition column, so pruning drops uncommitted epoch
+    directories at the scan."""
+    data = spark.read.parquet(spec_path)
+    eps = committed_epochs(spark, ledger_path, sink).withColumnRenamed(
+        "epoch", EPOCH_COL
+    )
+    return data.join(F.broadcast(eps), EPOCH_COL, "semi")

@@ -841,3 +841,132 @@ def test_streaming_bloom_dedup_stale_keys_fail_safe(spark, tmp_path):
     assert {r.k for r in spark.read.parquet(keys_p).collect()} == {
         "alpha", "beta",
     }
+
+
+def test_multi_sink_exactly_once_fanout(spark, tmp_path):
+    """Two differently-shaped sinks from one stream: all rows land in
+    both, the ledger records every (epoch, sink), and a sink failure
+    mid-epoch retries to exactly one copy everywhere (the reference's
+    named open problem — exactly-once across sinks)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        multi_sink_foreach_batch,
+        read_committed,
+    )
+
+    indir = tmp_path / "ms_in"
+    indir.mkdir()
+    for i in range(2):
+        rows = [{"id": i * 10 + j, "v": f"x{j}"} for j in range(3)]
+        (indir / f"b{i}.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    bronze = str(tmp_path / "ms_bronze")
+    silver = str(tmp_path / "ms_silver")
+    ledger = str(tmp_path / "ms_ledger")
+    fn = multi_sink_foreach_batch(
+        {
+            "bronze": SinkSpec(bronze),
+            "silver": SinkSpec(
+                silver, transform=lambda df: df.select("id")
+            ),
+        },
+        ledger,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ms_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert spark.read.parquet(bronze).count() == 6
+    assert set(spark.read.parquet(silver).columns) == {"id", "_epoch"}
+    led = spark.read.parquet(ledger)
+    assert led.select("epoch", "sink").distinct().count() == 4  # 2 epochs x 2
+    rc = read_committed(spark, bronze, ledger, "bronze")
+    assert rc.count() == 6
+
+
+def test_multi_sink_retry_converges(spark, tmp_path):
+    """Sink B fails on the first attempt AFTER sink A committed; the
+    redelivered epoch overwrites A's partition (no double rows) and
+    completes B — exactly one copy everywhere, ledger complete. A
+    fully-ledgered epoch redelivers as a no-op."""
+    import pytest as _pytest
+
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        multi_sink_foreach_batch,
+    )
+
+    a_path = str(tmp_path / "r_a")
+    b_path = str(tmp_path / "r_b")
+    ledger = str(tmp_path / "r_ledger")
+    attempts = {"n": 0}
+
+    def flaky(df):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("sink B transform died")
+        return df
+
+    fn = multi_sink_foreach_batch(
+        {"a": SinkSpec(a_path), "b": SinkSpec(b_path, transform=flaky)},
+        ledger,
+    )
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    with _pytest.raises(Exception, match="sink B"):
+        fn(batch, 7)
+    # A committed, B did not, nothing ledgered -> redelivery rewrites
+    fn(batch, 7)
+    assert spark.read.parquet(a_path).count() == 2  # overwritten, not 4
+    assert spark.read.parquet(b_path).count() == 2
+    led = spark.read.parquet(ledger)
+    assert {r.sink for r in led.collect()} == {"a", "b"}
+    # fully-ledgered epoch: redelivery is a no-op (transform not called)
+    before = attempts["n"]
+    fn(batch, 7)
+    assert attempts["n"] == before
+
+
+def test_multi_sink_read_committed_hides_inflight(spark, tmp_path):
+    """An epoch partition on disk but absent from the ledger (a write
+    in flight or torn) is invisible to read_committed."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        multi_sink_foreach_batch,
+        read_committed,
+    )
+
+    path = str(tmp_path / "ic_sink")
+    ledger = str(tmp_path / "ic_ledger")
+    fn = multi_sink_foreach_batch({"s": SinkSpec(path)}, ledger)
+    fn(spark.createDataFrame([(1,)], "id long"), 0)
+    # torn epoch: data present, no ledger row
+    (
+        spark.createDataFrame([(99,)], "id long")
+        .withColumn("_epoch", F.lit(123))
+        .write.mode("append")
+        .partitionBy("_epoch")
+        .parquet(path)
+    )
+    assert spark.read.parquet(path).count() == 2
+    rc = read_committed(spark, path, ledger, "s")
+    assert [r.id for r in rc.collect()] == [1]
