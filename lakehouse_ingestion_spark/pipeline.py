@@ -465,7 +465,12 @@ class Pipeline:
                 validate_or_throw(
                     batch, schema, context=f"job={job.name} epoch={epoch}"
                 )
-            writer.write_batch(batch, opts)
+            if hasattr(writer, "write_epoch_batch"):
+                # epoch-aware writers (sinks/fanout.py) key idempotent
+                # per-epoch writes off the stream's batch id
+                writer.write_epoch_batch(batch, opts, epoch)
+            else:
+                writer.write_batch(batch, opts)
 
         if ruleset.checks:
             q_writer = self._quarantine_writer(job)

@@ -75,40 +75,52 @@ def multi_sink_foreach_batch(
             raise ConfigError(f"sink name must be a plain label, got {name!r}")
 
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        done = _ledgered_sinks(spark, ledger_path, epoch_id)
-        todo = {n: s for n, s in sinks.items() if n not in done}
-        if not todo:
-            return
-        batch_df.persist()
-        try:
-            rows_written: dict[str, int] = {}
-            for name, spec in todo.items():
-                out = spec.transform(batch_df) if spec.transform else batch_df
-                if EPOCH_COL in out.columns:
-                    raise ConfigError(
-                        f"sink {name!r} already has {EPOCH_COL!r}; it is "
-                        "reserved for the idempotence partition"
-                    )
-                counted = out.withColumn(EPOCH_COL, F.lit(epoch_id))
-                # dynamic overwrite replaces ONLY this epoch's partition:
-                # a redelivered epoch converges instead of double-appending
-                (
-                    counted.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy(EPOCH_COL)
-                    .parquet(spec.path)
-                )
-                rows_written[name] = out.count()
-            ledger = spark.createDataFrame(
-                [(epoch_id, n, rows_written[n]) for n in todo],
-                "epoch long, sink string, rows long",
-            )
-            ledger.write.mode("append").parquet(ledger_path)
-        finally:
-            batch_df.unpersist()
+        write_epoch(batch_df, sinks, ledger_path, epoch_id)
 
     return _fn
+
+
+def write_epoch(
+    batch_df: DataFrame,
+    sinks: dict[str, SinkSpec],
+    ledger_path: str,
+    epoch_id: int,
+) -> None:
+    """One epoch through the fan-out: idempotent per-sink writes, then
+    the ledger append. Shared by the foreachBatch builder and the
+    config-driven ``sinks/fanout.py`` writer."""
+    spark = batch_df.sparkSession
+    done = _ledgered_sinks(spark, ledger_path, epoch_id)
+    todo = {n: s for n, s in sinks.items() if n not in done}
+    if not todo:
+        return
+    batch_df.persist()
+    try:
+        rows_written: dict[str, int] = {}
+        for name, spec in todo.items():
+            out = spec.transform(batch_df) if spec.transform else batch_df
+            if EPOCH_COL in out.columns:
+                raise ConfigError(
+                    f"sink {name!r} already has {EPOCH_COL!r}; it is "
+                    "reserved for the idempotence partition"
+                )
+            counted = out.withColumn(EPOCH_COL, F.lit(epoch_id))
+            # dynamic overwrite replaces ONLY this epoch's partition:
+            # a redelivered epoch converges instead of double-appending
+            (
+                counted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(EPOCH_COL)
+                .parquet(spec.path)
+            )
+            rows_written[name] = out.count()
+        ledger = spark.createDataFrame(
+            [(epoch_id, n, rows_written[n]) for n in todo],
+            "epoch long, sink string, rows long",
+        )
+        ledger.write.mode("append").parquet(ledger_path)
+    finally:
+        batch_df.unpersist()
 
 
 def _ledgered_sinks(

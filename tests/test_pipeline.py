@@ -410,3 +410,85 @@ def test_apply_transform_curation_ops(spark):
         emb, "semantic_dedup", {"threshold": 0.9, "n_bits": 2, "keep_only": True}
     )
     assert {x["doc_id"] for x in sd.collect()} == {1, 3}
+
+
+def test_streaming_fanout_pipeline(spark, registry, tmp_path):
+    """Config-driven exactly-once fan-out: one streaming job feeds a
+    raw bronze sink and a shaped silver sink (select + where), with
+    the commit ledger recording both per epoch."""
+    indir = tmp_path / "fan_in"
+    indir.mkdir()
+    (indir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": 1, "user": "a", "amount": 10.0},
+                {"event_id": 2, "user": "b", "amount": -1.0},
+                {"event_id": 3, "user": None, "amount": 5.0},
+            ]
+        )
+    )
+    bronze = str(tmp_path / "fan_bronze")
+    silver = str(tmp_path / "fan_silver")
+    ledger = str(tmp_path / "fan_ledger")
+    cfg = parse_config(
+        {
+            "env": "test",
+            "jobs": [
+                {
+                    "name": "fanout-events",
+                    "source": {
+                        "type": "json",
+                        "options": {
+                            "path": str(indir),
+                            "format": "json",
+                            "streaming": "true",
+                        },
+                    },
+                    "schema": {
+                        "domain": "demo", "dataset": "events", "version": "v1",
+                    },
+                    "target": {
+                        "format": "fanout",
+                        "options": {
+                            "ledger_path": ledger,
+                            "sinks": {
+                                "bronze": {"path": bronze},
+                                "silver": {
+                                    "path": silver,
+                                    "select": ["event_id", "amount"],
+                                    "where": "user IS NOT NULL",
+                                },
+                            },
+                            "checkpoint_location": str(tmp_path / "fan_cp"),
+                            "trigger_interval": "availableNow",
+                        },
+                    },
+                }
+            ],
+        },
+        registry,
+    )
+    results = Pipeline(spark, cfg, registry=registry).run()
+    results[0].query.awaitTermination(180)
+
+    assert spark.read.parquet(bronze).count() == 3
+    sil = spark.read.parquet(silver)
+    assert sil.count() == 2  # null-user row filtered
+    assert set(sil.columns) == {"event_id", "amount", "_epoch"}
+    led = spark.read.parquet(ledger)
+    assert {r.sink for r in led.collect()} == {"bronze", "silver"}
+
+
+def test_fanout_config_validation(spark, registry, tmp_path):
+    from lakehouse_ingestion_spark.sinks.fanout import FanoutWriter
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions
+
+    df = spark.range(1)
+    with pytest.raises(ConfigError, match="ledger_path"):
+        FanoutWriter().write_batch(df, WriteOptions(options={"sinks": {"a": {"path": "/tmp/x"}}}))
+    with pytest.raises(ConfigError, match="needs a 'path'"):
+        FanoutWriter().write_batch(
+            df,
+            WriteOptions(options={"ledger_path": "/tmp/l", "sinks": {"a": {}}}),
+        )
