@@ -1327,12 +1327,82 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is deliberate: the driver's correctness sweep hashes
-    # the FIRST 50 entries.  CORRECTNESS_r04 hash-verified the original
-    # first 50 (pricing_summary..pivot); those now sit at the END, and the
-    # 45 queries added since round 2 — plus this round's new ones — occupy
-    # the driver window so every query gets driver-hash evidence.
+    # the FIRST 50 entries.  Rotation history: r04 hashed the original 50
+    # (pricing_summary..pivot); r05 hashed the next 50 (semi_anti..
+    # weighted_sample).  For r06 the window is: the 15 round-5 additions
+    # that have never carried a driver hash (pii_scrub..bloom_dedup),
+    # any round-6 additions, then the least-recently-hashed r04 entries.
     return {
-        # --- round-3/4/5 queries: driver-verify these in r05 -----------
+        # --- never driver-hashed (round-5 additions): r06 window -------
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
+        "exact_substr": q_exact_substr,
+        "ngram_novelty": q_ngram_novelty,
+        "incr_near_dup": q_incr_near_dup,
+        "resample": q_resample,
+        "resample_interp": q_resample_interp,
+        "snapshot_diff": q_snapshot_diff,
+        "histogram": q_histogram,
+        "corr_panel": q_corr_panel,
+        "quantile_buckets": q_quantile_buckets,
+        "table_profile": q_table_profile,
+        "bloom_dedup": q_bloom_dedup,
+        # --- round-6 additions (inside the driver window) --------------
+        # --- least-recently-hashed (r04 set, part 1): fill the window --
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_latest": q_dedup_latest,
+        "cdc_apply": q_cdc_apply,
+        "cdc_incremental": q_cdc_incremental,
+        "scd2": q_scd2,
+        "scd1": q_scd1,
+        "upsert": q_upsert,
+        "enrich": q_enrich,
+        "denormalize": q_denormalize,
+        "gold_daily": q_gold_daily,
+        "gold_rollup": q_gold_rollup,
+        "gold_cube": q_gold_cube,
+        "window_topk": q_window_topk,
+        "dq_summary": q_dq_summary,
+        "quarantine": q_quarantine,
+        "ref_integrity": q_ref_integrity,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "minhash": q_minhash,
+        "near_dup": q_near_dup,
+        "ann_cosine": q_ann_cosine,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
+        "set_ops": q_set_ops,
+        "sort_limit": q_sort_limit,
+        "scalar_funcs": q_scalar_funcs,
+        "simhash": q_simhash,
+        "cosine_dup": q_cosine_dup,
+        "ann_lsh": q_ann_lsh,
+        "multimodal": q_multimodal,
+        "kafka_decode": q_kafka_decode,
+        "grouping_sets": q_grouping_sets,
+        "percentiles": q_percentiles,
+        "salted_agg": q_salted_agg,
+        # --- r04 set, part 2 (rotated out this round) ------------------
+        "window_frames": q_window_frames,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "fingerprint": q_fingerprint,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "approx_distinct": q_approx_distinct,
+        "text_tokenize": q_text_tokenize,
+        "range_join": q_range_join,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_refined": q_ann_ivf_refined,
+        "bucketed_join": q_bucketed_join,
+        "seq_pack": q_seq_pack,
+        "mixture": q_mixture,
+        "pivot": q_pivot,
+        # --- hash-verified in CORRECTNESS_r05 (semi_anti..weighted_sample)
         "semi_anti": q_semi_anti,
         "sample_split": q_sample_split,
         "stratified_sample": q_stratified_sample,
@@ -1378,79 +1448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "vocab_build": q_vocab_build,
         "token_ids": q_token_ids,
-        # --- round-5 additions (also inside the driver window) ---------
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merge": q_quantile_sketch_merge,
         "star_clusters": q_star_clusters,
         "topk_sketch": q_topk_sketch,
         "weighted_sample": q_weighted_sample,
-        # --- round-5 additions: rotate into the driver window in r06 ---
-        "pii_scrub": q_pii_scrub,
-        "line_dedup": q_line_dedup,
-        "lm_perplexity": q_lm_perplexity,
-        "semantic_dedup": q_semantic_dedup,
-        "exact_substr": q_exact_substr,
-        "ngram_novelty": q_ngram_novelty,
-        "incr_near_dup": q_incr_near_dup,
-        "resample": q_resample,
-        "resample_interp": q_resample_interp,
-        "snapshot_diff": q_snapshot_diff,
-        "histogram": q_histogram,
-        "corr_panel": q_corr_panel,
-        "quantile_buckets": q_quantile_buckets,
-        "table_profile": q_table_profile,
-        "bloom_dedup": q_bloom_dedup,
-        # --- hash-verified in CORRECTNESS_r04 (pricing_summary..pivot) --
-        "pricing_summary": q_pricing_summary,
-        "dedup_exact": q_dedup_exact,
-        "dedup_latest": q_dedup_latest,
-        "cdc_apply": q_cdc_apply,
-        "cdc_incremental": q_cdc_incremental,
-        "scd2": q_scd2,
-        "scd1": q_scd1,
-        "upsert": q_upsert,
-        "enrich": q_enrich,
-        "denormalize": q_denormalize,
-        "gold_daily": q_gold_daily,
-        "gold_rollup": q_gold_rollup,
-        "gold_cube": q_gold_cube,
-        "window_topk": q_window_topk,
-        "dq_summary": q_dq_summary,
-        "quarantine": q_quarantine,
-        "ref_integrity": q_ref_integrity,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
-        "minhash": q_minhash,
-        "near_dup": q_near_dup,
-        "ann_cosine": q_ann_cosine,
-        "q3_shipping": q3_shipping,
-        "q5_local_supplier": q5_local_supplier,
-        "set_ops": q_set_ops,
-        "sort_limit": q_sort_limit,
-        "scalar_funcs": q_scalar_funcs,
-        "simhash": q_simhash,
-        "cosine_dup": q_cosine_dup,
-        "ann_lsh": q_ann_lsh,
-        "multimodal": q_multimodal,
-        "kafka_decode": q_kafka_decode,
-        "grouping_sets": q_grouping_sets,
-        "percentiles": q_percentiles,
-        "salted_agg": q_salted_agg,
-        "window_frames": q_window_frames,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "fingerprint": q_fingerprint,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "approx_distinct": q_approx_distinct,
-        "text_tokenize": q_text_tokenize,
-        "range_join": q_range_join,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_refined": q_ann_ivf_refined,
-        "bucketed_join": q_bucketed_join,
-        "seq_pack": q_seq_pack,
-        "mixture": q_mixture,
-        "pivot": q_pivot,
     }
 
 
