@@ -24,9 +24,11 @@ transforms must be deterministic for epoch redelivery to converge.
 Streaming jobs route here through the pipeline's per-epoch hook
 (``write_epoch_batch``), so every micro-batch is idempotent under
 redelivery and ledgered. Batch jobs write as epoch
-``options.run_epoch`` (default 0) — re-running a batch job therefore
-REPLACES its previous output instead of double-appending, which is
-the sane rerun semantic for a deterministic job.
+``options.run_epoch`` (default 0) with ``force=True`` — the ledger's
+already-written skip is for streaming crash redelivery, not deliberate
+re-runs, so a batch re-run always rewrites its epoch partition and
+REPLACES previous output (even with changed input) instead of
+double-appending or silently no-opping.
 """
 
 from __future__ import annotations
@@ -89,7 +91,15 @@ class FanoutWriter(BaseWriter):
         from lakehouse_ingestion_spark.streaming.multi_sink import write_epoch
 
         specs, ledger = _specs(opts)
-        write_epoch(df, specs, ledger, int(opts.options.get("run_epoch", 0)))
+        # force: a batch RE-run is a deliberate replay, not a crash
+        # redelivery — rewrite the epoch partition even if ledgered
+        write_epoch(
+            df,
+            specs,
+            ledger,
+            int(opts.options.get("run_epoch", 0)),
+            force=True,
+        )
 
     def write_epoch_batch(
         self, df: DataFrame, opts: WriteOptions, epoch_id: int

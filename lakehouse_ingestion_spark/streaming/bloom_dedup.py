@@ -71,7 +71,9 @@ def bloom_dedup_foreach_batch(
 
     1. in-batch repeats of ``key_col`` collapse to one arbitrary
        representative (``dropDuplicates`` — they are not routed to
-       ``dup_sink``);
+       ``dup_sink``); NULL-key rows are split out FIRST so they are
+       never collapsed with each other (``dropDuplicates`` treats
+       NULLs as equal, which would break the NULL-survival contract);
     2. the persisted bloom screens the batch; maybe-seen rows verify
        against the key store (empty maybe-set skips the store read
        entirely);
@@ -97,7 +99,14 @@ def bloom_dedup_foreach_batch(
                 raise
             stored = None
 
-        batch = batch_df.dropDuplicates([key_col])
+        # NULL keys are unidentifiable: they bypass dedup entirely and
+        # every NULL-key row survives verbatim.  They must be split out
+        # BEFORE dropDuplicates, which uses null-safe equality and would
+        # collapse all NULL-key rows in the batch to one.
+        null_rows = batch_df.where(F.col(key_col).isNull())
+        batch = batch_df.where(F.col(key_col).isNotNull()).dropDuplicates(
+            [key_col]
+        )
         if stored is not None:
             screened = bloom_screen(batch, stored, key_col, out_col="__maybe")
             maybe = screened.where(F.col("__maybe")).drop("__maybe")
@@ -120,6 +129,7 @@ def bloom_dedup_foreach_batch(
         else:
             survivors = batch
             dup_rows = None
+        survivors = survivors.unionByName(null_rows)
         survivors.persist()
         try:
             if dup_sink is not None and dup_rows is not None:

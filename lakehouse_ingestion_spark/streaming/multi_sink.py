@@ -85,26 +85,44 @@ def write_epoch(
     sinks: dict[str, SinkSpec],
     ledger_path: str,
     epoch_id: int,
+    force: bool = False,
 ) -> None:
     """One epoch through the fan-out: idempotent per-sink writes, then
     the ledger append. Shared by the foreachBatch builder and the
-    config-driven ``sinks/fanout.py`` writer."""
+    config-driven ``sinks/fanout.py`` writer.
+
+    ``force=False`` (streaming redelivery): sinks the ledger already
+    records for this epoch are skipped — the crash-recovery fast path.
+    ``force=True`` (deliberate batch re-run): every sink rewrites its
+    epoch partition even if ledgered, so a re-run with changed input
+    REPLACES stale output instead of silently no-opping; the ledger
+    gains a fresh row per sink (it is a log — readers dedupe)."""
     spark = batch_df.sparkSession
-    done = _ledgered_sinks(spark, ledger_path, epoch_id)
+    done = (
+        set() if force else _ledgered_sinks(spark, ledger_path, epoch_id)
+    )
     todo = {n: s for n, s in sinks.items() if n not in done}
     if not todo:
         return
+    from pyspark.sql import Observation
+
     batch_df.persist()
     try:
-        rows_written: dict[str, int] = {}
+        observations: dict[str, Observation] = {}
         for name, spec in todo.items():
             out = spec.transform(batch_df) if spec.transform else batch_df
             if EPOCH_COL in out.columns:
                 raise ConfigError(
-                    f"sink {name!r} already has {EPOCH_COL!r}; it is "
+                    f"sink {name!r} already has {EPOCH_COL}; it is "
                     "reserved for the idempotence partition"
                 )
-            counted = out.withColumn(EPOCH_COL, F.lit(epoch_id))
+            # observe() rides the write job itself — the ledger's rows
+            # column costs zero extra Spark jobs (previously a separate
+            # out.count() re-ran each sink's transform per epoch)
+            obs = Observation()
+            counted = out.withColumn(EPOCH_COL, F.lit(epoch_id)).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            )
             # dynamic overwrite replaces ONLY this epoch's partition:
             # a redelivered epoch converges instead of double-appending
             (
@@ -113,9 +131,9 @@ def write_epoch(
                 .partitionBy(EPOCH_COL)
                 .parquet(spec.path)
             )
-            rows_written[name] = out.count()
+            observations[name] = obs
         ledger = spark.createDataFrame(
-            [(epoch_id, n, rows_written[n]) for n in todo],
+            [(epoch_id, n, int(observations[n].get["rows"])) for n in todo],
             "epoch long, sink string, rows long",
         )
         ledger.write.mode("append").parquet(ledger_path)
@@ -164,8 +182,23 @@ def read_committed(
     """The sink's data restricted to ledger-committed epochs — the
     consistent-read view (in-flight epochs invisible). The semi-join is
     on the partition column, so pruning drops uncommitted epoch
-    directories at the scan."""
-    data = spark.read.parquet(spec_path)
+    directories at the scan.
+
+    A sink that has never written a data file — path absent, or every
+    ledgered epoch wrote zero rows (dynamic overwrite of an empty batch
+    leaves no parquet footer to infer from) — reads as an empty frame
+    rather than raising."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        data = spark.read.parquet(spec_path)
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        return spark.createDataFrame([], f"{EPOCH_COL} long")
     eps = committed_epochs(spark, ledger_path, sink).withColumnRenamed(
         "epoch", EPOCH_COL
     )

@@ -492,3 +492,39 @@ def test_fanout_config_validation(spark, registry, tmp_path):
             df,
             WriteOptions(options={"ledger_path": "/tmp/l", "sinks": {"a": {}}}),
         )
+
+
+def test_fanout_batch_rerun_replaces_stale_output(spark, tmp_path):
+    """A deliberate batch re-run with CHANGED input must replace the
+    previous epoch's output, not silently no-op on the ledger skip
+    (force=True on the batch path; the skip is only for streaming
+    crash redelivery)."""
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions
+    from lakehouse_ingestion_spark.sinks.fanout import FanoutWriter
+
+    sink = str(tmp_path / "rr_sink")
+    ledger = str(tmp_path / "rr_ledger")
+    opts = WriteOptions(
+        options={
+            "ledger_path": ledger,
+            "sinks": {"main": {"path": sink}},
+        }
+    )
+    w = FanoutWriter()
+    w.write_batch(
+        spark.createDataFrame([(1, "old")], "id long, v string"), opts
+    )
+    assert [r.v for r in spark.read.parquet(sink).collect()] == ["old"]
+    # re-run with changed input: output must reflect the new data
+    w.write_batch(
+        spark.createDataFrame(
+            [(1, "new"), (2, "new2")], "id long, v string"
+        ),
+        opts,
+    )
+    got = spark.read.parquet(sink)
+    assert sorted(r.v for r in got.collect()) == ["new", "new2"]
+    # ledger is a log: both runs recorded, latest row count visible
+    led = spark.read.parquet(ledger)
+    assert led.count() == 2
+    assert sorted(r.rows for r in led.collect()) == [1, 2]

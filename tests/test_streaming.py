@@ -970,3 +970,106 @@ def test_multi_sink_read_committed_hides_inflight(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
     rc = read_committed(spark, path, ledger, "s")
     assert [r.id for r in rc.collect()] == [1]
+
+
+def test_streaming_bloom_dedup_null_keys_not_collapsed(spark, tmp_path):
+    """Multiple NULL-key rows in ONE micro-batch all survive verbatim:
+    dropDuplicates' null-safe equality must not collapse them (the
+    'NULL keys always survive' contract), and none of them lands in
+    the dup sink or the key store."""
+    from lakehouse_ingestion_spark.streaming.bloom_dedup import (
+        bloom_dedup_foreach_batch,
+    )
+
+    out = str(tmp_path / "nk_out")
+    dups = str(tmp_path / "nk_dups")
+    fn = bloom_dedup_foreach_batch(
+        (str(tmp_path / "nk_bloom"), str(tmp_path / "nk_keys")),
+        sink=lambda df, _e: df.write.mode("append").parquet(out),
+        key_col="k",
+        expected_items=100,
+        dup_sink=lambda df, _e: df.write.mode("append").parquet(dups),
+    )
+    batch = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, None)],
+        "doc_id long, k string",
+    )
+    fn(batch, 0)
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # all three NULL-key rows + 'x'
+    assert {r.doc_id for r in got.collect()} == {1, 2, 3, 4}
+    assert not (tmp_path / "nk_dups").exists()  # nothing routed as dup
+    stored = spark.read.parquet(str(tmp_path / "nk_keys"))
+    assert [r.k for r in stored.collect()] == ["x"]  # no NULL stored
+    # second batch: NULLs still survive alongside a true duplicate drop
+    fn(
+        spark.createDataFrame(
+            [(11, None), (12, "x")], "doc_id long, k string"
+        ),
+        1,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+        1, 2, 3, 4, 11,
+    }
+    assert {r.doc_id for r in spark.read.parquet(dups).collect()} == {12}
+
+
+def test_multi_sink_ledger_rows_from_observe(spark, tmp_path):
+    """The ledger's rows column reflects each sink's post-transform
+    count, measured by observe() riding the write job itself (no
+    second count job re-running the transform)."""
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        write_epoch,
+    )
+
+    ledger = str(tmp_path / "lr_ledger")
+    write_epoch(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id long, g string"
+        ),
+        {
+            "all": SinkSpec(str(tmp_path / "lr_all")),
+            "only_a": SinkSpec(
+                str(tmp_path / "lr_a"),
+                transform=lambda df: df.where("g = 'a'"),
+            ),
+        },
+        ledger,
+        epoch_id=0,
+    )
+    rows = {
+        r.sink: r.rows for r in spark.read.parquet(ledger).collect()
+    }
+    assert rows == {"all": 3, "only_a": 2}
+
+
+def test_multi_sink_read_committed_tolerates_missing_and_empty(
+    spark, tmp_path
+):
+    """read_committed on a sink path that was never written (or whose
+    only ledgered epochs wrote zero rows, leaving no parquet footer)
+    returns an empty frame instead of raising."""
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        read_committed,
+        write_epoch,
+    )
+
+    ledger = str(tmp_path / "mt_ledger")
+    missing = str(tmp_path / "mt_never_written")
+    assert (
+        read_committed(spark, missing, ledger, "ghost").count() == 0
+    )
+    # zero-row epoch: ledger row exists (rows=0), data dir has no
+    # parquet footer to infer a schema from
+    empty_path = str(tmp_path / "mt_empty")
+    write_epoch(
+        spark.createDataFrame([], "id long").where("id < 0"),
+        {"e": SinkSpec(empty_path)},
+        ledger,
+        epoch_id=0,
+    )
+    led = spark.read.parquet(ledger)
+    assert [(r.sink, r.rows) for r in led.collect()] == [("e", 0)]
+    assert read_committed(spark, empty_path, ledger, "e").count() == 0
