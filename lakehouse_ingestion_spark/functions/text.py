@@ -117,6 +117,29 @@ def fingerprint_md5(text: Column | str, normalize: bool = True) -> Column:
     return F.md5(t)
 
 
+def fingerprint_xxhash(text: Column | str, normalize: bool = True) -> Column:
+    """Production-default fingerprint: xxhash64 of the normalized text.
+
+    ~3x cheaper than md5 inside whole-stage codegen (non-cryptographic,
+    8-byte output vs 16-byte hex string — the sf10 hash-scan rows
+    ``dedup_exact``/``fingerprint``/``dedup_latest`` are md5-bound, see
+    BASELINE.md) at ~n²/2⁶⁵ collision odds — fine for dedup grouping,
+    not for content addressing. md5 stays the cross-engine oracle
+    variant (DuckDB has no xxhash64)."""
+    t = _col(text)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    return F.xxhash64(t)
+
+
+#: dispatch for operators exposing a ``hash_fn=`` parameter
+FINGERPRINT_FNS = {
+    "xxhash64": fingerprint_xxhash,
+    "md5": fingerprint_md5,
+    "rolling": fingerprint_rolling,
+}
+
+
 def language_scores(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
     """Map<lang, marker-hit-count> for the language heuristic."""
     m = markers or LANG_MARKERS

@@ -22,10 +22,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import FINGERPRINT_FNS
+
 
 def dedup_exact(df: DataFrame, key_columns: list[str] | None = None) -> DataFrame:
     """Hash-based exact dedup. No keys -> whole-row dedup."""
     return df.dropDuplicates(key_columns) if key_columns else df.dropDuplicates()
+
+
+def dedup_by_content(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    normalize: bool = True,
+    keep_fingerprint: bool = False,
+) -> DataFrame:
+    """Exact content dedup: one survivor (minimum ``id_col``) per
+    normalized-text fingerprint.
+
+    ``hash_fn`` picks the fingerprint: ``xxhash64`` (default — JVM-cheap
+    8-byte hash; the sf10 hash-scan rows are md5-bound, see BASELINE.md),
+    ``md5`` (cross-engine stable, what the ``dedup_exact`` oracle query
+    mirrors), or ``rolling`` (locality-friendly polynomial).
+
+    Scale: ``min_by`` aggregation — partial aggregation collapses each
+    map partition to one row per fingerprint BEFORE the single shuffle,
+    so a corpus-wide boilerplate document never concentrates on one
+    reducer. Deterministic winner (min id), unlike ``dropDuplicates``.
+    """
+    try:
+        fp = FINGERPRINT_FNS[hash_fn](F.col(text_col), normalize=normalize)
+    except KeyError:
+        raise ValueError(
+            f"hash_fn must be one of {sorted(FINGERPRINT_FNS)}, got {hash_fn!r}"
+        ) from None
+    row = F.struct(*[F.col(c) for c in df.columns])
+    out = df.groupBy(fp.alias("__fp")).agg(
+        F.min_by(row, F.col(id_col)).alias("__w")
+    )
+    cols = [F.col(f"__w.{c}").alias(c) for c in df.columns]
+    if keep_fingerprint:
+        cols.append(F.col("__fp").cast("string").alias("fingerprint"))
+    return out.select(*cols)
 
 
 def dedup_latest_by_key(

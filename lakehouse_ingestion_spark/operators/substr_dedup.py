@@ -29,8 +29,10 @@ distinct shingles never seen in any earlier document (by id order) —
 the standard "how much new text does each increment add" curation
 statistic.
 
-100-TB posture: two shuffles for spans (count, per-doc window), two
-for novelty (first-doc min, per-doc ratio); all keys high-cardinality;
+100-TB posture: two shuffles for spans (count, per-doc window); for
+novelty one pair-distinct, one shingle-keyed introducer pass (partial-
+aggregated + AQE-skew-split join by default), one per-doc aggregate —
+the exploded corpus is traversed ONCE; all keys high-cardinality;
 nothing driver-sized; hash collisions (64-bit) are ~n²/2⁶⁵ false
 duplicate marks — negligible and conservative (flags, never deletes).
 """
@@ -181,37 +183,56 @@ def ngram_novelty(
     id_col: str = "doc_id",
     k: int = 8,
     round_to: int = 6,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Fraction of each doc's DISTINCT k-shingles first introduced by
     that doc (ids define corpus order; a shingle's introducer is the
     minimum id containing it). 1.0 = all-new text, 0.0 = pure rehash.
     Docs with fewer than k tokens score NULL (no shingles — length
     rules own them). Adds ``n_shingles`` and ``novelty``."""
-    # two independent partial-aggregated branches over the shingle
-    # explode, joined only at doc granularity (tiny frames):
-    #   - n_shingles: one countDistinct keyed by doc;
-    #   - novel: min-id introducer per shingle, then introducer counts.
-    # No join-back against the exploded corpus and no sort-based window
-    # over the ~|corpus| mostly-unique shingle keys (both measured
-    # slower at sf1: join-back 6.8 s, shingle-keyed window 5.2 s, this
-    # 2.2 s). A collect_set-of-docs single-pass variant is rejected: a
-    # boilerplate shingle present in every document makes its set
-    # |corpus|-sized.
-    ex = _doc_shingles(df, text_col, id_col, k).select(id_col, "sh")
-    nsh = ex.groupBy(id_col).agg(F.countDistinct("sh").alias("n_shingles"))
-    nov = (
-        ex.groupBy("sh")
-        .agg(F.min(id_col).alias("__fid"))
-        .groupBy("__fid")
-        .agg(F.count(F.lit(1)).alias("__novel"))
-    )
+    # Single linear pipeline over the shingle explode — no branch
+    # recomputes it: distinct (id, sh) pairs, each pair tagged with its
+    # shingle's introducer (min id), then ONE per-doc aggregate
+    # producing both n_shingles (pair count) and novel (pairs where
+    # this doc IS the introducer). Two tagging forms, sf1 median-of-5
+    # each (DuckDB oracle 1.3 s):
+    #   - skew_safe=True (default): groupBy(sh).min partial-aggregates
+    #     BEFORE its shuffle, join back on sh — AQE skew-join splits a
+    #     corpus-hot shingle key across tasks. 2.91 s.
+    #   - skew_safe=False: min() window over partitionBy(sh) — ~10%
+    #     faster (2.65 s) but a window partition is never split, so ONE
+    #     task buffers every doc containing a boilerplate shingle;
+    #     only for corpora pre-screened free of corpus-hot shingles.
+    # Measured and rejected at sf1: previous two-branch form 2.95 s
+    # (each branch re-ran the explode + per-doc lead window),
+    # distinct-then-two-branches 2.92-3.15 s, persisted shared frame
+    # 3.45 s warm, collect_set + sentinel single-shuffle 3.24 s, and
+    # every array-side formulation 43-71 s (higher-order lambdas are
+    # CodegenFallback — interpreted per element — regardless of lambda
+    # body). The 1.62 s explode+lead shingle derivation (also the
+    # measured-cheapest form; see _doc_shingles) is >half of the total
+    # and is the remaining floor vs the oracle.
+    dsh = _doc_shingles(df, text_col, id_col, k).select(id_col, "sh").distinct()
+    if skew_safe:
+        intro = dsh.groupBy("sh").agg(F.min(id_col).alias("__fid"))
+        tagged = dsh.join(intro, "sh")
+    else:
+        tagged = dsh.withColumn(
+            "__fid", F.min(id_col).over(Window.partitionBy("sh"))
+        )
     per_doc = (
-        nsh.join(nov, nsh[id_col] == nov["__fid"], "left")
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col(id_col) == F.col("__fid"), 1).otherwise(0)
+            ).alias("__novel"),
+        )
         .withColumn(
             "novelty",
-            F.round(
-                F.coalesce(F.col("__novel"), F.lit(0)) / F.col("n_shingles"),
-                round_to,
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("__novel") / F.col("n_shingles"), round_to),
             ),
         )
         .select(id_col, "n_shingles", "novelty")

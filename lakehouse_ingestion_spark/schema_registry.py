@@ -5,6 +5,12 @@ schemas live at ``{base}/{domain}/{dataset}/{vN}.json`` in Spark's own
 ``DataType`` JSON format, keyed by ``(domain, dataset, version)``;
 ``version="latest"`` resolves to the max numeric ``vN``; results cached.
 
+Lookup is filesystem-first with an optional installed-package fallback
+(``package="my_artifact.schemas"`` via ``importlib.resources``) — the
+Python analogue of the reference's filesystem-then-classpath dispatch
+(``schema/SchemaRegistry.scala:58-69,155-200``) for containerized
+deploys that bundle schemas inside the artifact.
+
 The JSON files parse via ``StructType.fromJson`` — byte-compatible with the
 reference's schema files (``schemas/payments/transactions/v1.json`` etc.).
 """
@@ -13,6 +19,7 @@ from __future__ import annotations
 
 import json
 import re
+from importlib import resources
 from pathlib import Path
 
 from pyspark.sql.types import StructField, StructType
@@ -23,9 +30,22 @@ _VERSION_RE = re.compile(r"^v(\d+)$")
 
 
 class SchemaRegistry:
-    def __init__(self, base_path: str | Path):
-        self.base_path = Path(base_path)
+    def __init__(self, base_path: str | Path | None = None, package: str | None = None):
+        if base_path is None and package is None:
+            raise ValueError("SchemaRegistry needs a base_path, a package, or both")
+        self.base_path = Path(base_path) if base_path is not None else None
+        self.package = package
         self._cache: dict[tuple[str, str, str], StructType] = {}
+
+    def _roots(self):
+        """Schema roots in lookup order: filesystem first, then the
+        installed package's resources (both expose the Traversable
+        surface this class uses: ``/``, is_dir/is_file, iterdir,
+        read_text, name)."""
+        if self.base_path is not None:
+            yield self.base_path
+        if self.package is not None:
+            yield resources.files(self.package)
 
     # -- public API ---------------------------------------------------------
     def get_schema(self, domain: str, dataset: str, version: str = "latest") -> StructType:
@@ -37,26 +57,41 @@ class SchemaRegistry:
         return self._cache[key]
 
     def list_versions(self, domain: str, dataset: str) -> list[str]:
-        d = self.base_path / domain / dataset
-        if not d.is_dir():
-            raise SchemaNotFoundError(f"no schema dir for {domain}/{dataset} under {self.base_path}")
-        versions = []
-        for f in d.glob("v*.json"):
-            m = _VERSION_RE.match(f.stem)
-            if m:
-                versions.append((int(m.group(1)), f.stem))
-        return [name for _, name in sorted(versions)]
+        for root in self._roots():
+            d = root / domain / dataset
+            if d.is_dir():
+                versions = []
+                for f in d.iterdir():
+                    m = _VERSION_RE.match(f.name.removesuffix(".json"))
+                    if m and f.name.endswith(".json"):
+                        versions.append((int(m.group(1)), f"v{m.group(1)}"))
+                return [name for _, name in sorted(versions)]
+        raise SchemaNotFoundError(
+            f"no schema dir for {domain}/{dataset} under "
+            f"{self.base_path or self.package}"
+        )
 
     def list_datasets(self) -> list[tuple[str, str]]:
-        """All (domain, dataset) pairs that have at least one vN.json."""
-        out = []
-        if not self.base_path.is_dir():
-            return out
-        for f in sorted(self.base_path.glob("*/*/v*.json")):
-            if _VERSION_RE.match(f.stem):
-                pair = (f.parent.parent.name, f.parent.name)
-                if pair not in out:
-                    out.append(pair)
+        """All (domain, dataset) pairs that have at least one vN.json
+        in any root (filesystem entries listed first)."""
+        out: list[tuple[str, str]] = []
+        for root in self._roots():
+            if not root.is_dir():
+                continue
+            for dom in sorted(root.iterdir(), key=lambda p: p.name):
+                if not dom.is_dir():
+                    continue
+                for ds in sorted(dom.iterdir(), key=lambda p: p.name):
+                    if not ds.is_dir():
+                        continue
+                    has_version = any(
+                        f.name.endswith(".json")
+                        and _VERSION_RE.match(f.name.removesuffix(".json"))
+                        for f in ds.iterdir()
+                    )
+                    pair = (dom.name, ds.name)
+                    if has_version and pair not in out:
+                        out.append(pair)
         return out
 
     def latest_version(self, domain: str, dataset: str) -> str:
@@ -73,7 +108,12 @@ class SchemaRegistry:
             return False
 
     def register(self, domain: str, dataset: str, version: str, schema: StructType) -> Path:
-        """Write a schema file (used by tests / bootstrap tooling)."""
+        """Write a schema file (used by tests / bootstrap tooling).
+        Filesystem-root only — package resources are read-only."""
+        if self.base_path is None:
+            raise ValueError(
+                "register() needs a filesystem base_path; the package root is read-only"
+            )
         d = self.base_path / domain / dataset
         d.mkdir(parents=True, exist_ok=True)
         path = d / f"{version}.json"
@@ -83,18 +123,24 @@ class SchemaRegistry:
 
     # -- internal -----------------------------------------------------------
     def _load(self, domain: str, dataset: str, version: str) -> StructType:
-        path = self.base_path / domain / dataset / f"{version}.json"
-        if not path.is_file():
-            raise SchemaNotFoundError(f"schema file not found: {path}")
-        try:
-            raw = json.loads(path.read_text())
-            parsed = StructType.fromJson(raw)
-        except Exception as e:
-            # NOT SchemaNotFoundError: schema_exists() swallows that and
-            # config validation would report a present-but-corrupt file
-            # as missing
-            raise SchemaParseError(f"failed to parse schema {path}: {e}") from e
-        return parsed
+        for root in self._roots():
+            path = root / domain / dataset / f"{version}.json"
+            if not path.is_file():
+                continue
+            try:
+                raw = json.loads(path.read_text())
+                return StructType.fromJson(raw)
+            except Exception as e:
+                # NOT SchemaNotFoundError: schema_exists() swallows that
+                # and config validation would report a present-but-corrupt
+                # file as missing. A corrupt filesystem copy is an error,
+                # not a trigger to fall through to the packaged copy —
+                # silently serving a stale bundled schema would mask it.
+                raise SchemaParseError(f"failed to parse schema {path}: {e}") from e
+        raise SchemaNotFoundError(
+            f"schema file not found: {domain}/{dataset}/{version}.json "
+            f"(roots: {self.base_path or ''} {self.package or ''})"
+        )
 
 
 def field_metadata(schema: StructType, column: str) -> dict:

@@ -441,3 +441,48 @@ def test_connected_components_jump_survives_long_chain(spark):
 
     with pytest.raises(ValueError, match="algorithm"):
         connected_components(chain, "doc_a", "doc_b", algorithm="stars")
+
+
+def test_dedup_by_content_hash_fns(spark):
+    """All three hash_fn choices agree on survivors (min-id per
+    normalized content), and the winner is deterministic."""
+    from lakehouse_ingestion_spark.operators.dedup import dedup_by_content
+
+    df = spark.createDataFrame(
+        [
+            (3, "Hello   World"),
+            (1, "hello world"),   # same normalized content, lower id wins
+            (2, "something else"),
+            (4, ""),
+            (5, "   "),           # normalizes equal to ""
+        ],
+        "doc_id long, text string",
+    )
+    for fn in ("xxhash64", "md5", "rolling"):
+        got = {r.doc_id for r in dedup_by_content(df, hash_fn=fn).collect()}
+        assert got == {1, 2, 4}, fn
+
+    with_fp = dedup_by_content(df, keep_fingerprint=True)
+    assert "fingerprint" in with_fp.columns
+    assert with_fp.filter(F.col("fingerprint").isNull()).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup_by_content(df, hash_fn="sha999")
+
+
+def test_dedup_by_content_partial_agg_plan(spark):
+    """The min_by form must partial-aggregate (two HashAggregate levels
+    around one exchange) — the property that keeps a corpus-hot
+    fingerprint off a single reducer."""
+    from lakehouse_ingestion_spark.operators.dedup import dedup_by_content
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    plan = dedup_by_content(df)._jdf.queryExecution().executedPlan().toString()
+    # struct-valued min_by plans as SortAggregate; the partial level
+    # (map-side combine before the exchange) is what matters
+    assert "partial_min_by" in plan
+    assert plan.count("Aggregate") >= 2

@@ -157,3 +157,43 @@ def test_evolve_gates_versions(tmp_path):
     assert evolve(reg, "d", "t", renamed) == ("v2", True)
     assert reg.list_versions("d", "t") == ["v1", "v2"]
     assert reg.get_schema("d", "t", "latest")["ident"].dataType == LongType()
+
+
+def test_package_resource_fallback(tmp_path, monkeypatch):
+    """Schemas bundled inside an installed package resolve when no
+    filesystem dir has them — the reference's classpath fallback
+    (schema/SchemaRegistry.scala:58-69) via importlib.resources."""
+    import sys
+
+    pkg = tmp_path / "bundled_schemas_pkg"
+    d = pkg / "payments" / "transactions"
+    d.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (d / "v1.json").write_text(json.dumps(SCHEMA.jsonValue()))
+    (d / "v2.json").write_text(json.dumps(SCHEMA.jsonValue()))
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    # package-only registry
+    r = SchemaRegistry(package="bundled_schemas_pkg")
+    assert r.list_versions("payments", "transactions") == ["v1", "v2"]
+    assert r.get_schema("payments", "transactions") == SCHEMA
+    assert r.list_datasets() == [("payments", "transactions")]
+    with pytest.raises(ValueError, match="read-only"):
+        r.register("payments", "transactions", "v3", SCHEMA)
+
+    # filesystem-first: a local override of the SAME dataset wins; a
+    # dataset only in the package still resolves
+    fs = tmp_path / "fs_schemas"
+    r2 = SchemaRegistry(fs, package="bundled_schemas_pkg")
+    override = StructType([StructField("only_local", StringType(), True)])
+    r2.register("payments", "transactions", "v1", override)
+    r2._cache.clear()
+    assert r2.get_schema("payments", "transactions", "v1") == override
+    # latest_version sees the filesystem dir first (v1 only there)
+    assert r2.list_versions("payments", "transactions") == ["v1"]
+    sys.modules.pop("bundled_schemas_pkg", None)
+
+
+def test_registry_requires_some_root():
+    with pytest.raises(ValueError, match="base_path"):
+        SchemaRegistry()
