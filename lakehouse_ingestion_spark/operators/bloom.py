@@ -147,6 +147,142 @@ def bloom_build(
     return dense
 
 
+def sharded_geometry(
+    expected_items: int, fpp: float, num_shards: int | None = None
+) -> tuple[int, int, int]:
+    """(num_shards, n_bits_per_shard, num_hashes) for a keyspace too
+    big for one filter. Pure math — unit-testable past MAX_WORDS
+    without materializing a bitmap. ``num_shards=None`` picks the
+    smallest shard count whose per-shard bitmap fits MAX_WORDS."""
+    if expected_items <= 0:
+        raise ValueError(f"expected_items must be > 0, got {expected_items}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if num_shards is None:
+        m_total = math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+        num_shards = max(1, math.ceil(m_total / 64 / MAX_WORDS))
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    per_shard = math.ceil(expected_items / num_shards)
+    m, k = _geometry(per_shard, fpp)
+    return num_shards, m, k
+
+
+def _shard_of(key: Column, seed: int, num_shards: int) -> Column:
+    """Shard assignment — probe index -1 keeps it independent of every
+    position hash (``_positions`` uses indexes 0..k-1)."""
+    return F.pmod(F.xxhash64(key, F.lit(seed), F.lit(-1)), F.lit(num_shards))
+
+
+def bloom_build_sharded(
+    df: DataFrame,
+    key_col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    seed: int = 42,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """One filter row PER SHARD: (shard, n_shards, n_bits, num_hashes,
+    seed, n_words, words). The keyspace hash-partitions across shards
+    (``_shard_of``), so each shard is an ordinary Bloom filter over its
+    slice — the scale path the MAX_WORDS guard on ``bloom_build``
+    points at. Same no-false-negative contract; per-shard fpp equals
+    the single-filter fpp because each shard is sized for its expected
+    slice. Screens join on the shard id (``bloom_screen`` dispatches on
+    the ``shard`` column); merges OR word arrays per shard
+    (``bloom_merge`` joins on shard for sharded inputs).
+
+    Shuffle bound: num_shards × n_words rows — filter-sized, never
+    data-sized, same as the single-filter build.
+    """
+    num_shards, m, k = sharded_geometry(expected_items, fpp, num_shards)
+    cfg = BloomConfig(m, k, seed)
+    n_words = m // 64
+    key = F.col(key_col)
+    pos = (
+        df.where(key.isNotNull())
+        .select(
+            _shard_of(key, seed, num_shards).alias("__shard"),
+            F.explode(_positions(key, cfg)).alias("__pos"),
+        )
+    )
+    sparse = pos.groupBy(
+        "__shard", F.shiftright("__pos", 6).alias("__w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))")
+        ).alias("__bits")
+    )
+    # dense grid over shard × word — same range-join + sorted fold as
+    # bloom_build (the MapType-densify trap documented there)
+    grid = df.sparkSession.range(num_shards * n_words).select(
+        (F.col("id") / n_words).cast("long").alias("__shard"),
+        F.pmod(F.col("id"), F.lit(n_words)).alias("__w"),
+    )
+    return (
+        grid.join(sparse, ["__shard", "__w"], "left")
+        .select(
+            "__shard", "__w", F.coalesce("__bits", F.lit(0)).alias("__bits")
+        )
+        .groupBy("__shard")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits"))).alias("__e")
+        )
+        .select(
+            F.col("__shard").alias("shard"),
+            F.lit(num_shards).alias("n_shards"),
+            F.lit(m).alias("n_bits"),
+            F.lit(k).alias("num_hashes"),
+            F.lit(seed).alias("seed"),
+            F.lit(n_words).alias("n_words"),
+            F.expr("transform(__e, x -> x.__bits)").alias("words"),
+        )
+    )
+
+
+def bloom_merge_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-shard union of two sharded filters (same geometry AND same
+    shard count — shard assignment must agree or the union is
+    meaningless). Join on shard, OR the word arrays."""
+    bb = b.select(
+        F.col("shard"),
+        F.col("n_shards").alias("__ns"),
+        F.col("n_bits").alias("__nb"),
+        F.col("num_hashes").alias("__nh"),
+        F.col("seed").alias("__sd"),
+        F.col("words").alias("__wb"),
+    )
+    same = (
+        (F.col("n_shards") == F.col("__ns"))
+        & (F.col("n_bits") == F.col("__nb"))
+        & (F.col("num_hashes") == F.col("__nh"))
+        & (F.col("seed") == F.col("__sd"))
+    )
+    return (
+        a.join(bb, "shard")
+        .select(
+            "shard",
+            "n_shards",
+            "n_bits",
+            "num_hashes",
+            "seed",
+            "n_words",
+            F.when(
+                same, F.zip_with("words", "__wb", lambda x, y: x.bitwiseOR(y))
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bloom_merge_sharded: filters have different geometry"
+                        " (n_shards/n_bits/num_hashes/seed must match)"
+                    )
+                )
+            )
+            .alias("words"),
+        )
+    )
+
+
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """The filter of the UNION of the two build inputs — exact, not
     approximate: identical geometry hashes identical keys to identical
@@ -216,6 +352,8 @@ def bloom_screen(
     # re-running the build per branch; (c) the geometry row is on hand
     # to unroll the probes. The filter is broadcast-sized by contract,
     # so eager materialization costs what any action would.
+    if "shard" in bloom.columns:
+        return _bloom_screen_sharded(batch, bloom, key_col, out_col)
     blm = bloom.select(
         F.col("n_bits").alias("__bf_m"),
         F.col("num_hashes").alias("__bf_k"),
@@ -242,6 +380,54 @@ def bloom_screen(
             .otherwise(probe),
         )
         .drop("__bf_words")
+    )
+
+
+def _bloom_screen_sharded(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Sharded variant of the screen: each batch row recomputes its
+    shard id and equi-joins its shard's filter row (broadcast — the
+    whole sharded filter is n_shards × n_words × 8 B; callers whose
+    union filter outgrows broadcast should pre-partition batch AND
+    filter store by shard and screen shard-partition-wise). Probes are
+    the same unrolled codegen expressions as the single-filter path —
+    see bloom_screen's docstring for why not forall/transform."""
+    blm = bloom.select(
+        F.col("shard").alias("__bf_shard"),
+        F.col("n_shards").alias("__bf_ns"),
+        F.col("n_bits").alias("__bf_m"),
+        F.col("num_hashes").alias("__bf_k"),
+        F.col("seed").alias("__bf_seed"),
+        F.col("words").alias("__bf_words"),
+    ).localCheckpoint(eager=True)
+    ns, m, k, seed = blm.select("__bf_ns", "__bf_m", "__bf_k", "__bf_seed").first()
+    key = f"`{key_col}`"
+    terms = []
+    for i in range(k):
+        pos = f"pmod(xxhash64({key}, {seed}, {i}), {m}L)"
+        terms.append(
+            f"(element_at(__bf_words, cast(shiftright({pos}, 6) as int) + 1)"
+            f" & shiftleft(1L, cast({pos} % 64 as int))) != 0L"
+        )
+    probe = F.expr("(" + ") AND (".join(terms) + ")")
+    shard = F.expr(f"pmod(xxhash64({key}, {seed}, -1), {ns}L)")
+    return (
+        batch.withColumn("__bf_shard", shard)
+        .join(
+            F.broadcast(blm.select("__bf_shard", "__bf_words")),
+            "__bf_shard",
+            "left",
+        )
+        .withColumn(
+            out_col,
+            F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean"))
+            .otherwise(probe),
+        )
+        .drop("__bf_shard", "__bf_words")
     )
 
 

@@ -33,6 +33,7 @@ union, restricted to pairs involving the new docs (property-tested).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -45,6 +46,9 @@ from ..functions.similarity import (
     shingle_hashes,
     shingles,
 )
+from ..metrics import MetricValue
+
+log = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -102,6 +106,21 @@ def minhash_index(
     return MinHashIndexFrames(bands=bands, hashes=hashes)
 
 
+def hot_posting_keys(bands: DataFrame, posting_cap: int) -> DataFrame:
+    """(band, key, n_postings) for LSH buckets whose posting list
+    exceeds ``posting_cap``. Partial-aggregated count — a viral key
+    combines map-side before it shuffles — and the result is bounded
+    by |postings| / cap rows, so it is broadcast-sized by construction.
+    """
+    if posting_cap < 1:
+        raise ValueError(f"posting_cap must be >= 1, got {posting_cap}")
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+        .where(F.col("n_postings") > posting_cap)
+    )
+
+
 def incremental_near_dup(
     batch: DataFrame,
     index: MinHashIndexFrames | None,
@@ -113,6 +132,9 @@ def incremental_near_dup(
     num_bands: int = 8,
     seed: int = 42,
     round_to: int = 6,
+    posting_cap: int | None = None,
+    hot_keys: DataFrame | None = None,
+    on_cap_metric=None,
 ) -> tuple[DataFrame, MinHashIndexFrames]:
     """Verified near-dup pairs for a new batch, plus the batch's index
     delta (append it to the store to complete the increment).
@@ -120,6 +142,22 @@ def incremental_near_dup(
     ``index=None`` bootstraps: the batch dedups only against itself.
     Batch ids must be disjoint from index ids (ingest's append
     contract); hash-verification joins would silently mispair otherwise.
+
+    **Candidate-volume guardrail** (same rationale as the short-doc
+    exclusion above: an over-shared band key is boilerplate-driven and
+    carries no near-dup specificity, only O(hot²) candidate rows):
+    ``posting_cap`` drops every (band, key) bucket whose COMBINED
+    index+batch posting count exceeds the cap from candidate
+    generation — pairs from the other r-1 bands still surface any
+    genuine near-dup, so non-hot buckets are unaffected. Deriving the
+    cap set scans the stored postings' two narrow columns once
+    (columnar, partial-aggregated — never re-shingles history);
+    callers that maintain a persisted (band, key) count frame can pass
+    it pre-filtered as ``hot_keys`` to skip even that. Dropped-key /
+    dropped-posting totals are emitted as ``MetricValue``s through
+    ``on_cap_metric`` (default: module logger) — the hot frame is
+    broadcast-sized, so surfacing exact counts costs one tiny collect
+    of the aggregate that the cap decision computes anyway.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -127,6 +165,32 @@ def incremental_near_dup(
         batch, text_col, id_col, shingle_n, num_hashes, num_bands, seed
     )
     bb = delta.bands
+    index_bands = index.bands if index is not None else None
+    if posting_cap is not None or hot_keys is not None:
+        if hot_keys is None:
+            all_bands = (
+                index_bands.select("band", "key").unionByName(
+                    bb.select("band", "key")
+                )
+                if index_bands is not None
+                else bb.select("band", "key")
+            )
+            hot_keys = hot_posting_keys(all_bands, posting_cap)
+        emit = on_cap_metric or (lambda m: log.info("lsh-cap %s", m))
+        stats = hot_keys.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.col("n_postings")
+                if "n_postings" in hot_keys.columns
+                else F.lit(0)
+            ).alias("p"),
+        ).collect()[0]
+        emit(MetricValue("incr_near_dup_capped_keys", float(stats.k or 0)))
+        emit(MetricValue("incr_near_dup_capped_postings", float(stats.p or 0)))
+        hot = F.broadcast(hot_keys.select("band", "key"))
+        bb = bb.join(hot, ["band", "key"], "left_anti")
+        if index_bands is not None:
+            index_bands = index_bands.join(hot, ["band", "key"], "left_anti")
     self_pairs = (
         bb.alias("a")
         .join(bb.alias("b"), ["band", "key"])
@@ -138,7 +202,7 @@ def incremental_near_dup(
     )
     if index is not None:
         cross = (
-            index.bands.alias("i")
+            index_bands.alias("i")
             .join(bb.alias("n"), ["band", "key"])
             .select(
                 F.col(f"i.{id_col}").alias("doc_a"),

@@ -121,3 +121,96 @@ def test_dedup_plan_joins_only_maybe_rows(spark, entrymod=None):
     # history join (the unrolled xxhash64 probes gate the join input)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_sharded_geometry_past_single_filter_cap():
+    """The single-filter build refuses past MAX_WORDS; the sharded
+    geometry accepts the same keyspace by splitting it, keeping every
+    per-shard bitmap under the cap."""
+    from lakehouse_ingestion_spark.operators.bloom import (
+        MAX_WORDS,
+        sharded_geometry,
+        _geometry,
+    )
+
+    big_n = 20_000_000_000  # ~2e10 keys at 1% fpp: way past one filter
+    with pytest.raises(ValueError, match="shard the"):
+        _geometry(big_n, 0.01)
+    ns, m, k = sharded_geometry(big_n, 0.01)
+    assert ns > 1
+    assert m // 64 <= MAX_WORDS
+    # per-shard geometry matches a single filter over the slice
+    m1, k1 = _geometry(-(-big_n // ns), 0.01)
+    assert (m, k) == (m1, k1)
+    # explicit shard count honored; bad values refused
+    assert sharded_geometry(1000, 0.01, num_shards=7)[0] == 7
+    with pytest.raises(ValueError, match="num_shards"):
+        sharded_geometry(1000, 0.01, num_shards=0)
+
+
+def test_sharded_build_lazy_frame_past_cap(spark):
+    """Past-cap sharded build plans (schema + shard count) without
+    materializing terabytes of bitmap."""
+    from lakehouse_ingestion_spark.operators.bloom import bloom_build_sharded
+
+    df = _keys(spark, 0, 10)
+    blm = bloom_build_sharded(df, "key", expected_items=20_000_000_000)
+    assert {"shard", "n_shards", "words"} <= set(blm.columns)
+
+
+def test_sharded_dedup_matches_unsharded_and_join(spark):
+    """bloom_dedup over a sharded filter == unsharded filter == exact
+    join; no false negatives shard-wise."""
+    from lakehouse_ingestion_spark.operators.bloom import bloom_build_sharded
+
+    hist = _keys(spark, 0, 2000)
+    batch = _keys(spark, 1500, 3000)
+    blm_s = bloom_build_sharded(
+        hist, "key", expected_items=2000, fpp=0.05, num_shards=8
+    )
+    assert blm_s.count() == 8
+    got = bloom_dedup(batch, hist, blm_s, "key").select("key", "is_dup")
+    want = batch.join(
+        hist.withColumn("__t", F.lit(True)), "key", "left"
+    ).select("key", F.coalesce("__t", F.lit(False)).alias("is_dup"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # no false negatives: every seen key screens maybe_seen=True
+    screened = bloom_screen(hist, blm_s, "key")
+    assert screened.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_sharded_merge_equals_union_build(spark):
+    from lakehouse_ingestion_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_merge_sharded,
+    )
+
+    cfg = dict(expected_items=2000, fpp=0.01, num_shards=4)
+    a, b = _keys(spark, 0, 800), _keys(spark, 700, 1500)
+    merged = bloom_merge_sharded(
+        bloom_build_sharded(a, "key", **cfg),
+        bloom_build_sharded(b, "key", **cfg),
+    )
+    union = bloom_build_sharded(a.unionByName(b).distinct(), "key", **cfg)
+    m = {r["shard"]: r["words"] for r in merged.collect()}
+    u = {r["shard"]: r["words"] for r in union.collect()}
+    assert m == u
+
+    bad = bloom_build_sharded(b, "key", expected_items=2000, fpp=0.01,
+                              num_shards=4).withColumn("seed", F.lit(99))
+    with pytest.raises(Exception, match="geometry"):
+        bloom_merge_sharded(
+            bloom_build_sharded(a, "key", **cfg), bad
+        ).collect()
+
+
+def test_sharded_screen_null_keys(spark):
+    from lakehouse_ingestion_spark.operators.bloom import bloom_build_sharded
+
+    hist = _keys(spark, 0, 100)
+    blm = bloom_build_sharded(hist, "key", expected_items=100, num_shards=3)
+    batch = spark.createDataFrame([(None,), ("k5",)], "key string")
+    rows = {r["key"]: r["maybe_seen"] for r in
+            bloom_screen(batch, blm, "key").collect()}
+    assert rows[None] is None

@@ -481,3 +481,64 @@ def test_self_score_matches_composed_train_score(spark):
     assert composed == fused
     with pytest.raises(ValueError):
         self_score_perplexity(df, k=0)
+
+
+def test_incremental_near_dup_posting_cap_skew(spark):
+    """A viral band key (shared boilerplate) gets dropped by the cap;
+    pairs carried by non-hot keys still surface, and the dropped-key /
+    dropped-posting metrics are emitted."""
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        hot_posting_keys,
+        incremental_near_dup,
+        minhash_index,
+    )
+
+    # 20 docs sharing identical boilerplate text -> every band key of
+    # that text is viral; plus one genuine near-dup pair with unique
+    # text (its band keys have exactly 2 postings).
+    boiler = [(i, "shared boilerplate header repeated on every page of site")
+              for i in range(20)]
+    uniq = [
+        (100, "a rare ecology treatise on alpine moss and lichen growth"),
+        (101, "a rare ecology treatise on alpine moss and lichen decline"),
+    ]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    hist = df.where("doc_id < 10 or doc_id = 100")
+    batch = df.where("doc_id >= 10 and doc_id != 100")
+    idx = minhash_index(hist, num_hashes=8, num_bands=4)
+
+    metrics = []
+    pairs, _ = incremental_near_dup(
+        batch, idx, 0.3, num_hashes=8, num_bands=4,
+        posting_cap=5, on_cap_metric=metrics.append,
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # the genuine pair rides its non-hot keys
+    assert (100, 101) in got
+    # every boilerplate pair is capped away (all its keys are viral)
+    assert not any(a < 100 and b < 100 for a, b in got)
+    by_name = {m.name: m.value for m in metrics}
+    assert by_name["incr_near_dup_capped_keys"] >= 1
+    assert by_name["incr_near_dup_capped_postings"] > 5
+
+    # uncapped control: boilerplate pairs DO appear without the cap
+    pairs_u, _ = incremental_near_dup(batch, idx, 0.3, num_hashes=8, num_bands=4)
+    got_u = {(r["doc_a"], r["doc_b"]) for r in pairs_u.collect()}
+    assert any(a < 100 and b < 100 for a, b in got_u)
+    assert (100, 101) in got_u
+
+    # pre-filtered hot_keys path (caller-maintained counts)
+    all_bands = idx.bands.unionByName(
+        minhash_index(batch, num_hashes=8, num_bands=4).bands
+    ).select("band", "key")
+    hk = hot_posting_keys(all_bands, 5)
+    pairs_h, _ = incremental_near_dup(
+        batch, idx, 0.3, num_hashes=8, num_bands=4, hot_keys=hk,
+    )
+    got_h = {(r["doc_a"], r["doc_b"]) for r in pairs_h.collect()}
+    assert got_h == got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="posting_cap"):
+        hot_posting_keys(all_bands, 0)
