@@ -1322,6 +1322,7 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
         "pit_join": pit_build,
         "incr_near_dup": incr_build,
         "bloom_dedup": bloom_setup,
+        "bloom_dedup_sharded": bloom_sharded_setup,
     }
 
 
@@ -1350,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "bloom_dedup": q_bloom_dedup,
         # --- round-6 additions (inside the driver window) --------------
+        "bloom_dedup_sharded": q_bloom_dedup_sharded,
+        "dedup_content": q_dedup_content,
         # --- least-recently-hashed (r04 set, part 1): fill the window --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3316,6 +3319,55 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_dedup(batch, hist, blm, "fp").select("doc_id", "is_dup")
 
 
+_BLOOM_SHARDED_PATH = "/tmp/spark_graft_bloom_filter_sharded"
+_bloom_sharded_built_for: str | None = None
+
+
+def bloom_sharded_setup(spark: SparkSession, sf_dir: str) -> None:
+    """Build phase of q_bloom_dedup_sharded: persist the sharded filter
+    (operators/bloom.bloom_build_sharded — the scale path past
+    MAX_WORDS, here at num_shards=8 so the shard dispatch is exercised
+    at fixture scale)."""
+    global _bloom_sharded_built_for
+    from lakehouse_ingestion_spark.operators.bloom import bloom_build_sharded
+
+    hist = _bloom_keyed(spark, sf_dir).where(F.col("doc_id") % 5 != 0)
+    blm = bloom_build_sharded(
+        hist, "fp", expected_items=BLOOM_EXPECTED, fpp=BLOOM_FPP, num_shards=8
+    )
+    blm.write.mode("overwrite").parquet(_BLOOM_SHARDED_PATH)
+    _bloom_sharded_built_for = sf_dir
+
+
+def q_bloom_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bloom_dedup over a SHARDED filter (operators/bloom
+    .bloom_build_sharded): keys hash-partition across 8 shard filters,
+    the screen equi-joins each row's shard, and the answer is the same
+    EXACT dedup — same oracle as bloom_dedup by construction."""
+    from lakehouse_ingestion_spark.operators.bloom import bloom_dedup
+
+    if _bloom_sharded_built_for != sf_dir:
+        bloom_sharded_setup(spark, sf_dir)
+    blm = spark.read.parquet(_BLOOM_SHARDED_PATH)
+    keyed = _bloom_keyed(spark, sf_dir)
+    hist = keyed.where(F.col("doc_id") % 5 != 0)
+    batch = keyed.where(F.col("doc_id") % 5 == 0)
+    return bloom_dedup(batch, hist, blm, "fp").select("doc_id", "is_dup")
+
+
+def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content dedup via operators/dedup.dedup_by_content (hash_fn
+    dispatch; md5 here for the cross-engine oracle — xxhash64 is the
+    production default, see BASELINE.md round-6 sf10 rows): one
+    map-side-combined min_by per normalized-text fingerprint, full
+    survivor rows out."""
+    from lakehouse_ingestion_spark.operators.dedup import dedup_by_content
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_by_content(d, hash_fn="md5", keep_fingerprint=True)
+    return out.select("doc_id", "fingerprint")
+
+
 EXACT_SUBSTR_K = 3
 NOVELTY_K = 2
 
@@ -5204,6 +5256,20 @@ SELECT b.doc_id,
               ) AS is_dup
 FROM documents b
 WHERE b.doc_id % 5 = 0
+"""
+
+    # sharding changes WHERE bits live, never the answer: same oracle
+    qs["bloom_dedup_sharded"] = qs["bloom_dedup"]
+
+    qs["dedup_content"] = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM fp
+GROUP BY fingerprint
 """
 
     # shingle strings group-by replaces Spark's xxhash64 grouping —

@@ -3,6 +3,7 @@ from lakehouse_ingestion_spark.functions.text import (  # noqa: F401
     tokens,
     quality_score,
     fingerprint_md5,
+    fingerprint_xxhash,
     language_scores,
     language_id,
 )

@@ -1,5 +1,6 @@
 from lakehouse_ingestion_spark.operators.audit import add_audit_columns  # noqa: F401
 from lakehouse_ingestion_spark.operators.dedup import (  # noqa: F401
+    dedup_by_content,
     dedup_exact,
     dedup_latest_by_key,
 )

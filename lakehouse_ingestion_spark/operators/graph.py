@@ -45,6 +45,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import release_local_checkpoint
+
 log = logging.getLogger(__name__)
 
 
@@ -140,6 +142,11 @@ def connected_components(
                 (F.col("cluster_id") < F.col("__old")).alias("__changed"),
             ).localCheckpoint()  # eager: materializes AND truncates lineage
             changed = merged.filter(F.col("__changed")).count()
+            # round N is materialized — round N-1's blocks are dead.
+            # Freeing them here (not at ContextCleaner's GC leisure)
+            # bounds live checkpoint blocks to 2 rounds no matter the
+            # iteration count; see checkpoint.py.
+            release_local_checkpoint(labels)
             labels = merged.drop("__changed")
             if changed == 0:
                 log.info("connected_components converged after %d rounds", it + 1)
@@ -230,6 +237,7 @@ def _star_components(
         nxt_count = nxt.count()
         if nxt_count == cur_count and nxt.exceptAll(cur).count() == 0:
             log.info("star CC converged after %d rounds", it + 1)
+            release_local_checkpoint(cur)
             attached = nxt.select(
                 F.col("x").alias("node"), F.col("y").alias("cluster_id")
             )
@@ -240,6 +248,9 @@ def _star_components(
                     F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
                 )
             )
+        # round's edge set is materialized and the convergence check
+        # consumed the old one — free its blocks now (checkpoint.py)
+        release_local_checkpoint(cur)
         cur = nxt
         cur_count = nxt_count
     raise RuntimeError(

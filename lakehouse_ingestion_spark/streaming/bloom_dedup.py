@@ -44,6 +44,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
 from lakehouse_ingestion_spark.errors import ConfigError
 from lakehouse_ingestion_spark.operators.bloom import (
     bloom_build,
@@ -149,5 +150,15 @@ def bloom_dedup_foreach_batch(
             new_keys.write.mode("append").parquet(keys_path)
         finally:
             survivors.unpersist()
+        # state is durably on disk: free this batch's pinned frames now
+        # rather than at ContextCleaner GC leisure (checkpoint.py) —
+        # merged, the verified-dup key set, and (via the screened
+        # plan's LogicalRDD leaf) bloom_screen's pinned filter row
+        rel = [merged]
+        if dup_keys is not None:
+            rel.append(dup_keys)
+        if stored is not None:
+            rel.append(screened)
+        release_local_checkpoint(*rel)
 
     return _fn

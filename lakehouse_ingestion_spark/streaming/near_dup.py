@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
 from lakehouse_ingestion_spark.errors import ConfigError
 from lakehouse_ingestion_spark.operators.incremental_dedup import (
     MinHashIndexFrames,
@@ -158,6 +159,12 @@ def near_dup_foreach_batch(
                 ).write.mode("append").parquet(bands_path)
             finally:
                 survivors.unpersist()
+            # all sinks + appends landed: free this batch's pinned dup
+            # set immediately instead of waiting for ContextCleaner GC
+            # (checkpoint.py) — across thousands of micro-batches the
+            # dead blocks otherwise accumulate for the cleaner's 30-min
+            # default GC interval
+            release_local_checkpoint(best)
         finally:
             batch_df.unpersist()
 

@@ -89,3 +89,94 @@ def test_streaming_listener_records_metrics(spark, tmp_path):
         assert any(m.tags.get("query") == "metrics_probe" for m in lst.records)
     finally:
         spark.streams.removeListener(handle)
+
+
+def test_prometheus_exporter_exposition_format(tmp_path, spark):
+    """Batch observed metrics + streaming MetricValues render as valid
+    text exposition format and land atomically in a textfile."""
+    from lakehouse_ingestion_spark.metrics import (
+        MetricValue,
+        ObservedMetrics,
+        PrometheusExporter,
+    )
+
+    exp = PrometheusExporter(textfile_path=str(tmp_path / "job.prom"))
+
+    # batch path: observe-based metrics from a real Spark action
+    df = spark.range(50).withColumn("v", F.col("id") * 3)
+    om = ObservedMetrics.attach(
+        df, "ing", {"rows": F.count(F.lit(1)), "max_v": F.max("v")}
+    )
+    om.df.write.format("noop").mode("overwrite").save()
+    exp.record_observed("ingest", om.get(), tags={"table": "bronze.events"})
+
+    # streaming-listener path: the exporter IS the emit callable
+    exp(MetricValue("stream_input_rows", 5.0,
+                    tags={"query": "q1", "batch": "0"}))
+    exp(MetricValue("stream_input_rows", 7.0,
+                    tags={"query": "q1", "batch": "1"}))  # last write wins per labelset... distinct batch label -> both kept
+
+    payload = exp.flush()
+    assert payload == (tmp_path / "job.prom").read_text()
+    lines = payload.splitlines()
+    assert "# TYPE lakehouse_ingest_rows gauge" in lines
+    assert 'lakehouse_ingest_rows{table="bronze.events"} 50' in lines
+    assert 'lakehouse_ingest_max_v{table="bronze.events"} 147' in lines
+    assert 'lakehouse_stream_input_rows{batch="0",query="q1"} 5' in lines
+    assert 'lakehouse_stream_input_rows{batch="1",query="q1"} 7' in lines
+    # every non-comment line: name{labels} value — exposition shape
+    import re as _re
+
+    for ln in lines:
+        if not ln.startswith("#"):
+            assert _re.fullmatch(
+                r"[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? -?[0-9.e+-]+", ln
+            ), ln
+
+
+def test_prometheus_exporter_sanitization_and_overwrite():
+    from lakehouse_ingestion_spark.metrics import PrometheusExporter
+
+    exp = PrometheusExporter(prefix="")
+    exp.record("9weird name!", 1.5, tags={"bad-label": 'va"l\n'})
+    exp.record("9weird name!", 2.5, tags={"bad-label": 'va"l\n'})  # overwrites
+    out = exp.render()
+    assert out == '# TYPE _9weird_name_ gauge\n_9weird_name_{bad_label="va\\"l\\n"} 2.5\n'
+
+
+def test_prometheus_pushgateway_protocol(tmp_path):
+    """flush() PUTs the payload to /metrics/job/<job>/<grouping keys>."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from lakehouse_ingestion_spark.metrics import PrometheusExporter
+
+    hits = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            hits.append((self.path, body.decode(), self.headers["Content-Type"]))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        exp = PrometheusExporter(
+            job="ingest job",
+            pushgateway_url=f"http://127.0.0.1:{srv.server_port}",
+            grouping_key={"env": "dev"},
+        )
+        exp.record("rows", 42)
+        exp.flush()
+    finally:
+        srv.shutdown()
+    path, body, ctype = hits[0]
+    assert path == "/metrics/job/ingest%20job/env/dev"
+    assert "lakehouse_rows 42" in body
+    assert ctype.startswith("text/plain")

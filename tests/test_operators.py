@@ -486,3 +486,59 @@ def test_dedup_by_content_partial_agg_plan(spark):
     # (map-side combine before the exchange) is what matters
     assert "partial_min_by" in plan
     assert plan.count("Aggregate") >= 2
+
+
+def test_release_local_checkpoint(spark):
+    """Blocks free immediately; released frames fail loudly (lineage is
+    gone — fail-safe, never silent recompute); plain frames no-op."""
+    from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    df = spark.range(100).selectExpr("id", "id * 2 as v").localCheckpoint()
+    df.count()
+    assert sc._jsc.getPersistentRDDs().size() == before + 1
+    assert release_local_checkpoint(df) == 1
+    assert sc._jsc.getPersistentRDDs().size() == before
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError):
+        df.count()
+
+    # derived frames release through projections; non-checkpointed no-op
+    d2 = spark.range(10).localCheckpoint().selectExpr("id + 1 as j")
+    assert release_local_checkpoint(d2) == 1
+    assert release_local_checkpoint(spark.range(5)) == 0
+
+
+def test_connected_components_releases_round_blocks(spark):
+    """The CC loops free round N-1's checkpoint when round N lands:
+    persistent RDD count must not grow with iteration count."""
+    from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    # a 60-chain needs many jump rounds — without per-round release the
+    # persistent map would hold one RDD per round
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = connected_components(chain, "doc_a", "doc_b", max_iterations=30)
+    assert {r["cluster_id"] for r in got.collect()} == {0}
+    after_rdds = sc._jsc.getPersistentRDDs().size()
+    # only the final round's label frame (returned) may remain pinned
+    assert after_rdds <= before + 1
+    release_local_checkpoint(got)
+    assert sc._jsc.getPersistentRDDs().size() <= before
+
+    before2 = sc._jsc.getPersistentRDDs().size()
+    got2 = connected_components(
+        chain, "doc_a", "doc_b", max_iterations=40, algorithm="star"
+    )
+    assert {r["cluster_id"] for r in got2.collect()} == {0}
+    # stars keeps all_nodes + the final edge set in the returned plan
+    assert sc._jsc.getPersistentRDDs().size() <= before2 + 2
+    release_local_checkpoint(got2)
