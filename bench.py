@@ -25,6 +25,7 @@ def main() -> None:
         sf = None
 
     import __spark_entry__ as entrymod
+    from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
     from lakehouse_ingestion_spark.session import get_spark, SparkConfig
 
     # master resolution (SPARK_GRAFT_CPUS -> local[N]) lives in get_spark
@@ -58,15 +59,10 @@ def main() -> None:
         # timer wraps fn() too (some queries do eager work inside), and a
         # query must not pin cache into its successors' measurements.
         # gc.collect() releases this query's py4j proxies so the JVM
-        # ContextCleaner can reclaim its localCheckpoint RDD blocks —
-        # without it those blocks accumulate across the full registry
-        # and the iterative-CC queries OOM'd the JVM at sf10 (each is
-        # fine in a fresh session). The periodic System.gc() is what
-        # actually enqueues the cleaner's weak references (its built-in
-        # periodic GC defaults to 30 min — longer than this whole run).
+        # ContextCleaner can reclaim whatever localCheckpoint blocks the
+        # explicit release below can't reach (frames internal to an
+        # operator that aren't leaves of the returned plan).
         gc.collect()
-        if len(timings) % 16 == 15:
-            spark._jvm.System.gc()
         spark.catalog.clearCache()
         if name in setups:
             # one-time build phases (e.g. bucketed table writes) are an
@@ -78,6 +74,13 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # free the query's checkpoint blocks NOW (post-timing — release
+        # cost isn't billed to the probe): the iterative operators
+        # release their per-round frames themselves (operators/graph.py)
+        # and this catches the final returned frame, so the registry no
+        # longer needs a periodic System.gc() to survive sf10 (the
+        # round-5 every-16-queries workaround; see checkpoint.py)
+        release_local_checkpoint(df)
 
     total = round(sum(timings.values()), 4)
     # Full per-query map goes to a side artifact + a non-final stdout line;
