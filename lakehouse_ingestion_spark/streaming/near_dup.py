@@ -47,8 +47,16 @@ def near_dup_foreach_batch(
     num_hashes: int = 64,
     num_bands: int = 8,
     seed: int = 42,
+    posting_cap: int | None = None,
+    on_cap_metric=None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function.
+
+    ``posting_cap`` / ``on_cap_metric`` pass through to
+    ``incremental_near_dup``'s viral-band-key guardrail (drop
+    over-shared LSH buckets from candidate generation; emit dropped
+    counts) — under continuous ingest a boilerplate key only grows, so
+    the cap matters MORE here than in one-shot batch runs.
 
     ``index_paths`` = (bands_path, hashes_path): parquet dirs holding
     the persisted index; created on the first batch. Within each batch:
@@ -98,6 +106,8 @@ def near_dup_foreach_batch(
                 num_hashes=num_hashes,
                 num_bands=num_bands,
                 seed=seed,
+                posting_cap=posting_cap,
+                on_cap_metric=on_cap_metric,
             )
             # best partner per duplicate (max jaccard, then MIN partner
             # id) — row_number, not max_by(struct(jaccard, -doc_a)):

@@ -1073,3 +1073,38 @@ def test_multi_sink_read_committed_tolerates_missing_and_empty(
     led = spark.read.parquet(ledger)
     assert [(r.sink, r.rows) for r in led.collect()] == [("e", 0)]
     assert read_committed(spark, empty_path, ledger, "e").count() == 0
+
+
+def test_streaming_near_dup_posting_cap_passthrough(spark, tmp_path):
+    """posting_cap flows through the foreachBatch wrapper: a viral
+    boilerplate band key is dropped (metric emitted), unique near-dups
+    still dedup."""
+    from lakehouse_ingestion_spark.streaming.near_dup import (
+        near_dup_foreach_batch,
+    )
+
+    out, dups, metrics = [], [], []
+    fn = near_dup_foreach_batch(
+        (str(tmp_path / "bands"), str(tmp_path / "hashes")),
+        threshold=0.3,
+        sink=lambda df, e: out.extend(df.collect()),
+        dup_sink=lambda df, e: dups.extend(df.collect()),
+        num_hashes=8,
+        num_bands=4,
+        posting_cap=5,
+        on_cap_metric=metrics.append,
+    )
+    boiler = [(i, "shared boilerplate header repeated on every page of site")
+              for i in range(12)]
+    uniq = [
+        (100, "a rare ecology treatise on alpine moss and lichen growth"),
+        (101, "a rare ecology treatise on alpine moss and lichen decline"),
+    ]
+    b1 = spark.createDataFrame(boiler + uniq[:1], "doc_id long, text string")
+    b2 = spark.createDataFrame(boiler[:0] + uniq[1:], "doc_id long, text string")
+    fn(b1, 0)
+    fn(b2, 1)
+    # the unique near-dup pair still dedups across batches
+    assert any(r["doc_id"] == 101 for r in dups)
+    assert any(m.name == "incr_near_dup_capped_keys" and m.value >= 1
+               for m in metrics)
