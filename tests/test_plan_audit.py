@@ -523,3 +523,28 @@ def test_resample_grid_from_spans_no_calendar_join(spark, entrymod):
     assert not a.has_nested_loop
     assert not a.python_in_plan
     assert "Window" in a.plan and "user_id" in a.plan
+
+
+def test_bloom_dedup_sharded_broadcast_shard_join(spark, entrymod):
+    """The sharded screen equi-joins the batch's computed shard id
+    against the broadcast filter rows — broadcast hash join, no
+    cartesian (the unsharded screen's scalar crossJoin shape is gone),
+    no Python."""
+    df = entrymod.queries()["bloom_dedup_sharded"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.has_nested_loop
+    assert not a.python_in_plan
+
+
+def test_dedup_content_single_exchange_partial_agg(spark, entrymod):
+    """Content dedup: ONE fingerprint-keyed exchange with a map-side
+    partial min_by below it — a corpus-hot fingerprint combines before
+    it shuffles."""
+    df = entrymod.queries()["dedup_content"](spark, SF_DIR)
+    a = audit(df)
+    assert a.shuffle_exchanges == 1
+    assert a.joins == {}
+    assert not a.python_in_plan
+    assert "partial_min_by" in a.plan
