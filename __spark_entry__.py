@@ -1353,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (inside the driver window) --------------
         "bloom_dedup_sharded": q_bloom_dedup_sharded,
         "dedup_content": q_dedup_content,
+        "strip_spans": q_strip_spans,
         # --- least-recently-hashed (r04 set, part 1): fill the window --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3385,6 +3386,24 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_dup_spans", "dup_tokens", "dup_token_frac")
 
 
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (operators/substr_dedup.strip_duplicated_
+    spans — the cut §4.2 of Lee et al. performs, completing the
+    audit-only dup_stats pass): duplicated k-token spans are cut from
+    the text, clean docs pass through byte-identical. md5 of the
+    rewritten text keeps the oracle row narrow (full rewritten bodies
+    would dominate the hash compare)."""
+    from lakehouse_ingestion_spark.operators.substr_dedup import (
+        strip_duplicated_spans,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = strip_duplicated_spans(d, k=EXACT_SUBSTR_K)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_stripped_tokens"
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative corpus novelty (operators/substr_dedup.ngram_novelty):
     fraction of each doc's distinct k-shingles first introduced by that
@@ -5329,6 +5348,84 @@ SELECT b.doc_id,
             THEN round(coalesce(agg.dup_tokens, 0)::DOUBLE / len(b.tk), 6)
             ELSE 0.0 END AS dup_token_frac
 FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+    # strip_spans: the exact_substr span chain (lowered tokens drive
+    # span detection) + an original-case rebuild cut at those positions
+    qs["strip_spans"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tko
+  FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {_K}
+              THEN list_transform(range(1, len(tk) - {_K} + 2),
+                   i -> struct_pack(pos := i - 1,
+                        sg := array_to_string(tk[i:i+{_K}-1], ' ')))
+              ELSE [] END AS sl
+  FROM base
+),
+shu AS (SELECT doc_id, unnest(sl) AS s FROM ln),
+sh AS (SELECT doc_id, s.pos AS pos, s.sg AS sg FROM shu),
+dup AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) >= 2),
+hits AS (
+  SELECT sh.doc_id, sh.pos, sh.pos + {_K} - 1 AS e
+  FROM sh JOIN dup USING (sg)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+covered AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans
+),
+tokpos AS (
+  SELECT b.doc_id, t.pos AS pos, t.w AS w
+  FROM base b,
+       unnest(list_transform(range(len(b.tko)),
+              i -> struct_pack(pos := i, w := b.tko[i + 1]))) AS u(t)
+  WHERE b.doc_id IN (SELECT doc_id FROM spans)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.w
+  FROM tokpos tp LEFT JOIN covered c
+    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ') AS new_text
+  FROM kept GROUP BY doc_id
+),
+cut AS (
+  SELECT doc_id, sum(e - s + 1)::BIGINT AS n_cut FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(CASE WHEN cut.n_cut IS NOT NULL
+                THEN coalesce(r.new_text, '') ELSE d.text END) AS text_md5,
+       coalesce(cut.n_cut, 0)::BIGINT AS n_stripped_tokens
+FROM documents d
+LEFT JOIN cut USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
 """
 
     qs["ngram_novelty"] = f"""

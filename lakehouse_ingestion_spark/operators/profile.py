@@ -11,18 +11,47 @@ Shape: ONE ``agg`` over the table computing every per-column statistic,
 then a ``stack`` of the single result row into one row per column — the
 explode touches one row, so the whole profile costs a single scan.
 
-100-TB posture: with ``exact_distinct=True`` Spark plans one Expand (a
-k-way row multiplication) to evaluate k COUNT(DISTINCT) aggregates in a
-single pass — correct but k× shuffle volume. The default
-``exact_distinct=False`` uses ``approx_count_distinct`` (HLL partials,
-map-side combinable, no Expand), which is what you want on raw facts;
-exact mode exists for oracle checking and small dims.
+100-TB posture: the default ``exact_distinct=False`` uses
+``approx_count_distinct`` (HLL partials, map-side combinable) inside
+the fused aggregate — one scan, no Expand — which is what you want on
+raw facts. ``exact_distinct=True`` does NOT join the fused aggregate:
+k exact COUNT(DISTINCT)s in one agg plan an Expand (k-way row
+multiplication) under which EVERY aggregate expression — including the
+string casts for min/max/avg_len — re-evaluates per replica (measured
+14.7 s for 4 columns over 15M orders at sf10). Instead the distincts
+run as a melted side pass: union of k single-column projections →
+two-level partial-aggregated count, joined back to the fused row by
+column name (measured 5.95 s median on the same input, 2.5× faster;
+see BASELINE.md round-6). Distinctness is counted on the STRING cast
+(the only type the melt can union) — injective for the int/string/
+date/decimal types a profile meets, so counts equal native-type
+COUNT(DISTINCT).
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _exact_distincts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, n_distinct) via a melt: k column-pruned projections
+    unioned, then distinct-then-count with partial aggregation at both
+    levels — no Expand, low-cardinality columns collapse map-side."""
+    parts = [
+        df.where(F.col(c).isNotNull()).select(
+            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("__v")
+        )
+        for c in cols
+    ]
+    melted = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        melted.distinct()
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
 
 
 def profile_table(
@@ -39,29 +68,35 @@ def profile_table(
     for c in cols:
         s = F.col(c).cast("string")
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
-        d = (
-            F.count_distinct(F.col(c))
-            if exact_distinct
-            else F.approx_count_distinct(c)
-        )
-        aggs.append(d.alias(f"__dist_{c}"))
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"__dist_{c}"))
         aggs.append(F.min(s).alias(f"__min_{c}"))
         aggs.append(F.max(s).alias(f"__max_{c}"))
         aggs.append(F.round(F.avg(F.length(s)), 2).alias(f"__len_{c}"))
     one = df.agg(*aggs)
     # stack the 1-row wide aggregate into one row per column; the stack
     # string is built from trusted column names only
-    n_per = 5
     stack_args = []
     for c in cols:
         stack_args.append(f"'{c}'")
+        if not exact_distinct:
+            stack_args.append(f"`__dist_{c}`")
         stack_args.extend(
-            [f"`__null_{c}`", f"`__dist_{c}`", f"`__min_{c}`", f"`__max_{c}`", f"`__len_{c}`"]
+            [f"`__null_{c}`", f"`__min_{c}`", f"`__max_{c}`", f"`__len_{c}`"]
         )
-    expr = (
-        f"stack({len(cols)}, {', '.join(stack_args)}) as "
-        f"(col_name, n_null, n_distinct, min_str, max_str, avg_len)"
+    out_cols = (
+        "(col_name, n_null, min_str, max_str, avg_len)"
+        if exact_distinct
+        else "(col_name, n_distinct, n_null, min_str, max_str, avg_len)"
     )
-    return one.select(F.col("__n").alias("n_rows"), F.expr(expr)).select(
+    expr = f"stack({len(cols)}, {', '.join(stack_args)}) as {out_cols}"
+    stacked = one.select(F.col("__n").alias("n_rows"), F.expr(expr))
+    if exact_distinct:
+        # exact distincts ride the melted side pass (module docstring);
+        # the k-row join is trivially broadcast
+        stacked = stacked.join(
+            F.broadcast(_exact_distincts(df, cols)), "col_name", "left"
+        ).withColumn("n_distinct", F.coalesce("n_distinct", F.lit(0)))
+    return stacked.select(
         "col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str", "avg_len"
     )

@@ -177,6 +177,71 @@ def dup_stats(
     )
 
 
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The removal half of ExactSubstr (Lee et al., ACL 2022 §4.2 cuts
+    the duplicated spans; ``duplicated_spans`` only audits them):
+    rewrite ``text_col`` with every duplicated span's tokens removed.
+
+    Only documents that HAVE spans are rebuilt — their text becomes the
+    surviving tokens joined by single spaces (tokenization is
+    whitespace-normalizing by construction); clean documents pass
+    through byte-identical. Adds ``n_stripped_tokens``.
+
+    Plan shape (all JVM): spans explode to their covered positions
+    (rows = duplicated tokens, the quantity being removed — never the
+    corpus), anti-join against the positional token explode on
+    (id, pos) equality (no range join), ordered rebuild via
+    ``array_sort(collect_list(struct(pos, w)))``. Docs reduced to ZERO
+    tokens keep an empty string (curation length rules then drop them).
+    """
+    spans = duplicated_spans(df, text_col, id_col, k, min_occurrences)
+    covered = spans.select(
+        id_col,
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    toks = df.join(spans.select(id_col).distinct(), id_col, "semi").select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "__w"),
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "__w"))).alias("__kw"))
+        .select(
+            id_col,
+            F.array_join(F.expr("transform(__kw, x -> x.__w)"), " ").alias(
+                "__new_text"
+            ),
+        )
+    )
+    out = (
+        df.join(spans.groupBy(id_col).agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("__cut")
+        ), id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn(
+            "n_stripped_tokens", F.coalesce("__cut", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("__cut").isNotNull(), F.coalesce("__new_text", F.lit("")))
+            .otherwise(F.col(text_col)),
+        )
+        .drop("__cut", "__new_text")
+    )
+    # a doc whose every token sat in spans has no surviving rows in
+    # `kept` -> rebuilt misses it -> the coalesce('') above applies
+    return out
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

@@ -542,3 +542,47 @@ def test_incremental_near_dup_posting_cap_skew(spark):
 
     with pytest.raises(ValueError, match="posting_cap"):
         hot_posting_keys(all_bands, 0)
+
+
+def test_strip_duplicated_spans(spark):
+    """Duplicated spans are cut token-exactly; clean docs pass through
+    byte-identical (including original whitespace); fully-duplicated
+    docs become empty strings."""
+    from lakehouse_ingestion_spark.operators.substr_dedup import (
+        dup_stats,
+        strip_duplicated_spans,
+    )
+
+    docs = [
+        (0, "alpha beta gamma delta unique tail zero"),
+        (1, "alpha beta gamma delta other words here"),   # shares a 4-gram with 0
+        (2, "totally   distinct\tcontent with  odd spacing"),  # clean, weird ws
+        (3, "alpha beta gamma delta"),                    # becomes empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           strip_duplicated_spans(df, k=4).collect()}
+
+    # span 'alpha beta gamma delta' removed from all three carriers
+    assert out[0]["text"] == "unique tail zero"
+    assert out[1]["text"] == "other words here"
+    assert out[0]["n_stripped_tokens"] == 4
+    # clean doc: byte-identical text (whitespace untouched), 0 stripped
+    assert out[2]["text"] == docs[2][1]
+    assert out[2]["n_stripped_tokens"] == 0
+    # fully-duplicated doc -> empty string, not NULL
+    assert out[3]["text"] == ""
+    assert out[3]["n_stripped_tokens"] == 4
+
+    # consistency with the audit: stripped count == dup_tokens
+    audit_rows = {r["doc_id"]: r for r in dup_stats(df, k=4).collect()}
+    for i in range(4):
+        assert out[i]["n_stripped_tokens"] == audit_rows[i]["dup_tokens"]
+
+    # idempotence on the cleaned corpus: no k-gram repeats remain
+    cleaned = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in out.values()],
+        "doc_id long, text string",
+    )
+    again = strip_duplicated_spans(cleaned, k=4)
+    assert again.where(F.col("n_stripped_tokens") > 0).count() == 0

@@ -542,3 +542,32 @@ def test_connected_components_releases_round_blocks(spark):
     # stars keeps all_nodes + the final edge set in the returned plan
     assert sc._jsc.getPersistentRDDs().size() <= before2 + 2
     release_local_checkpoint(got2)
+
+
+def test_profile_table_exact_vs_approx_paths(spark):
+    """Exact mode (melted side pass, no Expand) and approx mode agree
+    on everything but the distinct estimator; NULL handling matches
+    SQL COUNT(DISTINCT) (NULLs excluded, counted in n_null)."""
+    from lakehouse_ingestion_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (3, "b")],
+        "k long, v string",
+    )
+    ex = {r["col_name"]: r for r in
+          profile_table(df, exact_distinct=True).collect()}
+    assert ex["k"]["n_rows"] == 4 and ex["k"]["n_distinct"] == 3
+    assert ex["v"]["n_distinct"] == 2 and ex["v"]["n_null"] == 1
+    assert ex["k"]["min_str"] == "1" and ex["k"]["max_str"] == "3"
+
+    ap = {r["col_name"]: r for r in profile_table(df).collect()}
+    for c in ("k", "v"):
+        for f in ("n_rows", "n_null", "min_str", "max_str", "avg_len"):
+            assert ap[c][f] == ex[c][f], (c, f)
+    # tiny input: HLL is exact here too
+    assert ap["k"]["n_distinct"] == 3
+
+    # no Expand in the exact plan (the whole point)
+    plan = profile_table(df, exact_distinct=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan
