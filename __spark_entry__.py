@@ -1354,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup_sharded": q_bloom_dedup_sharded,
         "dedup_content": q_dedup_content,
         "strip_spans": q_strip_spans,
+        "blocklist_filter": q_blocklist_filter,
         # --- least-recently-hashed (r04 set, part 1): fill the window --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3404,6 +3405,36 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST_WORDS = ["slow", "stale"]
+BLOCKLIST_MAX_RATIO = 0.02
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words policy filter (operators/quality
+    .blocklist_rule): token-boundary blocklist hits thresholded at 2 %
+    of tokens, fused into the quality-rule projection (one scan, zero
+    shuffles). Outputs integer/boolean columns only — a hits/tokens
+    ratio would sit on cross-engine round() tie boundaries."""
+    from lakehouse_ingestion_spark.operators.quality import (
+        apply_quality_rules,
+        blocklist_rule,
+    )
+    from lakehouse_ingestion_spark.functions.text import (
+        token_count,
+        word_match_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rule = blocklist_rule(BLOCKLIST_WORDS, max_ratio=BLOCKLIST_MAX_RATIO)
+    out = apply_quality_rules(d, [rule])
+    return out.select(
+        "doc_id",
+        word_match_count(F.col("text"), BLOCKLIST_WORDS).alias("n_hits"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.col("keep"),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative corpus novelty (operators/substr_dedup.ngram_novelty):
     fraction of each doc's distinct k-shingles first introduced by that
@@ -5348,6 +5379,23 @@ SELECT b.doc_id,
             THEN round(coalesce(agg.dup_tokens, 0)::DOUBLE / len(b.tk), 6)
             ELSE 0.0 END AS dup_token_frac
 FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+    _BL = ", ".join(f"'{w}'" for w in BLOCKLIST_WORDS)
+    qs["blocklist_filter"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(tk, w -> w IN ({_BL})))::BIGINT AS n_hits,
+       len(tk)::BIGINT AS n_tokens,
+       (len(tk) = 0 OR
+        len(list_filter(tk, w -> w IN ({_BL})))::DOUBLE / len(tk)
+          <= {BLOCKLIST_MAX_RATIO}) AS keep
+FROM tk
 """
 
     # strip_spans: the exact_substr span chain (lowered tokens drive

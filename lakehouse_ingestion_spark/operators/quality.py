@@ -87,6 +87,38 @@ def default_quality_rules(
     ]
 
 
+def blocklist_rule(
+    words: list[str],
+    max_ratio: float = 0.0,
+    name: str = "blocklist",
+) -> QualityRule:
+    """C4-style bad-words rule (C4 dropped any page containing a
+    "List of Dirty, Naughty …" word; Gopher used thresholded ratios):
+    the fraction of tokens appearing in ``words`` must be <=
+    ``max_ratio`` (default 0.0 = zero tolerance, the C4 posture).
+
+    Token-boundary matching via the same tokenization the rest of the
+    chain shares — substring matching is deliberately NOT offered (the
+    classic 'class'/'Scunthorpe' false-positive family). Documents
+    with zero tokens pass (length rules own them). Case-insensitive;
+    the word list becomes an ``InSet`` probe inside the fused
+    projection, so a thousand-word list costs one hash lookup per
+    token, still zero shuffles."""
+    if not words:
+        raise ValueError("blocklist_rule needs at least one word")
+    if not 0.0 <= max_ratio < 1.0:
+        raise ValueError(f"max_ratio must be in [0, 1), got {max_ratio}")
+
+    def _pred(t: Column) -> Column:
+        hits = word_match_count(t, words)
+        if max_ratio == 0.0:
+            return hits == 0
+        n = token_count(t)
+        return (n == 0) | (hits / n <= max_ratio)
+
+    return QualityRule(name, _pred)
+
+
 def apply_quality_rules(
     df: DataFrame,
     rules: list[QualityRule],

@@ -170,3 +170,43 @@ def test_build_vocab_uncapped_distributed_rank_many_partitions(spark):
     assert [g[2] for g in got] == list(range(1, 501))
     expect = sorted(got, key=lambda t: (-t[1], t[0]))
     assert got == expect
+
+
+def test_blocklist_rule(spark):
+    """C4-style bad-words rule: token-boundary (no Scunthorpe
+    substring hits), case-insensitive, zero-tolerance and thresholded
+    modes, empty docs pass, fused plan stays shuffle-free."""
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.quality import (
+        apply_quality_rules,
+        blocklist_rule,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a clean document with classic words"),  # 'class' substring must NOT trip
+            (1, "this has one BAD word in nine total tokens ok"),
+            (2, "bad bad bad"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    strict = apply_quality_rules(df, [blocklist_rule(["bad"])])
+    got = {r["doc_id"]: r["keep"] for r in strict.collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True}
+
+    loose = apply_quality_rules(
+        df, [blocklist_rule(["bad"], max_ratio=0.2)]
+    )
+    got2 = {r["doc_id"]: r["keep"] for r in loose.collect()}
+    # doc 1: 1/10 tokens = 0.1 <= 0.2 passes; doc 2: 3/3 fails
+    assert got2 == {0: True, 1: True, 2: False, 3: True}
+
+    plan = strict._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="at least one word"):
+        blocklist_rule([])
+    with pytest.raises(ValueError, match="max_ratio"):
+        blocklist_rule(["x"], max_ratio=1.0)
