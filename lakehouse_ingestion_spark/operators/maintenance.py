@@ -207,6 +207,22 @@ def compact_parquet(
     else:
         out = df.coalesce(stats["target_files"])
 
+    _swap_rewrite(spark, path, out, partition_by)
+    log.info("compacted %s: %s files -> %s", path, stats["n_files"], stats["target_files"])
+    return {**stats, "rewritten": True}
+
+
+def _swap_rewrite(
+    spark: SparkSession,
+    path: str,
+    out: DataFrame,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write ``out`` beside ``path``, then swap it in (see
+    compact_parquet's crash-safety docstring: temp write first, backup
+    kept until the swapped-in copy verifies readable)."""
+    import shutil
+
     tmp = path.rstrip("/") + "__compact_tmp"
     w = out.write.mode("overwrite")
     if partition_by:
@@ -230,8 +246,73 @@ def compact_parquet(
             f"original preserved at {backup}"
         )
     shutil.rmtree(backup)
-    log.info("compacted %s: %s files -> %s", path, stats["n_files"], stats["target_files"])
-    return {**stats, "rewritten": True}
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    bands_path: str,
+    hashes_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Compact the incremental near-dup index store
+    (``operators/incremental_dedup``: ``bands`` postings +``hashes``
+    verification sets). Crash-redelivered batches re-append both frames
+    — the hashes-first append order makes that harmless to
+    CORRECTNESS (``streaming/near_dup.py``), but duplicate rows bloat
+    every subsequent batch: each duplicate posting multiplies the
+    band-join candidate fan-out, and duplicate hash rows multiply the
+    verification join.
+
+    Rewrite (same temp-write + verified swap as ``compact_parquet``):
+
+    - ``bands``: distinct ``(id, band, key)``, range-clustered on
+      ``(band, key)`` — the probe side's join key, so each batch's
+      candidate join prunes to the matching key ranges;
+    - ``hashes``: one row per id (duplicates are byte-identical by
+      construction — same doc, same shingle set), clustered on id for
+      the verification join.
+
+    Returns per-frame before/after row counts. Run it when
+    ``plan_compaction`` says the file count is worth it, or after any
+    crash-redelivery window.
+    """
+    _require_local_path(bands_path)
+    _require_local_path(hashes_path)
+    bands = spark.read.parquet(bands_path)
+    hashes = spark.read.parquet(hashes_path)
+    id_col = [c for c in hashes.columns if c != "hs"][0]
+    stats = {
+        "bands_rows_before": bands.count(),
+        "hashes_rows_before": hashes.count(),
+    }
+
+    b_files = plan_compaction(spark, bands_path, target_file_bytes)
+    b_out = (
+        bands.distinct()
+        .repartitionByRange(
+            max(b_files["target_files"], 1), "band", "key"
+        )
+        .sortWithinPartitions("band", "key")
+    )
+    _swap_rewrite(spark, bands_path, b_out)
+
+    h_files = plan_compaction(spark, hashes_path, target_file_bytes)
+    h_out = (
+        hashes.dropDuplicates([id_col])
+        .repartitionByRange(max(h_files["target_files"], 1), id_col)
+        .sortWithinPartitions(id_col)
+    )
+    _swap_rewrite(spark, hashes_path, h_out)
+
+    after_b = spark.read.parquet(bands_path).count()
+    after_h = spark.read.parquet(hashes_path).count()
+    out = {
+        **stats,
+        "bands_rows_after": after_b,
+        "hashes_rows_after": after_h,
+    }
+    log.info("compacted minhash index: %s", out)
+    return out
 
 
 def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:

@@ -176,3 +176,53 @@ def test_zorder_validation(spark, tmp_path):
         F.lit(1).alias("x"), F.lit(None).cast("long").alias("y")
     )
     assert c.select(zorder_column(c, ["x", "y"]).alias("z")).distinct().count() == 1
+
+
+def test_compact_minhash_index_dedupes_and_preserves_results(spark, tmp_path):
+    """Simulated crash redelivery (same batch appended twice): the
+    compacted index returns the IDENTICAL verified pair set for the
+    next batch, with duplicate postings/hash rows gone."""
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        MinHashIndexFrames,
+        incremental_near_dup,
+        minhash_index,
+    )
+    from lakehouse_ingestion_spark.operators.maintenance import (
+        compact_minhash_index,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (0, "a rare ecology treatise on alpine moss and lichen growth"),
+            (1, "completely different words about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    bands_path = str(tmp_path / "bands")
+    hashes_path = str(tmp_path / "hashes")
+    idx = minhash_index(hist, num_hashes=8, num_bands=4)
+    # redelivered append: every row lands twice
+    for _ in range(2):
+        idx.bands.write.mode("append").parquet(bands_path)
+        idx.hashes.write.mode("append").parquet(hashes_path)
+
+    batch = spark.createDataFrame(
+        [(10, "a rare ecology treatise on alpine moss and lichen decline")],
+        "doc_id long, text string",
+    )
+
+    def pairs():
+        stored = MinHashIndexFrames(
+            bands=spark.read.parquet(bands_path),
+            hashes=spark.read.parquet(hashes_path),
+        )
+        got, _ = incremental_near_dup(batch, stored, 0.3, num_hashes=8, num_bands=4)
+        return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got.collect()}
+
+    before = pairs()
+    assert any(a == 0 and b == 10 for a, b, _ in before)
+
+    st = compact_minhash_index(spark, bands_path, hashes_path)
+    assert st["bands_rows_before"] == 2 * st["bands_rows_after"]
+    assert st["hashes_rows_before"] == 2 * st["hashes_rows_after"]
+    assert pairs() == before
