@@ -1355,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_content": q_dedup_content,
         "strip_spans": q_strip_spans,
         "blocklist_filter": q_blocklist_filter,
+        "random_proj": q_random_proj,
         # --- least-recently-hashed (r04 set, part 1): fill the window --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3408,6 +3409,36 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCKLIST_WORDS = ["slow", "stale"]
 BLOCKLIST_MAX_RATIO = 0.02
 
+PROJ_OUT_DIM = 16
+PROJ_IN_DIM = 64  # fixture embedding width (TESTDATA.md)
+PROJ_SEED = 42
+
+
+def q_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (operators/projection.py: map-only mapInArrow, tiled BLAS matmul,
+    seeded deterministic matrix). Emits per-vector SCALAR summaries —
+    first component, sum, L2 norm — because the oracle harness's
+    canonicalizer rounds scalar floats, not floats inside arrays; the
+    DuckDB mirror recomputes the same dots from the matrix injected as
+    literals (repr round-trips float64 exactly)."""
+    from lakehouse_ingestion_spark.operators.projection import (
+        project_embeddings,
+    )
+
+    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"), min_partitions=8)
+    p = project_embeddings(
+        e, out_dim=PROJ_OUT_DIM, seed=PROJ_SEED, in_dim=PROJ_IN_DIM
+    )
+    acc = F.aggregate("proj", F.lit(0.0), lambda a, x: a + x)
+    acc2 = F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)
+    return p.select(
+        "vec_id",
+        F.element_at("proj", 1).alias("p0"),
+        acc.alias("proj_sum"),
+        F.sqrt(acc2).alias("proj_norm"),
+    )
+
 
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words policy filter (operators/quality
@@ -5381,6 +5412,30 @@ SELECT b.doc_id,
             THEN round(coalesce(agg.dup_tokens, 0)::DOUBLE / len(b.tk), 6)
             ELSE 0.0 END AS dup_token_frac
 FROM base b LEFT JOIN agg USING (doc_id)
+"""
+
+    # random_proj: the seeded JL matrix injected as float64 literals
+    # (repr round-trips exactly); proj_sum collapses to ONE dot with the
+    # matrix's column sums, proj_norm needs all out_dim dots
+    from lakehouse_ingestion_spark.operators.projection import (
+        projection_matrix as _pm,
+    )
+
+    _R = _pm(PROJ_IN_DIM, PROJ_OUT_DIM, PROJ_SEED)
+
+    def _vec_lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    _dots = [
+        f"list_dot_product(embedding::DOUBLE[], {_vec_lit(_R[j])})"
+        for j in range(PROJ_OUT_DIM)
+    ]
+    qs["random_proj"] = f"""
+SELECT vec_id,
+       {_dots[0]} AS p0,
+       list_dot_product(embedding::DOUBLE[], {_vec_lit(_R.sum(axis=0))}) AS proj_sum,
+       sqrt({" + ".join(f"power({d}, 2)" for d in _dots)}) AS proj_norm
+FROM embeddings
 """
 
     _BL = ", ".join(f"'{w}'" for w in BLOCKLIST_WORDS)

@@ -548,3 +548,13 @@ def test_dedup_content_single_exchange_partial_agg(spark, entrymod):
     assert a.joins == {}
     assert not a.python_in_plan
     assert "partial_min_by" in a.plan
+
+
+def test_random_proj_map_only_single_arrow_stage(spark, entrymod):
+    """JL projection: one Arrow Python stage (the tiled matmul), no
+    joins, no shuffle beyond the fixture fan-out; summary expressions
+    stay JVM-side."""
+    df = entrymod.queries()["random_proj"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    assert sum(a.python_stages.values()) == 1

@@ -168,3 +168,57 @@ def test_quantize_rejects_empty_vectors(spark):
     )
     with pytest.raises(Exception, match="empty"):
         quantize_embeddings(df, vectorized=True).collect()
+
+
+def test_random_projection_jl_property(spark):
+    """Determinism, shape, numpy equivalence, and the JL distance
+    bound the operator exists for."""
+    import numpy as np
+    import pytest
+
+    from lakehouse_ingestion_spark.operators.projection import (
+        project_embeddings,
+        projection_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, k = 200, 64, 24
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    out = project_embeddings(df, out_dim=k, seed=42)
+    rows = {r["vec_id"]: np.array(r["proj"]) for r in out.collect()}
+    assert len(rows) == n and rows[0].shape == (k,)
+
+    # bit-exact vs the driver-side reference matmul
+    R = projection_matrix(d, k, seed=42)
+    for i in (0, 17, 199):
+        assert np.allclose(rows[i], X[i] @ R.T, rtol=0, atol=1e-12)
+
+    # determinism across invocations
+    again = {r["vec_id"]: np.array(r["proj"])
+             for r in project_embeddings(df, out_dim=k, seed=42).collect()}
+    assert all(np.array_equal(rows[i], again[i]) for i in rows)
+
+    # JL: pairwise squared distances preserved within a loose band
+    # (statistical, seed-pinned; k=24 gives epsilon ~0.6-0.9 tails over
+    # 60 sampled pairs)
+    P = np.stack([rows[i] for i in range(n)])
+    idx = rng.integers(0, n, size=(60, 2))
+    for a, b in idx:
+        if a == b:
+            continue
+        d2 = ((X[a] - X[b]) ** 2).sum()
+        p2 = ((P[a] - P[b]) ** 2).sum()
+        assert 0.2 * d2 < p2 < 2.2 * d2
+
+    # ragged vectors raise
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 63)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="64-wide"):
+        project_embeddings(bad, out_dim=8).collect()
