@@ -1,6 +1,7 @@
 from lakehouse_ingestion_spark.dq.model import DQStatus, DQResult, DQSummary  # noqa: F401
 from lakehouse_ingestion_spark.dq.checks import (  # noqa: F401
     DQCheck,
+    DriftCheck,
     NotNullCheck,
     RangeCheck,
     RegexCheck,

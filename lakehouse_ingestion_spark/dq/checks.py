@@ -309,6 +309,90 @@ class RowCountCheck(DQCheck):
 
 
 @dataclass
+class DriftCheck(DQCheck):
+    """Distribution-drift guard: the batch's mean (and optionally null
+    fraction) of a numeric column must sit near a stored reference
+    profile. The standard "schema is fine but the DATA went wrong"
+    failure ingestion teams hit — a sensor stuck at zero, a currency
+    column that silently changed units — which every schema/null check
+    passes. Reference values come from a prior profile run
+    (``operators/profile.profile_table`` or any history you trust);
+    this check is the batch-time comparator.
+
+    PASS iff ``|batch_mean - ref_mean| <= max_sigmas * ref_std`` (and,
+    when ``max_null_fraction_delta`` is set, the null fraction moved by
+    at most that much from ``ref_null_fraction``). Fuses into the
+    single-pass DQ aggregate — one avg + counts, no extra scan. A
+    zero-row batch PASSes (volume belongs to RowCountCheck);
+    ``ref_std=0`` means the reference was constant — any mean change
+    fails.
+    """
+
+    column: str = ""
+    ref_mean: float = 0.0
+    ref_std: float = 0.0
+    max_sigmas: float = 3.0
+    ref_null_fraction: float | None = None
+    max_null_fraction_delta: float | None = None
+
+    def __post_init__(self):
+        self.name = f"drift[{self.column}]"
+        if self.ref_std < 0:
+            raise ValueError(f"ref_std must be >= 0, got {self.ref_std}")
+        if self.max_sigmas <= 0:
+            raise ValueError(f"max_sigmas must be > 0, got {self.max_sigmas}")
+
+    def required_columns(self):
+        return [self.column]
+
+    def agg_exprs(self) -> list[Column]:
+        c = F.col(self.column)
+        return [
+            F.count(F.lit(1)).alias(self._alias("total")),
+            F.avg(c.cast("double")).alias(self._alias("mean")),
+            F.count(F.when(c.isNull(), 1)).alias(self._alias("nulls")),
+        ]
+
+    def evaluate(self, row: dict) -> DQResult:
+        total = int(row[self._alias("total")] or 0)
+        mean = row[self._alias("mean")]
+        nulls = int(row[self._alias("nulls")] or 0)
+        if total == 0:
+            return DQResult(
+                self.name, DQStatus.PASS, {"total_rows": 0},
+                "empty batch: drift not evaluable",
+            )
+        metrics: dict = {"total_rows": total, "batch_mean": mean,
+                         "ref_mean": self.ref_mean, "ref_std": self.ref_std}
+        if mean is None:
+            # every value null: mean drift unevaluable; the null-side
+            # guard (or a NotNullCheck) owns this batch
+            mean_ok = self.max_null_fraction_delta is not None
+            msg = "all values null"
+        else:
+            delta = abs(mean - self.ref_mean)
+            bound = self.max_sigmas * self.ref_std
+            mean_ok = delta <= bound
+            metrics["mean_delta"] = delta
+            metrics["mean_bound"] = bound
+            msg = (
+                f"mean {mean:.6g} vs ref {self.ref_mean:.6g} "
+                f"(|delta| {delta:.6g} {'<=' if mean_ok else '>'} "
+                f"{self.max_sigmas} sigma = {bound:.6g})"
+            )
+        null_ok = True
+        if self.max_null_fraction_delta is not None:
+            nf = nulls / total
+            ref_nf = self.ref_null_fraction or 0.0
+            null_ok = abs(nf - ref_nf) <= self.max_null_fraction_delta
+            metrics["null_fraction"] = nf
+            metrics["ref_null_fraction"] = ref_nf
+            msg += f"; null fraction {nf:.6g} vs ref {ref_nf:.6g}"
+        status = DQStatus.PASS if (mean_ok and null_ok) else DQStatus.FAIL
+        return DQResult(self.name, status, metrics, msg)
+
+
+@dataclass
 class ReferentialIntegrityCheck(DQCheck):
     """FK validation (SURVEY.md D15): fraction of child rows whose non-null
     FK has no match in the parent. Not fusable into the single-pass agg

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from lakehouse_ingestion_spark.config import JobConfig, PipelineConfig
 from lakehouse_ingestion_spark.dq import checks_from_schema
 from lakehouse_ingestion_spark.dq.checks import (
+    DriftCheck,
     FreshnessCheck,
     NotNullCheck,
     RangeCheck,
@@ -66,6 +67,11 @@ _CHECK_TYPES = {
     "freshness": lambda o: FreshnessCheck(
         column=o["column"], max_age_hours=o.get("max_age_hours"),
         failure_threshold=o.get("failure_threshold", 0.0)),
+    "drift": lambda o: DriftCheck(
+        column=o["column"], ref_mean=float(o["ref_mean"]),
+        ref_std=float(o["ref_std"]), max_sigmas=float(o.get("max_sigmas", 3.0)),
+        ref_null_fraction=o.get("ref_null_fraction"),
+        max_null_fraction_delta=o.get("max_null_fraction_delta")),
 }
 
 

@@ -169,3 +169,58 @@ def test_checks_from_schema_metadata():
         "UniqueKeyCheck",
         "UniqueKeyCheck",
     ]
+
+
+def test_drift_check(spark):
+    """Mean-shift + null-fraction drift vs a stored profile, fused into
+    the single-pass aggregate; empty batches pass; ref_std=0 means any
+    change fails."""
+    import pytest
+
+    from lakehouse_ingestion_spark.dq.checks import DriftCheck
+    from lakehouse_ingestion_spark.dq.model import DQStatus
+    from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet
+
+    ok = spark.createDataFrame([(float(v),) for v in (98, 100, 102, 100)], "v double")
+    shifted = spark.createDataFrame([(float(v),) for v in (198, 200, 202)], "v double")
+
+    chk = DriftCheck(column="v", ref_mean=100.0, ref_std=5.0, max_sigmas=3.0)
+    assert chk.run(ok).status == DQStatus.PASS
+    r = chk.run(shifted)
+    assert r.status == DQStatus.FAIL and r.metrics["mean_delta"] == 100.0
+
+    # fused alongside other checks (no standalone scan)
+    summary = DQRuleSet([chk]).apply(ok)
+    assert all(res.status == DQStatus.PASS for res in summary.results)
+
+    # empty batch passes; constant reference fails on any change
+    empty = spark.createDataFrame([], "v double")
+    assert chk.run(empty).status == DQStatus.PASS
+    const = DriftCheck(column="v", ref_mean=100.0, ref_std=0.0)
+    assert const.run(shifted).status == DQStatus.FAIL
+    assert const.run(spark.createDataFrame([(100.0,)], "v double")).status == DQStatus.PASS
+
+    # null-fraction guard
+    nully = spark.createDataFrame([(100.0,), (None,), (None,), (None,)], "v double")
+    ng = DriftCheck(column="v", ref_mean=100.0, ref_std=5.0,
+                    ref_null_fraction=0.0, max_null_fraction_delta=0.25)
+    rn = ng.run(nully)
+    assert rn.status == DQStatus.FAIL and rn.metrics["null_fraction"] == 0.75
+
+    with pytest.raises(ValueError, match="ref_std"):
+        DriftCheck(column="v", ref_mean=0.0, ref_std=-1.0)
+    with pytest.raises(ValueError, match="max_sigmas"):
+        DriftCheck(column="v", ref_mean=0.0, ref_std=1.0, max_sigmas=0)
+
+
+def test_drift_check_config_factory():
+    from lakehouse_ingestion_spark.pipeline import _CHECK_TYPES
+
+    chk = _CHECK_TYPES["drift"](
+        {"column": "amount", "ref_mean": 120.5, "ref_std": 10,
+         "max_sigmas": 2, "ref_null_fraction": 0.1,
+         "max_null_fraction_delta": 0.05}
+    )
+    assert chk.name == "drift[amount]"
+    assert chk.ref_mean == 120.5 and chk.ref_std == 10.0
+    assert chk.max_sigmas == 2.0 and chk.max_null_fraction_delta == 0.05
