@@ -3426,7 +3426,11 @@ def q_random_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
         project_embeddings,
     )
 
-    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"), min_partitions=8)
+    # NO ensure_parallelism fan-out: the tiled matmul is ~ms per
+    # million values, so the repartition costs more than it buys at
+    # every measured scale (sf10 median 1.09 -> 0.72 s without it) —
+    # the fan-out guard is for expensive per-row pipelines only
+    e = _t(spark, sf_dir, "embeddings")
     p = project_embeddings(
         e, out_dim=PROJ_OUT_DIM, seed=PROJ_SEED, in_dim=PROJ_IN_DIM
     )
