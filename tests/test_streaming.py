@@ -1108,3 +1108,31 @@ def test_streaming_near_dup_posting_cap_passthrough(spark, tmp_path):
     assert any(r["doc_id"] == 101 for r in dups)
     assert any(m.name == "incr_near_dup_capped_keys" and m.value >= 1
                for m in metrics)
+
+
+def test_streaming_dq_drift_gate(spark):
+    """DriftCheck rides the streaming DQ gate unchanged: a mean-shifted
+    micro-batch fails fast under FAIL_FAST while an in-profile batch
+    flows to the sink."""
+    import pytest
+
+    from lakehouse_ingestion_spark.dq.checks import DriftCheck
+    from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet, OnFailPolicy
+    from lakehouse_ingestion_spark.errors import DataQualityError
+    from lakehouse_ingestion_spark.streaming.foreach_batch import (
+        dq_foreach_batch,
+    )
+
+    rules = DQRuleSet([DriftCheck(column="value", ref_mean=100.0, ref_std=5.0)])
+    seen = []
+    fn = dq_foreach_batch(rules, OnFailPolicy.FAIL_FAST,
+                          sink=lambda df, e: seen.extend(df.collect()))
+
+    ok = spark.createDataFrame([(1, 99.0), (2, 101.0)], "id long, value double")
+    fn(ok, 0)
+    assert len(seen) == 2
+
+    shifted = spark.createDataFrame([(3, 498.0), (4, 502.0)], "id long, value double")
+    with pytest.raises(DataQualityError, match="drift"):
+        fn(shifted, 1)
+    assert len(seen) == 2  # nothing leaked past the gate
