@@ -1356,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans": q_strip_spans,
         "blocklist_filter": q_blocklist_filter,
         "random_proj": q_random_proj,
+        "source_report": q_source_report,
         # --- least-recently-hashed (r04 set, part 1): fill the window --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -3472,6 +3473,24 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) curation report — the corpus dashboard every
+    ingest run publishes: doc/token volumes, empty-doc and exact-dup
+    counts (distinct md5 contents). ONE grouped aggregate; the single
+    COUNT(DISTINCT) rewrites to a 2-branch Expand (non-distinct
+    aggregates evaluate on one branch only — not the k-way trap
+    table_profile hit). Integer columns only."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.count_distinct(fingerprint_md5("text")).alias("n_distinct_contents"),
+        F.sum(
+            F.when(F.length(F.trim("text")) == 0, 1).otherwise(0)
+        ).alias("n_empty"),
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative corpus novelty (operators/substr_dedup.ngram_novelty):
     fraction of each doc's distinct k-shingles first introduced by that
@@ -5440,6 +5459,19 @@ SELECT vec_id,
        list_dot_product(embedding::DOUBLE[], {_vec_lit(_R.sum(axis=0))}) AS proj_sum,
        sqrt({" + ".join(f"power({d}, 2)" for d in _dots)}) AS proj_norm
 FROM embeddings
+"""
+
+    qs["source_report"] = r"""
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+           )::BIGINT AS total_tokens,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::BIGINT
+         AS n_distinct_contents,
+       sum(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+FROM documents
+GROUP BY source, lang
 """
 
     _BL = ", ".join(f"'{w}'" for w in BLOCKLIST_WORDS)
