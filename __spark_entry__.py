@@ -1327,14 +1327,89 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order is deliberate: the driver's correctness sweep hashes
-    # the FIRST 50 entries.  Rotation history: r04 hashed the original 50
-    # (pricing_summary..pivot); r05 hashed the next 50 (semi_anti..
-    # weighted_sample).  For r06 the window is: the 15 round-5 additions
-    # that have never carried a driver hash (pii_scrub..bloom_dedup),
-    # any round-6 additions, then the least-recently-hashed r04 entries.
+    # Registry order is mechanized: tools/rotate_registry.py orders entries
+    # by last-driver-hashed round (CORRECTNESS_r*.json) so the driver's
+    # 50-query window always re-hashes RED / never-hashed / least-recently-
+    # hashed queries first.  tests/test_rotation.py pins the invariant;
+    # run `python tools/rotate_registry.py` to regenerate after adding a
+    # query.  r07 window: corr_panel (the r06 -0.0 RED row) + new round-7
+    # queries + the 21 r04-hashed entries that rotated out in r06 + the
+    # oldest r05 entries.
     return {
-        # --- never driver-hashed (round-5 additions): r06 window -------
+        # --- r07 window: RED/never-hashed first, then least-recently ----
+        "corr_panel": q_corr_panel,
+        "ann_lsh": q_ann_lsh,
+        "multimodal": q_multimodal,
+        "kafka_decode": q_kafka_decode,
+        "grouping_sets": q_grouping_sets,
+        "percentiles": q_percentiles,
+        "salted_agg": q_salted_agg,
+        "window_frames": q_window_frames,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "fingerprint": q_fingerprint,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "approx_distinct": q_approx_distinct,
+        "text_tokenize": q_text_tokenize,
+        "range_join": q_range_join,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_refined": q_ann_ivf_refined,
+        "bucketed_join": q_bucketed_join,
+        "seq_pack": q_seq_pack,
+        "mixture": q_mixture,
+        "pivot": q_pivot,
+        "semi_anti": q_semi_anti,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "quality_filter": q_quality_filter,
+        "ngram_topk": q_ngram_topk,
+        "tfidf": q_tfidf,
+        "bm25": q_bm25,
+        "embed_quant": q_embed_quant,
+        "q10_returned_items": q10_returned_items,
+        "q4_priority_returns": q4_priority_returns,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_brand_quantity": q19_brand_quantity,
+        "q6_forecast": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_custdist": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q22_sales_opportunity": q22_global_sales_opportunity,
+        "q2_min_supplier": q2_min_acctbal_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # --- outside the 50-entry driver window (freshest hashes last) --
+        "jaccard_pairs": q_jaccard_pairs,
+        "doc_repetition": q_doc_repetition,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "domain_cap": q_domain_cap,
+        "cluster_rep": q_cluster_rep,
+        "anomaly": q_anomaly,
+        "unpivot": q_unpivot,
+        "incr_gold": q_incr_gold,
+        "sketch_rollup": q_sketch_rollup,
+        "pit_join": q_pit_join,
+        "edit_join": q_edit_join,
+        "rolling_window": q_rolling_window,
+        "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
+        "vocab_build": q_vocab_build,
+        "token_ids": q_token_ids,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merge": q_quantile_sketch_merge,
+        "star_clusters": q_star_clusters,
+        "topk_sketch": q_topk_sketch,
+        "weighted_sample": q_weighted_sample,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "lm_perplexity": q_lm_perplexity,
@@ -1346,18 +1421,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "snapshot_diff": q_snapshot_diff,
         "histogram": q_histogram,
-        "corr_panel": q_corr_panel,
         "quantile_buckets": q_quantile_buckets,
         "table_profile": q_table_profile,
         "bloom_dedup": q_bloom_dedup,
-        # --- round-6 additions (inside the driver window) --------------
         "bloom_dedup_sharded": q_bloom_dedup_sharded,
         "dedup_content": q_dedup_content,
         "strip_spans": q_strip_spans,
         "blocklist_filter": q_blocklist_filter,
         "random_proj": q_random_proj,
         "source_report": q_source_report,
-        # --- least-recently-hashed (r04 set, part 1): fill the window --
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_latest": q_dedup_latest,
@@ -1387,79 +1459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "simhash": q_simhash,
         "cosine_dup": q_cosine_dup,
-        "ann_lsh": q_ann_lsh,
-        "multimodal": q_multimodal,
-        "kafka_decode": q_kafka_decode,
-        "grouping_sets": q_grouping_sets,
-        "percentiles": q_percentiles,
-        "salted_agg": q_salted_agg,
-        # --- r04 set, part 2 (rotated out this round) ------------------
-        "window_frames": q_window_frames,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "fingerprint": q_fingerprint,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "approx_distinct": q_approx_distinct,
-        "text_tokenize": q_text_tokenize,
-        "range_join": q_range_join,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_refined": q_ann_ivf_refined,
-        "bucketed_join": q_bucketed_join,
-        "seq_pack": q_seq_pack,
-        "mixture": q_mixture,
-        "pivot": q_pivot,
-        # --- hash-verified in CORRECTNESS_r05 (semi_anti..weighted_sample)
-        "semi_anti": q_semi_anti,
-        "sample_split": q_sample_split,
-        "stratified_sample": q_stratified_sample,
-        "dedup_clusters": q_dedup_clusters,
-        "quality_filter": q_quality_filter,
-        "ngram_topk": q_ngram_topk,
-        "tfidf": q_tfidf,
-        "bm25": q_bm25,
-        "embed_quant": q_embed_quant,
-        "q10_returned_items": q10_returned_items,
-        "q4_priority_returns": q4_priority_returns,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_brand_quantity": q19_brand_quantity,
-        "q6_forecast": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_custdist": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_orders": q18_large_orders,
-        "q22_sales_opportunity": q22_global_sales_opportunity,
-        "q2_min_supplier": q2_min_acctbal_supplier,
-        "q11_important_parts": q11_important_parts,
-        "q12_shipping_delay": q12_shipping_delay,
-        "q16_supplier_counts": q16_supplier_counts,
-        "q20_promotion_suppliers": q20_promotion_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "jaccard_pairs": q_jaccard_pairs,
-        "doc_repetition": q_doc_repetition,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "domain_cap": q_domain_cap,
-        "cluster_rep": q_cluster_rep,
-        "anomaly": q_anomaly,
-        "unpivot": q_unpivot,
-        "incr_gold": q_incr_gold,
-        "sketch_rollup": q_sketch_rollup,
-        "pit_join": q_pit_join,
-        "edit_join": q_edit_join,
-        "rolling_window": q_rolling_window,
-        "decontaminate": q_decontaminate,
-        "chunk_docs": q_chunk_docs,
-        "vocab_build": q_vocab_build,
-        "token_ids": q_token_ids,
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_sketch_merge": q_quantile_sketch_merge,
-        "star_clusters": q_star_clusters,
-        "topk_sketch": q_topk_sketch,
-        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -5219,15 +5218,19 @@ SELECT bucket,
 FROM b GROUP BY bucket
 """
 
+    # Each rounded co-moment gets "+ 0.0": DuckDB's half-even round maps a
+    # tiny negative covar to -0.0 where Spark's HALF_UP gives 0.0 — value-
+    # equal but byte-hash-divergent (CORRECTNESS_r06). +0.0 collapses -0.0
+    # identically in both engines (mirrors operators/stats.grouped_corr).
     qs["corr_panel"] = """
 SELECT l_returnflag, count(*) AS n,
-       round(corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 5)
+       round(corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 5) + 0.0
          AS corr_l_quantity_l_extendedprice,
-       round(covar_samp(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 5)
+       round(covar_samp(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 5) + 0.0
          AS covar_l_quantity_l_extendedprice,
-       round(corr(l_discount::DOUBLE, l_tax::DOUBLE), 5)
+       round(corr(l_discount::DOUBLE, l_tax::DOUBLE), 5) + 0.0
          AS corr_l_discount_l_tax,
-       round(covar_samp(l_discount::DOUBLE, l_tax::DOUBLE), 5)
+       round(covar_samp(l_discount::DOUBLE, l_tax::DOUBLE), 5) + 0.0
          AS covar_l_discount_l_tax
 FROM lineitem GROUP BY l_returnflag
 """

@@ -91,13 +91,26 @@ def grouped_corr(
     ratios of large co-moment sums whose partition fold order differs
     between engines; 5 decimals is far above double noise on realistic
     row counts yet strict enough to catch real bugs.
+
+    Every rounded value gets ``+ 0.0`` appended: rounding a tiny
+    negative co-moment yields IEEE ``-0.0`` under DuckDB's half-even
+    round but ``0.0`` under Spark's HALF_UP — numerically equal, yet a
+    byte-level hash of the result differs (CORRECTNESS_r06
+    ``corr_panel``). ``x + 0.0`` collapses ``-0.0`` to ``+0.0`` in both
+    engines and is the identity everywhere else.
     """
     if not pairs:
         raise ConfigError("grouped_corr needs at least one (x, y) pair")
     aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
     for x, y in pairs:
-        aggs.append(F.round(F.corr(x, y), round_digits).alias(f"corr_{x}_{y}"))
-        aggs.append(F.round(F.covar_samp(x, y), round_digits).alias(f"covar_{x}_{y}"))
+        aggs.append(
+            (F.round(F.corr(x, y), round_digits) + F.lit(0.0)).alias(f"corr_{x}_{y}")
+        )
+        aggs.append(
+            (F.round(F.covar_samp(x, y), round_digits) + F.lit(0.0)).alias(
+                f"covar_{x}_{y}"
+            )
+        )
     return df.groupBy(*group_by).agg(*aggs)
 
 
