@@ -495,7 +495,9 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(hs_a, "doc_a")
         .join(hs_b, "doc_b")
-        .withColumn("jaccard", F.round(ngram_jaccard(F.col("hs_a"), F.col("hs_b")), 6))
+        # raw jaccard (integer-ratio -> IEEE-exact both engines); round()
+        # can tie at odd/2^7 midpoints where Spark/DuckDB disagree
+        .withColumn("jaccard", ngram_jaccard(F.col("hs_a"), F.col("hs_b")))
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
@@ -1543,8 +1545,13 @@ def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quantize_embeddings(e)
     return q.select(
         "vec_id",
-        F.round("qmin", 6).alias("qmin"),
-        F.round("scale", 6).alias("scale"),
+        # qmin/scale are raw: min/max of the SAME float32 values and one
+        # exact subtraction/division — byte-identical in both engines,
+        # while round() can tie on dyadic float32 values (PLANS.md r7
+        # rounding audit). recon_mse keeps its round: numpy's pairwise
+        # summation drifts from DuckDB's sequential list_sum.
+        "qmin",
+        "scale",
         "codes_sum",
         "code_max",
         F.round("recon_mse", 6).alias("recon_mse"),
@@ -3730,10 +3737,10 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         round(CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
-                    THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
-                         / len(list_distinct(list_concat(sa.hs, sb.hs)))
-                    ELSE 0.0 END, 6) AS jaccard
+         CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+              THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                   / len(list_distinct(list_concat(sa.hs, sb.hs)))
+              ELSE 0.0 END AS jaccard
   FROM cand c
   JOIN hsh sa ON sa.doc_id = c.doc_a
   JOIN hsh sb ON sb.doc_id = c.doc_b
@@ -4363,8 +4370,8 @@ codes AS (
   FROM m
 )
 SELECT vec_id,
-       round(qmin, 6) AS qmin,
-       round(scale, 6) AS scale,
+       qmin,
+       scale,
        CAST(list_sum(c) AS BIGINT) AS codes_sum,
        CAST(list_aggregate(c, 'max') AS INTEGER) AS code_max,
        round(list_sum(list_transform(range(1, len(v) + 1),
@@ -4717,14 +4724,14 @@ cand AS (
    AND greatest(a.sz, b.sz) * {NEAR_DUP_THRESHOLD}::DOUBLE <= least(a.sz, b.sz)
 )
 SELECT da AS id_a, db AS id_b,
-       round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6)
+       len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
        AS jaccard
 FROM cand
 JOIN hs_t sa ON sa.doc_id = da
 JOIN hs_t sb ON sb.doc_id = db
-WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-            / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6)
+WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE
+        / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
       >= {NEAR_DUP_THRESHOLD}::DOUBLE
 """
     )
@@ -4745,18 +4752,18 @@ WITH t AS (
 SELECT doc_id,
        len(tk)::BIGINT AS n_tokens,
        CASE WHEN len(tk) > 0
-            THEN round(len(list_distinct(tk))::DOUBLE / len(tk), 6) ELSE 0.0 END
+            THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END
          AS distinct_ratio,
        CASE WHEN len(tk) > 0
-            THEN round(list_max(list_transform(list_distinct(tk),
-                   x -> len(list_filter(tk, y -> y = x))))::DOUBLE / len(tk), 6)
+            THEN list_max(list_transform(list_distinct(tk),
+                   x -> len(list_filter(tk, y -> y = x))))::DOUBLE / len(tk)
             ELSE 0.0 END AS top_token_frac,
        CASE WHEN len(bg) > 0
-            THEN round(list_max(list_transform(list_distinct(bg),
-                   x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg), 6)
+            THEN list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg)
             ELSE 0.0 END AS top_bigram_frac,
        CASE WHEN len(bg) > 0
-            THEN round((len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg), 6)
+            THEN (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
             ELSE 0.0 END AS dup_bigram_frac
 FROM b
 """
@@ -5036,7 +5043,7 @@ WITH toks AS (
 tt AS (SELECT tok FROM toks WHERE tok <> ''),
 n AS (SELECT count(*)::DOUBLE AS N FROM tt)
 SELECT tok AS item, count(*) AS cnt,
-       round(count(*)::DOUBLE / N, 6) AS share
+       count(*)::DOUBLE / N AS share
 FROM tt, n GROUP BY tok, N
 HAVING count(*)::DOUBLE >= {TOPK_MIN_SHARE} * N
 """
@@ -5343,10 +5350,10 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         round(CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
-                    THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
-                         / len(list_distinct(list_concat(sa.hs, sb.hs)))
-                    ELSE 0.0 END, 6) AS jaccard
+         CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+              THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                   / len(list_distinct(list_concat(sa.hs, sb.hs)))
+              ELSE 0.0 END AS jaccard
   FROM cand c
   JOIN hsh sa ON sa.doc_id = c.doc_a
   JOIN hsh sb ON sb.doc_id = c.doc_b
@@ -5435,7 +5442,7 @@ SELECT b.doc_id,
        coalesce(agg.n_dup_spans, 0)::BIGINT AS n_dup_spans,
        coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
        CASE WHEN len(b.tk) > 0
-            THEN round(coalesce(agg.dup_tokens, 0)::DOUBLE / len(b.tk), 6)
+            THEN coalesce(agg.dup_tokens, 0)::DOUBLE / len(b.tk)
             ELSE 0.0 END AS dup_token_frac
 FROM base b LEFT JOIN agg USING (doc_id)
 """
@@ -5595,7 +5602,7 @@ per AS (
 )
 SELECT d.doc_id,
        coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
-       round(per.novel::DOUBLE / per.n_shingles, 6) AS novelty
+       per.novel::DOUBLE / per.n_shingles AS novelty
 FROM documents d LEFT JOIN per USING (doc_id)
 """
 

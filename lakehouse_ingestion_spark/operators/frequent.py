@@ -88,7 +88,11 @@ def frequent_items(
         .select(
             "item",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("__N").cast("double"), 6).alias(
+            # raw ratio, not round(…, 6): the same-integer division is
+            # IEEE-exact in every engine, while round() can tie at binary-
+            # exact midpoints (odd/2^7) where Spark HALF_UP and DuckDB
+            # half-even diverge (util.maybe_round rationale).
+            (F.col("cnt").cast("double") / F.col("__N").cast("double")).alias(
                 "share"
             ),
         )

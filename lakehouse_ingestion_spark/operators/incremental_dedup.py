@@ -39,6 +39,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import maybe_round
+
 from ..functions.similarity import (
     minhash_bands,
     minhash_from_hashes,
@@ -131,7 +133,7 @@ def incremental_near_dup(
     num_hashes: int = 64,
     num_bands: int = 8,
     seed: int = 42,
-    round_to: int = 6,
+    round_to: int | None = None,
     posting_cap: int | None = None,
     hot_keys: DataFrame | None = None,
     on_cap_metric=None,
@@ -225,7 +227,7 @@ def incremental_near_dup(
         .join(hs_b, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(ngram_jaccard(F.col("__hs_a"), F.col("__hs_b")), round_to),
+            maybe_round(ngram_jaccard(F.col("__hs_a"), F.col("__hs_b")), round_to),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")

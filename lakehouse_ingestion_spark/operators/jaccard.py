@@ -69,7 +69,7 @@ def jaccard_join(
     mode: str = "word",
     threshold: float = 0.3,
     order: str = "hash",
-    round_to: int | None = 6,
+    round_to: int | None = None,
 ) -> DataFrame:
     """All pairs ``(id_a < id_b)`` with n-gram Jaccard >= threshold.
 

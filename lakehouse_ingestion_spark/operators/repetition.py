@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import maybe_round
+
 from ..functions.text import tokens
 
 
@@ -65,7 +67,7 @@ def repetition_signals(
     df: DataFrame,
     text_col: str,
     *,
-    round_to: int = 6,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Append the repetition profile columns to ``df`` (map-only)."""
     toks = tokens(F.lower(F.col(text_col)))
@@ -76,7 +78,9 @@ def repetition_signals(
 
     n_tok = F.size(toks)
     n_big = F.size(big)
-    safe = lambda num, den: F.when(den > 0, F.round(num / den, round_to)).otherwise(  # noqa: E731
+    # raw ratios by default: same-integer division is IEEE-exact across
+    # engines; round() can tie at binary midpoints (util.maybe_round).
+    safe = lambda num, den: F.when(den > 0, maybe_round(num / den, round_to)).otherwise(  # noqa: E731
         F.lit(0.0)
     )
 

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..util import maybe_round
 
 
 def _doc_shingles(
@@ -145,7 +146,7 @@ def dup_stats(
     id_col: str = "doc_id",
     k: int = 8,
     min_occurrences: int = 2,
-    round_to: int = 6,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Per-document duplication summary over ``duplicated_spans``:
     ``n_dup_spans``, ``dup_tokens`` (tokens inside duplicated spans)
@@ -170,7 +171,7 @@ def dup_stats(
             "dup_token_frac",
             F.when(
                 F.col("__n_tok") > 0,
-                F.round(F.col("dup_tokens") / F.col("__n_tok"), round_to),
+                maybe_round(F.col("dup_tokens") / F.col("__n_tok"), round_to),
             ).otherwise(F.lit(0.0)),
         )
         .drop("__n_tok")
@@ -247,7 +248,7 @@ def ngram_novelty(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
-    round_to: int = 6,
+    round_to: int | None = None,
     skew_safe: bool = True,
 ) -> DataFrame:
     """Fraction of each doc's DISTINCT k-shingles first introduced by
@@ -297,7 +298,7 @@ def ngram_novelty(
             "novelty",
             F.when(
                 F.col("n_shingles") > 0,
-                F.round(F.col("__novel") / F.col("n_shingles"), round_to),
+                maybe_round(F.col("__novel") / F.col("n_shingles"), round_to),
             ),
         )
         .select(id_col, "n_shingles", "novelty")

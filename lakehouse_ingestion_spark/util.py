@@ -79,3 +79,20 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if current < target:
         return df.repartition(target)
     return df
+
+
+def maybe_round(col, digits: "int | None"):
+    """``F.round(col, digits)`` when ``digits`` is set; the raw column
+    when ``None``.
+
+    Why None is the default for integer-ratio outputs (dup_token_frac,
+    novelty, top-k frequency, repetition ratios): dividing the same two
+    integers is exactly rounded IEEE — byte-identical in every engine —
+    while ``round(x, d)`` can TIE whenever ``x`` is binary-exact at the
+    midpoint (x = odd / 2^(d+1), e.g. 3/128 at d=6 -> 23437.5e-6), and
+    Spark (HALF_UP) and DuckDB (half-even) break ties in opposite
+    directions. Rounding stays opt-in for human-facing reports; keep it
+    OUT of oracle-hashed queries (CORRECTNESS corr_panel, round-6)."""
+    from pyspark.sql import functions as F
+
+    return F.round(col, digits) if digits is not None else col
