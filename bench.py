@@ -79,7 +79,16 @@ def main() -> None:
         # release their per-round frames themselves (operators/graph.py)
         # and this catches the final returned frame, so the registry no
         # longer needs a periodic System.gc() to survive sf10 (the
-        # round-5 every-16-queries workaround; see checkpoint.py)
+        # round-5 every-16-queries workaround; see checkpoint.py).
+        # CONTRACT (asserted by tests/test_bench_contract.py): this
+        # unpersists EVERY LogicalRDD leaf of the returned plan, which is
+        # only safe because no registry query's frame embeds a SHARED
+        # pinned RDD — bench_setups persist cross-query state to parquet
+        # paths, never to module-level checkpointed frames. A query that
+        # needs a long-lived pinned frame must re-pin per call (cheap) or
+        # the release here would free its blocks irrecoverably (lineage
+        # is truncated) and LATER uses would die with missing-block
+        # errors far from this site.
         release_local_checkpoint(df)
 
     total = round(sum(timings.values()), 4)

@@ -158,8 +158,9 @@ def incremental_near_dup(
     it pre-filtered as ``hot_keys`` to skip even that. Dropped-key /
     dropped-posting totals are emitted as ``MetricValue``s through
     ``on_cap_metric`` (default: module logger) — the hot frame is
-    broadcast-sized, so surfacing exact counts costs one tiny collect
-    of the aggregate that the cap decision computes anyway.
+    broadcast-sized by construction, so it is collected ONCE: the
+    metrics derive from the collected rows and the anti-join side is a
+    local frame rebuilt from them (never a second postings scan).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -179,20 +180,38 @@ def incremental_near_dup(
             )
             hot_keys = hot_posting_keys(all_bands, posting_cap)
         emit = on_cap_metric or (lambda m: log.info("lsh-cap %s", m))
-        stats = hot_keys.agg(
-            F.count(F.lit(1)).alias("k"),
-            F.sum(
-                F.col("n_postings")
-                if "n_postings" in hot_keys.columns
-                else F.lit(0)
-            ).alias("p"),
-        ).collect()[0]
-        emit(MetricValue("incr_near_dup_capped_keys", float(stats.k or 0)))
-        emit(MetricValue("incr_near_dup_capped_postings", float(stats.p or 0)))
-        hot = F.broadcast(hot_keys.select("band", "key"))
-        bb = bb.join(hot, ["band", "key"], "left_anti")
-        if index_bands is not None:
-            index_bands = index_bands.join(hot, ["band", "key"], "left_anti")
+        # ONE evaluation of the hot-keys plan: collect the (broadcast-
+        # sized by construction) frame, derive the cap metrics from the
+        # collected rows, and rebuild the anti-join side as a local
+        # frame — previously the metric agg re-ran the full postings
+        # scan+groupBy separately from the anti-joins, doubling the
+        # postings scan per batch under continuous ingest.
+        key_schema = hot_keys.select("band", "key").schema
+        has_counts = "n_postings" in hot_keys.columns
+        hot_rows = hot_keys.collect()
+        emit(MetricValue("incr_near_dup_capped_keys", float(len(hot_rows))))
+        emit(
+            MetricValue(
+                "incr_near_dup_capped_postings",
+                float(
+                    sum(r["n_postings"] or 0 for r in hot_rows)
+                    if has_counts
+                    else 0
+                ),
+            )
+        )
+        if hot_rows:
+            spark = batch.sparkSession
+            hot = F.broadcast(
+                spark.createDataFrame(
+                    [(r["band"], r["key"]) for r in hot_rows], key_schema
+                )
+            )
+            bb = bb.join(hot, ["band", "key"], "left_anti")
+            if index_bands is not None:
+                index_bands = index_bands.join(
+                    hot, ["band", "key"], "left_anti"
+                )
     self_pairs = (
         bb.alias("a")
         .join(bb.alias("b"), ["band", "key"])

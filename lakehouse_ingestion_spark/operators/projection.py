@@ -74,6 +74,14 @@ def project_embeddings(
             arr = rb.column(1)
             if arr.null_count:
                 raise ValueError(f"project_embeddings: null {vec_col} vectors")
+            # the outer null_count misses null ELEMENTS inside a vector —
+            # flatten() would convert them to NaN and the matmul would
+            # silently emit NaN projections, breaking the raises-otherwise
+            # contract above
+            if arr.flatten().null_count:
+                raise ValueError(
+                    f"project_embeddings: null elements inside {vec_col} vectors"
+                )
             widths = np.asarray(arr.value_lengths(), dtype="int64")
             if (widths != in_dim).any():
                 bad = int(widths[widths != in_dim][0])

@@ -57,19 +57,29 @@ class SchemaRegistry:
         return self._cache[key]
 
     def list_versions(self, domain: str, dataset: str) -> list[str]:
+        """Union of versions across ALL roots — matching ``_load``'s
+        per-file fallthrough. Returning from the first root whose dir
+        merely EXISTS would let an empty (or stale) filesystem dir
+        shadow packaged versions, making ``latest`` raise or resolve
+        stale while ``get_schema("vN")`` still succeeds via the next
+        root."""
+        found: set[int] = set()
+        any_dir = False
         for root in self._roots():
             d = root / domain / dataset
-            if d.is_dir():
-                versions = []
-                for f in d.iterdir():
-                    m = _VERSION_RE.match(f.name.removesuffix(".json"))
-                    if m and f.name.endswith(".json"):
-                        versions.append((int(m.group(1)), f"v{m.group(1)}"))
-                return [name for _, name in sorted(versions)]
-        raise SchemaNotFoundError(
-            f"no schema dir for {domain}/{dataset} under "
-            f"{self.base_path or self.package}"
-        )
+            if not d.is_dir():
+                continue
+            any_dir = True
+            for f in d.iterdir():
+                m = _VERSION_RE.match(f.name.removesuffix(".json"))
+                if m and f.name.endswith(".json"):
+                    found.add(int(m.group(1)))
+        if not any_dir:
+            raise SchemaNotFoundError(
+                f"no schema dir for {domain}/{dataset} under "
+                f"{self.base_path or self.package}"
+            )
+        return [f"v{n}" for n in sorted(found)]
 
     def list_datasets(self) -> list[tuple[str, str]]:
         """All (domain, dataset) pairs that have at least one vN.json

@@ -96,7 +96,14 @@ def write_epoch(
     ``force=True`` (deliberate batch re-run): every sink rewrites its
     epoch partition even if ledgered, so a re-run with changed input
     REPLACES stale output instead of silently no-opping; the ledger
-    gains a fresh row per sink (it is a log — readers dedupe)."""
+    gains a fresh row per sink (it is a log — readers dedupe).
+
+    Force deletes each sink's ``_epoch=<id>`` directory up front:
+    dynamic partition overwrite only rewrites partitions PRESENT in the
+    incoming data, so a forced re-run whose input (or transform output)
+    is empty would otherwise leave the prior run's rows on disk while
+    the fresh ledger row records rows=0 — ``read_committed`` would then
+    serve the stale data as committed."""
     spark = batch_df.sparkSession
     done = (
         set() if force else _ledgered_sinks(spark, ledger_path, epoch_id)
@@ -110,6 +117,8 @@ def write_epoch(
     try:
         observations: dict[str, Observation] = {}
         for name, spec in todo.items():
+            if force:
+                _delete_epoch_partition(spark, spec.path, epoch_id)
             out = spec.transform(batch_df) if spec.transform else batch_df
             if EPOCH_COL in out.columns:
                 raise ConfigError(
@@ -139,6 +148,21 @@ def write_epoch(
         ledger.write.mode("append").parquet(ledger_path)
     finally:
         batch_df.unpersist()
+
+
+def _delete_epoch_partition(
+    spark: SparkSession, sink_path: str, epoch_id: int
+) -> None:
+    """Remove ``<sink_path>/_epoch=<id>/`` ahead of a forced rewrite.
+    Goes through the Hadoop FileSystem API so it works on whatever
+    filesystem the sink path resolves to (local, HDFS, object store),
+    not just local disk. Missing path is a no-op (delete returns
+    false)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    part = jvm.org.apache.hadoop.fs.Path(f"{sink_path}/{EPOCH_COL}={epoch_id}")
+    fs = part.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(part, True)
 
 
 def _ledgered_sinks(

@@ -222,3 +222,12 @@ def test_random_projection_jl_property(spark):
     )
     with pytest.raises(Exception, match="64-wide"):
         project_embeddings(bad, out_dim=8).collect()
+
+    # a null ELEMENT inside a vector raises too (outer null_count is 0;
+    # flatten() would otherwise turn it into a silent NaN projection)
+    inner_null = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 32 + [None] + [1.0] * 31)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null elements"):
+        project_embeddings(inner_null, out_dim=8).collect()

@@ -181,16 +181,29 @@ def test_package_resource_fallback(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="read-only"):
         r.register("payments", "transactions", "v3", SCHEMA)
 
-    # filesystem-first: a local override of the SAME dataset wins; a
-    # dataset only in the package still resolves
+    # filesystem-first: a local override of the SAME file wins, but
+    # version listing is the UNION across roots — a filesystem dir with
+    # fewer versions must not shadow packaged ones, so latest/vN agree
+    # with _load's per-file fallthrough
     fs = tmp_path / "fs_schemas"
     r2 = SchemaRegistry(fs, package="bundled_schemas_pkg")
     override = StructType([StructField("only_local", StringType(), True)])
     r2.register("payments", "transactions", "v1", override)
     r2._cache.clear()
     assert r2.get_schema("payments", "transactions", "v1") == override
-    # latest_version sees the filesystem dir first (v1 only there)
-    assert r2.list_versions("payments", "transactions") == ["v1"]
+    assert r2.list_versions("payments", "transactions") == ["v1", "v2"]
+    # latest resolves v2 from the package even though the fs dir exists
+    assert r2.latest_version("payments", "transactions") == "v2"
+    assert r2.get_schema("payments", "transactions") == SCHEMA
+    # an EMPTY filesystem dir (exists, no vN.json) must not hide the
+    # packaged versions either
+    empty = fs / "payments" / "refunds"
+    empty.mkdir(parents=True)
+    d2 = pkg / "payments" / "refunds"
+    d2.mkdir(parents=True)
+    (d2 / "v1.json").write_text(json.dumps(SCHEMA.jsonValue()))
+    assert r2.list_versions("payments", "refunds") == ["v1"]
+    assert r2.get_schema("payments", "refunds") == SCHEMA
     sys.modules.pop("bundled_schemas_pkg", None)
 
 

@@ -1075,6 +1075,59 @@ def test_multi_sink_read_committed_tolerates_missing_and_empty(
     assert read_committed(spark, empty_path, ledger, "e").count() == 0
 
 
+def test_multi_sink_forced_rerun_with_empty_input_clears_partition(
+    spark, tmp_path
+):
+    """force=True promises the re-run REPLACES previous output — even
+    when the new input (or a sink transform's output) is EMPTY. Dynamic
+    partition overwrite alone only rewrites partitions present in the
+    incoming data, so the forced path must delete the epoch directory
+    up front; otherwise stale rows survive while a fresh ledger row
+    records rows=0 and read_committed serves the stale data."""
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        read_committed,
+        write_epoch,
+    )
+
+    ledger = str(tmp_path / "fe_ledger")
+    out = str(tmp_path / "fe_out")
+    write_epoch(
+        spark.createDataFrame([(1,), (2,)], "id long"),
+        {"s": SinkSpec(out)},
+        ledger,
+        epoch_id=7,
+    )
+    assert read_committed(spark, out, ledger, "s").count() == 2
+    # deliberate re-run of epoch 7 with corrected (empty) input
+    write_epoch(
+        spark.createDataFrame([], "id long"),
+        {"s": SinkSpec(out)},
+        ledger,
+        epoch_id=7,
+        force=True,
+    )
+    got = read_committed(spark, out, ledger, "s")
+    assert got.count() == 0, "stale epoch rows served after forced re-run"
+    # other epochs are untouched by the targeted delete
+    write_epoch(
+        spark.createDataFrame([(9,)], "id long"),
+        {"s": SinkSpec(out)},
+        ledger,
+        epoch_id=8,
+    )
+    write_epoch(
+        spark.createDataFrame([(10,), (11,), (12,)], "id long"),
+        {"s": SinkSpec(out)},
+        ledger,
+        epoch_id=7,
+        force=True,
+    )
+    assert {r.id for r in read_committed(spark, out, ledger, "s").collect()} == {
+        9, 10, 11, 12,
+    }
+
+
 def test_streaming_near_dup_posting_cap_passthrough(spark, tmp_path):
     """posting_cap flows through the foreachBatch wrapper: a viral
     boilerplate band key is dropped (metric emitted), unique near-dups
