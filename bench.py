@@ -55,6 +55,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     setups = getattr(entrymod, "bench_setups", dict)()
+
+    def probe(name: str, fn) -> float:
+        """One timed noop-sink execution of a registry query (post-run
+        checkpoint release is NOT billed to the probe)."""
+        gc.collect()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 4)
+        release_local_checkpoint(df)
+        return elapsed
+
     for name, fn in entrymod.queries().items():
         # timer wraps fn() too (some queries do eager work inside), and a
         # query must not pin cache into its successors' measurements.
@@ -62,43 +75,67 @@ def main() -> None:
         # ContextCleaner can reclaim whatever localCheckpoint blocks the
         # explicit release below can't reach (frames internal to an
         # operator that aren't leaves of the returned plan).
-        gc.collect()
-        spark.catalog.clearCache()
+        # timer wraps fn() too (some queries do eager work inside), and
+        # a query must not pin cache into its successors' measurements;
+        # probe() clears cache + gc per run. The post-probe checkpoint
+        # release inside probe() obeys the CONTRACT asserted by
+        # tests/test_bench_contract.py: it unpersists EVERY LogicalRDD
+        # leaf of the returned plan, which is only safe because no
+        # registry query's frame embeds a SHARED pinned RDD —
+        # bench_setups persist cross-query state to parquet paths, never
+        # to module-level checkpointed frames. A query that needs a
+        # long-lived pinned frame must re-pin per call (cheap) or the
+        # release would free its blocks irrecoverably (lineage is
+        # truncated) and LATER uses would die with missing-block errors
+        # far from the release site.
         if name in setups:
             # one-time build phases (e.g. bucketed table writes) are an
             # ingest investment — bill them to <name>_build, not the probe
+            gc.collect()
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             setups[name](spark, sf_dir)
             timings[f"{name}_build"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # free the query's checkpoint blocks NOW (post-timing — release
-        # cost isn't billed to the probe): the iterative operators
-        # release their per-round frames themselves (operators/graph.py)
-        # and this catches the final returned frame, so the registry no
-        # longer needs a periodic System.gc() to survive sf10 (the
-        # round-5 every-16-queries workaround; see checkpoint.py).
-        # CONTRACT (asserted by tests/test_bench_contract.py): this
-        # unpersists EVERY LogicalRDD leaf of the returned plan, which is
-        # only safe because no registry query's frame embeds a SHARED
-        # pinned RDD — bench_setups persist cross-query state to parquet
-        # paths, never to module-level checkpointed frames. A query that
-        # needs a long-lived pinned frame must re-pin per call (cheap) or
-        # the release here would free its blocks irrecoverably (lineage
-        # is truncated) and LATER uses would die with missing-block
-        # errors far from this site.
-        release_local_checkpoint(df)
+        timings[name] = probe(name, fn)
+
+    # Stability pass (round-7 verdict #3): single-shot timings on a busy
+    # box swing up to 4.4x on unchanged code, manufacturing phantom
+    # regressions in the driver artifact. Any query that moved >= 1.5x in
+    # either direction vs the PREVIOUS committed BENCH_QUERIES.json gets
+    # two more runs and reports the median-of-3 — real regressions
+    # reproduce, VM noise doesn't.
+    here = os.path.dirname(os.path.abspath(__file__))
+    reruns: dict[str, list[float]] = {}
+    prev_path = os.path.join(here, "BENCH_QUERIES.json")
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        prev_q = prev.get("queries", {}) if prev.get("sf") == sf else {}
+    except (OSError, ValueError):
+        prev_q = {}
+    qmap = entrymod.queries()
+    for name, t in list(timings.items()):
+        old = prev_q.get(name)
+        if name not in qmap or not old or old <= 0:
+            continue  # _build rows and new queries can't be "movers"
+        ratio = t / old
+        if 2 / 3 < ratio < 1.5:
+            continue
+        runs = [t, probe(name, qmap[name]), probe(name, qmap[name])]
+        reruns[name] = runs
+        timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 4)
     # Full per-query map goes to a side artifact + a non-final stdout line;
     # the FINAL line stays compact so the driver's bounded tail capture can
     # always parse it (at 95 queries the full map overflowed the capture
     # and BENCH_r04 recorded parsed=null).
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
-        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f, indent=1)
+        json.dump(
+            {"sf": sf, "total_sec": total, "queries": timings, "reruns": reruns},
+            f,
+            indent=1,
+        )
     print(json.dumps({"per_query_sec": timings}))
     print(
         json.dumps(
