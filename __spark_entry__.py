@@ -387,6 +387,64 @@ def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DriftCheck end-to-end (D17): profile a reference slice (the
+    'view' events), then gate two batches through the check's fused
+    single-pass aggregate — a steady batch ('click', PASSes: its mean
+    sits ~0.05 sigma from the reference) and a deliberately unit-shifted
+    + null-injected batch (value*4+100, 20% nulls — FAILs both the
+    mean-drift and null-fraction guards). Floats round(4): ref/batch
+    means are fold-order-drifting aggregates (PLANS.md r7 rounding
+    audit); null_fraction is an exact integer ratio, emitted raw."""
+    from lakehouse_ingestion_spark.dq.checks import DriftCheck
+    from lakehouse_ingestion_spark.dq.ruleset import DQRuleSet
+
+    e = _events(spark, sf_dir)
+    ref = (
+        e.where(F.col("event_type") == "view")
+        .agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("s"))
+        .first()
+    )
+    check = DriftCheck(
+        column="value",
+        ref_mean=float(ref["m"]),
+        ref_std=float(ref["s"]),
+        max_sigmas=3.0,
+        ref_null_fraction=0.0,
+        max_null_fraction_delta=0.1,
+    )
+    steady = e.where(F.col("event_type") == "click")
+    drifted = e.where(F.col("event_type") == "purchase").withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 5 == 0, F.lit(None).cast("double")
+        ).otherwise(F.col("value") * 4 + 100.0),
+    )
+    rows = []
+    for label, batch in (("click_steady", steady), ("purchase_drifted", drifted)):
+        # ONE fused aggregate row per batch (the DQ contract), evaluated
+        # by the same code path the streaming gate uses
+        metrics_row = DQRuleSet([check]).metrics_df(batch).first().asDict()
+        res = check.evaluate(metrics_row)
+        m = res.metrics
+        rows.append(
+            (
+                label,
+                int(m["total_rows"]),
+                round(float(m["batch_mean"]), 4),
+                round(float(m["mean_delta"]), 4),
+                round(float(m["mean_bound"]), 4),
+                float(m["null_fraction"]),
+                res.status.value,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch string, total_rows long, batch_mean double, mean_delta double,"
+        " mean_bound double, null_fraction double, status string",
+    )
+
+
 def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine routing (D14): bad rows tagged with the checks they
     violate (comma-joined for cross-engine comparison)."""
@@ -1340,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r07 window: RED/never-hashed first, then least-recently ----
         "corr_panel": q_corr_panel,
+        "dq_drift": q_dq_drift,
         "ann_lsh": q_ann_lsh,
         "multimodal": q_multimodal,
         "kafka_decode": q_kafka_decode,
@@ -3687,6 +3746,35 @@ SELECT count(*) AS total_rows,
                 THEN 1 ELSE 0 END) AS BIGINT) AS event_type_invalid,
        count(DISTINCT event_id) AS event_id_distinct
 FROM events
+"""
+
+
+    qs["dq_drift"] = """
+WITH ref AS (
+  SELECT avg(value) AS m, stddev_pop(value) AS s
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT 'click_steady' AS batch, value AS v
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'purchase_drifted',
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value * 4 + 100.0 END
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT batch, count(*) AS total_rows, avg(v) AS bm,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS nf
+  FROM b GROUP BY batch
+)
+SELECT batch, total_rows,
+       round(bm, 4) AS batch_mean,
+       round(abs(bm - ref.m), 4) AS mean_delta,
+       round(3.0 * ref.s, 4) AS mean_bound,
+       nf AS null_fraction,
+       CASE WHEN abs(bm - ref.m) <= 3.0 * ref.s AND abs(nf - 0.0) <= 0.1
+            THEN 'PASS' ELSE 'FAIL' END AS status
+FROM agg, ref
 """
 
     qs["quarantine"] = """
