@@ -1815,13 +1815,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
+    # orders shrink ~5x through the ASIA-customer semi filter BEFORE they
+    # meet lineitem, and the surviving (o_orderkey, o_year) projection is
+    # 2 narrow columns — broadcast it so the 60M-row lineitem side never
+    # shuffles at all (sf10: 6.7 -> ~3 s; the exchange join was the cost).
+    # At 1000-executor scale the same shape holds: the dim-side build is
+    # |orders|/|regions| keys of 12 bytes, far under exchange cost of the
+    # fact side.
+    asia_orders = (
+        o.join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
     vol = (
         l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("o_year"),
             rev.alias("volume"),
             F.col("supp_nation"),
         )
@@ -1876,7 +1886,14 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: distribution of order counts per customer (non-urgent
     orders only). Aggregate orders down to per-customer counts FIRST,
     then outer-join customers — the join input shrinks 10x before it
-    shuffles, and the second aggregation is over one row per customer."""
+    shuffles, and the second aggregation is over one row per customer.
+
+    An FK-based join-elimination rewrite (zero bucket = |customer| -
+    |ordering customers|) was measured at sf10 in round 7 and REJECTED:
+    2.23 -> 2.60 s — the zero-bucket branch re-executes the orders
+    aggregation (no exchange reuse across the union), costing more than
+    the (broadcastable, pre-aggregated) customer join it removes, and it
+    silently depends on the orders->customer FK. BASELINE.md r7 notes."""
     c = _t(spark, sf_dir, "customer")
     per_cust = (
         _t(spark, sf_dir, "orders")

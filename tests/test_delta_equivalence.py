@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from lakehouse_ingestion_spark.operators.merge import upsert
 from lakehouse_ingestion_spark.operators.scd import scd2_from_history, scd2_merge
 
@@ -333,3 +335,120 @@ def test_scd2_replay_property_200_sequences(spark):
         dim = spark.createDataFrame(dim.toPandas(), dim.schema)
 
     assert _scd2_canon(dim.toPandas()) == _scd2_canon(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# Three-way equivalence against REAL delta-spark (round-7 verdict #9):
+# auto-activates the moment the driver image gains the wheel — no code
+# changes needed. The skip reason names the recorded install failure.
+# ---------------------------------------------------------------------------
+
+try:  # NOT importorskip: that would skip the whole module, Fake tests included
+    import delta as _delta_spark  # noqa: F401
+
+    _HAVE_DELTA = True
+except ImportError:
+    _HAVE_DELTA = False
+
+_needs_real_delta = pytest.mark.skipif(
+    not _HAVE_DELTA,
+    reason=(
+        "delta-spark is not installable in this sandbox (install retry "
+        "recorded in BASELINE.md 'delta-spark install retry': pip index "
+        "unreachable, DNS 'Name or service not known'); this three-way "
+        "suite lights up automatically once the wheel appears"
+    ),
+)
+
+
+@pytest.fixture()
+def delta_session(tmp_path):
+    """A real Delta-enabled session (separate from the shared fixture:
+    Delta needs its catalog/extension confs set at session build)."""
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("delta-threeway")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        )
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    )
+    spark = configure_spark_with_delta_pip(builder).getOrCreate()
+    yield spark
+
+
+@_needs_real_delta
+def test_threeway_merge_real_delta_vs_fake_vs_algebra(delta_session, tmp_path):
+    """REAL DeltaTable MERGE == FakeDeltaTable replay == oracle-green
+    DataFrame-algebra upsert, on the same target/source (updates,
+    inserts, and a delete-marked row that must not resurrect)."""
+    from lakehouse_ingestion_spark.sinks.delta import DeltaWriter
+
+    spark = delta_session
+    target = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    source = [(2, "B", 21.0), (4, "d", 40.0), (3, "c", 30.0)]
+    schema = "k long, name string, v double"
+    delete_cond = "s.name = 'c'"
+
+    # real Delta
+    path = str(tmp_path / "real_delta")
+    spark.createDataFrame(target, schema).write.format("delta").save(path)
+    DeltaWriter.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(source, schema),
+        ["k"],
+        delete_condition=delete_cond,
+    )
+    real = {
+        tuple(r)
+        for r in spark.read.format("delta").load(path).collect()
+    }
+
+    # algebra twin (oracle-verified by the upsert registry query)
+    algebra = {
+        tuple(r)
+        for r in upsert(
+            spark.createDataFrame(target, schema),
+            spark.createDataFrame(source, schema),
+            ["k"],
+            delete_condition=F.expr("name = 'c'"),
+        ).collect()
+    }
+
+    # fake-table replay of the same merge_upsert code path
+    import lakehouse_ingestion_spark.sinks.delta as delta_mod
+
+    orig = delta_mod.DeltaTable
+    try:
+        delta_mod.DeltaTable = FakeDeltaTable
+        FakeDeltaTable._store = {
+            "fake": spark.createDataFrame(target, schema).toPandas()
+        }
+        DeltaWriter.merge_upsert(
+            spark,
+            "fake",
+            spark.createDataFrame(source, schema),
+            ["k"],
+            delete_condition=delete_cond,
+        )
+        fake = {
+            tuple(r)
+            for r in FakeDeltaTable._store["fake"].itertuples(index=False)
+        }
+    finally:
+        delta_mod.DeltaTable = orig
+
+    assert real == algebra == fake == {
+        (1, "a", 10.0),
+        (2, "B", 21.0),
+        (4, "d", 40.0),
+    }
