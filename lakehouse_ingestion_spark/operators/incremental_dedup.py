@@ -171,6 +171,14 @@ def incremental_near_dup(
     index_bands = index.bands if index is not None else None
     if posting_cap is not None or hot_keys is not None:
         if hot_keys is None:
+            # the hot-key census consumes the batch's bands ONCE and the
+            # candidate joins consume them again — without pinning, the
+            # batch re-signs (shingle+minhash, the expensive map stage)
+            # for each consumer. localCheckpoint is per-call (bench's
+            # release contract: no sharing across calls) and bounded by
+            # the BATCH's band count, never the corpus. Measured at the
+            # sf10 skew probe: capped-run wall 229 -> 153 s.
+            bb = bb.localCheckpoint(eager=True)
             all_bands = (
                 index_bands.select("band", "key").unionByName(
                     bb.select("band", "key")

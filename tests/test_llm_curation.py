@@ -544,6 +544,58 @@ def test_incremental_near_dup_posting_cap_skew(spark):
         hot_posting_keys(all_bands, 0)
 
 
+def test_incremental_near_dup_cap_organic_recall(spark):
+    """Recall pin at the registry/probe geometry (8 hashes / 4 bands /
+    t=0.3, round-7 verdict #5): with a viral cluster present, the cap
+    must retain EVERY pair that does not touch the cluster — organic
+    recall 1.0 — because the anti-join removes only hot (band, key)
+    buckets and organic pairs ride untouched keys. The sf10 probe
+    (tools/skew_probe.py, BASELINE.md round-7) is the scale version of
+    this assertion."""
+    import random
+
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        incremental_near_dup,
+        minhash_index,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    organic = []
+    # 30 organic near-dup pairs: 20-token docs differing in one token
+    for i in range(30):
+        base = rng.sample(words, 20)
+        organic.append((1000 + 2 * i, " ".join(base)))
+        mut = list(base)
+        mut[rng.randrange(20)] = "zz%d" % i
+        organic.append((1000 + 2 * i + 1, " ".join(mut)))
+    template = "subscribe newsletter terms privacy cookies rights contact"
+    viral = [(2000 + i, f"{template} item{i}") for i in range(60)]
+    df = spark.createDataFrame(organic + viral, "doc_id long, text string")
+    batch = df.where("doc_id % 2 = 1")
+    hist = df.where("doc_id % 2 = 0")
+    idx = minhash_index(hist, num_hashes=8, num_bands=4)
+
+    pairs_u, _ = incremental_near_dup(batch, idx, 0.3, num_hashes=8, num_bands=4)
+    got_u = {(r["doc_a"], r["doc_b"]) for r in pairs_u.collect()}
+    pairs_c, _ = incremental_near_dup(
+        batch, idx, 0.3, num_hashes=8, num_bands=4, posting_cap=10,
+        on_cap_metric=lambda m: None,
+    )
+    got_c = {(r["doc_a"], r["doc_b"]) for r in pairs_c.collect()}
+
+    organic_u = {p for p in got_u if p[0] < 2000 and p[1] < 2000}
+    organic_c = {p for p in got_c if p[0] < 2000 and p[1] < 2000}
+    assert organic_u, "fixture must produce organic near-dup pairs"
+    # organic recall == 1.0 at this geometry
+    assert organic_c == organic_u
+    # the viral cluster is capped away (posting lists of ~30 >> cap 10)
+    assert any(p[0] >= 2000 and p[1] >= 2000 for p in got_u)
+    assert not any(p[0] >= 2000 and p[1] >= 2000 for p in got_c)
+    # capped output never invents pairs
+    assert got_c <= got_u
+
+
 def test_strip_duplicated_spans(spark):
     """Duplicated spans are cut token-exactly; clean docs pass through
     byte-identical (including original whitespace); fully-duplicated
