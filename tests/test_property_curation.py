@@ -97,7 +97,9 @@ def test_jaccard_join_lossless_random(spark, data, threshold):
         sa, sb = sets[a], sets[b]
         if not sa or not sb:
             continue
-        j = round(len(sa & sb) / len(sa | sb), 6)
+        # raw jaccard since the round-7 rounding audit: same-integer
+        # division is IEEE-exact, so the reference matches bit-for-bit
+        j = len(sa & sb) / len(sa | sb)
         if j >= threshold:
             want[(a, b)] = j
     assert got == want
