@@ -387,6 +387,23 @@ def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/split_guard):
+    near-dup clusters from the verified LSH pairs move as ONE unit —
+    every member hashes the cluster REPRESENTATIVE into the same
+    interval, so no near-duplicate pair ever straddles a split boundary
+    (the train/eval contamination mode plain hash_split permits)."""
+    from lakehouse_ingestion_spark.operators.split_guard import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    out = leakage_safe_split(d, pairs, SPLIT_FRACTIONS, seed="split")
+    return out.select("doc_id", "rep", "split")
+
+
 def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DriftCheck end-to-end (D17): profile a reference slice (the
     'view' events), then gate two batches through the check's fused
@@ -1399,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r07 window: RED/never-hashed first, then least-recently ----
         "corr_panel": q_corr_panel,
         "dq_drift": q_dq_drift,
+        "cluster_split": q_cluster_split,
         "ann_lsh": q_ann_lsh,
         "multimodal": q_multimodal,
         "kafka_decode": q_kafka_decode,
@@ -4332,10 +4350,10 @@ pairs AS (
   FROM cand c
   JOIN sh_t sa ON sa.doc_id = c.doc_a
   JOIN sh_t sb ON sb.doc_id = c.doc_b
-  WHERE round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-                   THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                        / len(list_distinct(list_concat(sa.sh, sb.sh)))
-                   ELSE 0.0 END, 6) >= {NEAR_DUP_THRESHOLD}
+  WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+             THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))
+             ELSE 0.0 END >= {NEAR_DUP_THRESHOLD}
 ),
 bi AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -5014,10 +5032,10 @@ pairs AS (
   FROM cand c
   JOIN hsh sa ON sa.doc_id = c.doc_a
   JOIN hsh sb ON sb.doc_id = c.doc_b
-  WHERE round(CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
-                   THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
-                        / len(list_distinct(list_concat(sa.hs, sb.hs)))
-                   ELSE 0.0 END, 6) >= {NEAR_DUP_THRESHOLD}
+  WHERE CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+             THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                  / len(list_distinct(list_concat(sa.hs, sb.hs)))
+             ELSE 0.0 END >= {NEAR_DUP_THRESHOLD}
 ),
 bi AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -5047,6 +5065,68 @@ SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_score, n_members
 FROM ranked WHERE rk = 1
 """
     )
+
+    _cums2 = []
+    _c2 = 0.0
+    for _name in list(SPLIT_FRACTIONS)[:-1]:
+        _c2 += SPLIT_FRACTIONS[_name]
+        _cums2.append((_name, _c2))
+    _split_case_rep = "CASE " + " ".join(
+        f"WHEN u < {_cv!r} THEN '{_nm}'" for _nm, _cv in _cums2
+    ) + f" ELSE '{list(SPLIT_FRACTIONS)[-1]}' END"
+    # cluster_split: same verified-pair + recursive-CC skeleton as
+    # cluster_rep; each doc's split hashes its cluster REPRESENTATIVE
+    # through the identical md5-interval draw as sample_split
+    _rep_u = "((" + _H60.format(x="rep::VARCHAR || chr(31) || 'split'") + " % 1048576)::DOUBLE / 1048576.0)"
+    qs["cluster_split"] = (
+        "WITH RECURSIVE "
+        + _duck_shingles_cte()
+        + ",\nsig AS (SELECT doc_id, "
+        + ", ".join(_duck_minhash_exprs("sh"))
+        + " FROM sh_t),\n"
+        + _duck_hashed_cte()
+        + ",\nbands AS ("
+        + _duck_bands_select()
+        + f"""),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN hsh sa ON sa.doc_id = c.doc_a
+  JOIN hsh sb ON sb.doc_id = c.doc_b
+  WHERE CASE WHEN len(list_distinct(list_concat(sa.hs, sb.hs))) > 0
+             THEN len(list_intersect(sa.hs, sb.hs))::DOUBLE
+                  / len(list_distinct(list_concat(sa.hs, sb.hs)))
+             ELSE 0.0 END >= {NEAR_DUP_THRESHOLD}
+),
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM bi
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+u AS (SELECT doc_id, rep, {_rep_u} AS u FROM lab)
+SELECT doc_id, rep,
+       {_split_case_rep} AS split
+FROM u
+"""
+    )
+
 
     qs["decontaminate"] = (
         "WITH "

@@ -544,6 +544,50 @@ def test_incremental_near_dup_posting_cap_skew(spark):
         hot_posting_keys(all_bands, 0)
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every near-dup cluster lands wholly in one split; singletons get
+    their own-id hash (so adding pairs later never moves untouched
+    docs); the assignment matches hash_split on the representative."""
+    from lakehouse_ingestion_spark.operators.sampling import hash_split
+    from lakehouse_ingestion_spark.operators.split_guard import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0,1,2} via chain, {10,11}, {50,60,70} via star
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 60), (50, 70)],
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+    rows = {r["doc_id"]: (r["rep"], r["split"]) for r in out.collect()}
+    assert len(rows) == 200
+    for cluster in ({0, 1, 2}, {10, 11}, {50, 60, 70}):
+        splits = {rows[d][1] for d in cluster}
+        reps = {rows[d][0] for d in cluster}
+        assert len(splits) == 1, f"cluster {cluster} straddles {splits}"
+        assert reps == {min(cluster)}
+    # singletons: rep == own id, split == plain hash_split of doc_id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed="split",
+        ).collect()
+    }
+    for d, (rep, split) in rows.items():
+        if d not in {0, 1, 2, 10, 11, 50, 60, 70}:
+            assert rep == d
+            assert split == plain[d]
+    # cluster members inherit the REP's plain assignment
+    assert rows[2][1] == plain[0]
+    assert rows[70][1] == plain[50]
+
+
 def test_incremental_near_dup_cap_organic_recall(spark):
     """Recall pin at the registry/probe geometry (8 hashes / 4 bands /
     t=0.3, round-7 verdict #5): with a viral cluster present, the cap
