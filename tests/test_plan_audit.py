@@ -132,6 +132,29 @@ def test_embed_quant_map_only(spark, entrymod):
     assert sum(a.python_stages.values()) == 1
 
 
+def test_cluster_split_no_cartesian_no_python(spark, entrymod):
+    """Leakage-safe split (round 7): the rep attach is one equi-join
+    (SortMerge by default — the CC output is a stats-less checkpointed
+    RDD and corpus-bounded in the worst case), the split assignment is
+    a pure codegen projection, and nothing goes cartesian or drops to
+    Python."""
+    df = entrymod.queries()["cluster_split"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert a.joins.get("BroadcastNestedLoopJoin", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_q8_fact_side_never_shuffles(spark, entrymod):
+    """Round-7 rework: every lineitem-side join broadcasts (parts,
+    supplier-nation, ASIA-filtered orders projection) — the only
+    exchange left is the final o_year aggregation."""
+    df = entrymod.queries()["q8_market_share"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("SortMergeJoin", 0) == 0, a.summary()
+    assert a.joins.get("CartesianProduct", 0) == 0
+
+
 def test_q10_broadcasts_nation(spark, entrymod):
     df = entrymod.queries()["q10_returned_items"](spark, SF_DIR)
     a = audit(df)
