@@ -41,8 +41,9 @@ def frequent_items(
     min_share: float = 0.001,
 ) -> DataFrame:
     """Items of ``item_col`` with frequency >= ``min_share`` of non-null
-    rows, exactly: ``(item, cnt, share)``, share rounded to 6dp. NULL
-    items are ignored (they are absent values, not an item)."""
+    rows, exactly: ``(item, cnt, share)``, share emitted as a raw double
+    (no rounding — since 0.8.0; see README changelog). NULL items are
+    ignored (they are absent values, not an item)."""
     if not 0.0 < min_share < 1.0:
         raise ValueError(f"min_share must be in (0,1), got {min_share}")
     capacity = int(math.ceil(1.0 / min_share))

@@ -146,13 +146,27 @@ def test_cluster_split_no_cartesian_no_python(spark, entrymod):
 
 
 def test_q8_fact_side_never_shuffles(spark, entrymod):
-    """Round-7 rework: every lineitem-side join broadcasts (parts,
-    supplier-nation, ASIA-filtered orders projection) — the only
-    exchange left is the final o_year aggregation."""
+    """Round-8 rework: the SF-scaling sides (asia_cust, asia_orders,
+    supp_nat, part projection) carry NO hard broadcast hint — a hint
+    would bypass the size gate and OOM instead of degrading at 100-TB
+    scale. This asserts the hint-FREE plan still broadcasts every
+    lineitem-side join at bench scale (size stats / AQE pick it), so
+    the only exchange left is the final o_year aggregation."""
     df = entrymod.queries()["q8_market_share"](spark, SF_DIR)
-    a = audit(df)
+    a = audit(df, execute=True)  # AQE-final plan
     assert a.joins.get("SortMergeJoin", 0) == 0, a.summary()
+    assert a.joins.get("BroadcastHashJoin", 0) >= 3, a.summary()
     assert a.joins.get("CartesianProduct", 0) == 0
+
+
+def test_q3_customer_join_broadcasts_unhinted(spark, entrymod):
+    """q3's segment-filtered customer frame lost its hard hint in r8
+    (customer scales with SF); auto-broadcast must still pick it at
+    bench scale."""
+    df = entrymod.queries()["q3_shipping"](spark, SF_DIR)
+    a = audit(df, execute=True)
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1, a.summary()
+    assert not a.has_nested_loop
 
 
 def test_q10_broadcasts_nation(spark, entrymod):
