@@ -404,6 +404,34 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "rep", "split")
 
 
+def q_sticky_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sticky leakage-safe split (round 8, operators/split_guard
+    sticky_split): a simulated legacy epoch assigned every EVEN doc_id
+    by plain hash (seed 'legacy' — deliberately not cluster-aware);
+    the sticky pass must keep those verbatim, give odd docs in
+    assigned clusters the cluster's majority split (ties toward the
+    earlier SPLIT_FRACTIONS entry), hash wholly-new clusters by rep,
+    and tag the audit reason — cluster_conflict where the legacy
+    epoch already straddled a cluster, kept_prev where pure rep
+    hashing would have moved an assigned doc, inherited where the
+    majority differs from the rep hash."""
+    from lakehouse_ingestion_spark.operators.sampling import hash_split
+    from lakehouse_ingestion_spark.operators.split_guard import sticky_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    prev = hash_split(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", SPLIT_FRACTIONS,
+        seed="legacy",
+    )
+    out, audit = sticky_split(
+        d, pairs, SPLIT_FRACTIONS, assignments=prev, seed="split"
+    )
+    return out.join(audit.select("doc_id", "reason"), "doc_id", "left").select(
+        "doc_id", "rep", "split", "reason"
+    )
+
+
 def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DriftCheck end-to-end (D17): profile a reference slice (the
     'view' events), then gate two batches through the check's fused
@@ -1426,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 26 of the r06 cohort (73 stale queries rotate forward over
     # r08/r09); the r07-hashed set rides at the tail.
     return {
+        # --- never hashed (new r08) ---
+        "sticky_split": q_sticky_split,
         # --- last hashed: green r05 ---
         "q20_promotion_suppliers": q20_promotion_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -5145,6 +5175,58 @@ FROM u
 """
     )
 
+    # sticky_split: the same CC skeleton; legacy epoch = plain doc_id
+    # hash (seed 'legacy') over even ids; sticky resolution mirrors
+    # operators/split_guard.sticky_split (kept verbatim -> cluster
+    # majority with fractions-order tie-break -> rep hash) plus the
+    # audit reason column
+    _legacy_u = (
+        "((" + _H60.format(x="doc_id::VARCHAR || chr(31) || 'legacy'")
+        + " % 1048576)::DOUBLE / 1048576.0)"
+    )
+    _split_names = list(SPLIT_FRACTIONS)
+    _prio_case = "CASE prev_split " + " ".join(
+        f"WHEN '{_nm}' THEN {_i}" for _i, _nm in enumerate(_split_names)
+    ) + f" ELSE {len(_split_names)} END"
+    _legacy_case = _split_case_rep.replace("u <", "lu <")
+    qs["sticky_split"] = (
+        qs["cluster_split"][: qs["cluster_split"].index("u AS (SELECT")]
+        + f"""prev AS (
+  SELECT doc_id, {_legacy_case} AS prev_split
+  FROM (SELECT doc_id, {_legacy_u} AS lu FROM documents WHERE doc_id % 2 = 0)
+),
+j AS (
+  SELECT lab.doc_id, lab.rep, p.prev_split,
+         {_split_case_rep.replace("u <", "hu <")} AS hash_split
+  FROM (SELECT doc_id, rep, {_rep_u.replace(' AS u', '')} AS hu FROM lab) lab
+  LEFT JOIN prev p USING (doc_id)
+),
+maj AS (
+  SELECT rep, prev_split AS cluster_split, n_splits FROM (
+    SELECT rep, prev_split,
+           row_number() OVER (PARTITION BY rep ORDER BY n DESC, prio ASC) AS rk,
+           count(*) OVER (PARTITION BY rep) AS n_splits
+    FROM (SELECT rep, prev_split, count(*) AS n, {_prio_case} AS prio
+          FROM j WHERE prev_split IS NOT NULL GROUP BY rep, prev_split)
+  ) WHERE rk = 1
+),
+fin AS (
+  SELECT j.doc_id, j.rep,
+         coalesce(j.prev_split, m.cluster_split, j.hash_split) AS split,
+         j.prev_split, j.hash_split, m.cluster_split,
+         coalesce(m.n_splits, 0) AS n_splits
+  FROM j LEFT JOIN maj m USING (rep)
+)
+SELECT doc_id, rep, split,
+       CASE WHEN n_splits >= 2 THEN 'cluster_conflict'
+            WHEN prev_split IS NOT NULL AND prev_split <> hash_split
+                 THEN 'kept_prev'
+            WHEN prev_split IS NULL AND cluster_split IS NOT NULL
+                 AND cluster_split <> hash_split THEN 'inherited'
+       END AS reason
+FROM fin
+"""
+    )
 
     qs["decontaminate"] = (
         "WITH "

@@ -20,6 +20,21 @@ Pipeline shape (all building blocks already scale-adjudicated):
    corpus re-run, or ingest growth that doesn't merge clusters, never
    reassigns an existing document, and merged clusters move as one.
 
+``leakage_safe_split`` alone is NOT sticky under cluster MERGES: when
+ingest growth connects two previously separate clusters, the surviving
+representative (the min id) changes for one side, so a pure
+hash-of-rep assignment would silently move already-assigned documents
+train↔test — documents a model already trained on could land in eval.
+``sticky_split`` adds first-assignment stickiness: it takes the
+persisted assignment table from the previous run, keeps every existing
+document's split VERBATIM, lets new documents inherit their cluster's
+majority split (deterministic tie-break by ``fractions`` order), hash-
+assigns documents of wholly-new clusters, and emits a reassignment
+AUDIT frame — including the ``cluster_conflict`` rows where a merge
+joined documents that already sit in different splits (leakage that
+has already materialized and cannot be repaired by moving docs; the
+caller decides whether to quarantine the cluster from eval).
+
 The reference declares only Bronze ingestion (no split tooling);
 this operator serves the training-data-pipeline surface the build
 brief makes first-class (deduplication → curation → split).
@@ -82,3 +97,140 @@ def leakage_safe_split(
         .withColumn(rep_col, F.coalesce(F.col(rep_col), F.col(id_col)))
     )
     return hash_split(out, rep_col, fractions, seed=seed, split_col=split_col)
+
+
+def sticky_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    assignments: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    seed: str = "split",
+    split_col: str = "split",
+    rep_col: str = "rep",
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe split with FIRST-ASSIGNMENT STICKINESS under
+    cluster merges (see module docstring).
+
+    ``assignments`` is the persisted state from the previous run — any
+    frame with (``id_col``, ``split_col``); pass the previous output's
+    two columns. ``None`` bootstraps (identical to
+    ``leakage_safe_split`` plus an empty audit).
+
+    Returns ``(out, audit)``:
+
+    * ``out`` — ``df`` + ``rep_col`` + ``split_col`` where
+
+      - a previously assigned document keeps its persisted split
+        verbatim (NEVER moves, merges included),
+      - a new document in a cluster with assigned members inherits the
+        cluster's majority split among them (ties break toward the
+        earlier entry in ``fractions`` — deterministic),
+      - a new document in a wholly-new cluster hashes its rep through
+        the same half-open-interval partition as ``hash_split``.
+
+    * ``audit`` — one row per document whose final split DIFFERS from
+      the pure hash-of-current-rep assignment, or whose cluster now
+      straddles splits: (``id_col``, ``rep_col``, prev_split,
+      hash_split, ``split_col``, reason) with reason one of
+
+      - ``cluster_conflict`` — the cluster's already-assigned members
+        hold >= 2 distinct splits (a merge joined documents already
+        split apart: pre-existing leakage, reported, not repaired);
+      - ``kept_prev`` — hashing the merged rep would have moved this
+        assigned document; its persisted split is kept;
+      - ``inherited`` — a new document whose inherited majority split
+        differs from its rep hash.
+
+    Persist ``out.select(id_col, split_col)`` as the next run's
+    ``assignments``. 100-TB posture: beyond ``leakage_safe_split``'s
+    plan this adds one equi-join against the assignment table and a
+    (rep, split) partial-aggregated groupBy whose output is <=
+    len(fractions) rows per cluster — all narrow-column exchanges.
+    """
+    if assignments is None:
+        out = leakage_safe_split(
+            df, pairs, fractions, id_col, a_col, b_col, seed,
+            split_col, rep_col,
+        )
+        audit = out.select(
+            F.col(id_col),
+            F.col(rep_col),
+            F.lit(None).cast("string").alias("prev_split"),
+            F.col(split_col).alias("hash_split"),
+            F.col(split_col),
+            F.lit("").alias("reason"),
+        ).limit(0)
+        return out, audit
+    for c in (id_col, split_col):
+        if c not in assignments.columns:
+            raise ConfigError(f"assignments frame lacks column {c!r}")
+    fresh = leakage_safe_split(
+        df, pairs, fractions, id_col, a_col, b_col, seed,
+        "_hash_split", rep_col,
+    )
+    prev = assignments.select(
+        F.col(id_col).alias("_prev_id"),
+        F.col(split_col).alias("_prev_split"),
+    )
+    joined = fresh.join(
+        prev, fresh[id_col] == prev["_prev_id"], "left"
+    ).drop("_prev_id")
+    # deterministic majority: most assigned members, ties toward the
+    # earlier fractions entry. The groupBy output is <= len(fractions)
+    # rows per cluster, so the max_by reduction is trivially bounded.
+    names = list(fractions)
+    prio = F.create_map(
+        *[x for i, n in enumerate(names) for x in (F.lit(n), F.lit(len(names) - i))]
+    )
+    majority = (
+        joined.filter(F.col("_prev_split").isNotNull())
+        .groupBy(rep_col, "_prev_split")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(rep_col)
+        .agg(
+            F.max_by(
+                "_prev_split",
+                F.struct(F.col("_n"), prio[F.col("_prev_split")]),
+            ).alias("_cluster_split"),
+            F.count_distinct("_prev_split").alias("_n_prev_splits"),
+        )
+        .withColumnRenamed(rep_col, "_maj_rep")
+    )
+    full = joined.join(
+        majority, joined[rep_col] == majority["_maj_rep"], "left"
+    ).drop("_maj_rep")
+    final = F.coalesce(
+        F.col("_prev_split"), F.col("_cluster_split"), F.col("_hash_split")
+    )
+    labeled = full.withColumn(split_col, final)
+    reason = (
+        F.when(F.col("_n_prev_splits") >= 2, F.lit("cluster_conflict"))
+        .when(
+            F.col("_prev_split").isNotNull()
+            & (F.col("_prev_split") != F.col("_hash_split")),
+            F.lit("kept_prev"),
+        )
+        .when(
+            F.col("_prev_split").isNull()
+            & F.col("_cluster_split").isNotNull()
+            & (F.col("_cluster_split") != F.col("_hash_split")),
+            F.lit("inherited"),
+        )
+    )
+    audit = (
+        labeled.withColumn("_reason", reason)
+        .filter(F.col("_reason").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(rep_col),
+            F.col("_prev_split").alias("prev_split"),
+            F.col("_hash_split").alias("hash_split"),
+            F.col(split_col),
+            F.col("_reason").alias("reason"),
+        )
+    )
+    out = labeled.drop("_prev_split", "_cluster_split", "_n_prev_splits", "_hash_split")
+    return out, audit

@@ -90,6 +90,50 @@ def build_ruleset(job: JobConfig, schema) -> DQRuleSet:
     return DQRuleSet(checks)
 
 
+def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """Parquet frame, or None when the path does not exist yet (the
+    bootstrap run of a stateful stage)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+        return None
+
+
+def _pairs_frame(df: DataFrame, o: dict) -> DataFrame:
+    """Resolve a near-dup pair frame (doc_a, doc_b) for cluster-aware
+    stages: either a precomputed table at ``pairs_path`` (columns
+    ``a_col``/``b_col``, default doc_a/doc_b — the output of any dedup
+    query) or computed in-line from ``near_dup: {text_col, threshold,
+    n, mode}`` via the exact prefix-filter Jaccard join."""
+    a_col = o.get("a_col", "doc_a")
+    b_col = o.get("b_col", "doc_b")
+    if "pairs_path" in o:
+        pairs = df.sparkSession.read.parquet(o["pairs_path"])
+        for c in (a_col, b_col):
+            if c not in pairs.columns:
+                raise ConfigError(f"pairs frame lacks column {c!r}")
+        return pairs.select(a_col, b_col)
+    if "near_dup" in o:
+        from lakehouse_ingestion_spark.operators.jaccard import jaccard_join
+
+        nd = o["near_dup"]
+        return jaccard_join(
+            df,
+            o.get("id_col", "doc_id"),
+            nd.get("text_col", "text"),
+            n=int(nd.get("n", 3)),
+            mode=nd.get("mode", "word"),
+            threshold=float(nd["threshold"]),
+        ).select(F.col("id_a").alias(a_col), F.col("id_b").alias(b_col))
+    raise ConfigError(
+        "cluster-aware stage requires 'pairs_path' or 'near_dup'"
+    )
+
+
 def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
     """Config-driven transform dispatch (the reference's declared-only
     ``TransformFn`` hook, ``docs/00-architecture-overview.md:344-355``,
@@ -182,6 +226,63 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             df, o["key"], dict(o["fractions"]),
             seed=o.get("seed", "split"), split_col=o.get("split_col", "split"),
         )
+    if op == "cluster_reps":
+        # attach each row's near-dup cluster representative (own id for
+        # singletons) — the curation building block under
+        # leakage_safe_split, exposed on its own for rep-keyed ops
+        from lakehouse_ingestion_spark.operators.split_guard import cluster_reps
+
+        id_col = o.get("id_col", "doc_id")
+        rep_col = o.get("rep_col", "rep")
+        pairs = _pairs_frame(df, o)
+        reps = cluster_reps(pairs)
+        return (
+            df.join(reps, df[id_col] == reps["node"], "left")
+            .drop("node")
+            .withColumn(rep_col, F.coalesce(F.col("rep"), F.col(id_col)))
+        )
+    if op == "leakage_safe_split":
+        # near-dup clusters never straddle splits; with
+        # `assignments_path` the assignment is STICKY across runs
+        # (first assignment wins, merges audited — split_guard module
+        # docstring) and the state/audit tables are maintained here
+        from lakehouse_ingestion_spark.operators.split_guard import (
+            leakage_safe_split,
+            sticky_split,
+        )
+
+        id_col = o.get("id_col", "doc_id")
+        split_col = o.get("split_col", "split")
+        kwargs = dict(
+            id_col=id_col,
+            seed=o.get("seed", "split"),
+            split_col=split_col,
+            rep_col=o.get("rep_col", "rep"),
+        )
+        pairs = _pairs_frame(df, o)
+        fractions = dict(o["fractions"])
+        state_path = o.get("assignments_path")
+        if state_path is None:
+            if "audit_path" in o:
+                raise ConfigError(
+                    "audit_path requires assignments_path (sticky mode)"
+                )
+            return leakage_safe_split(df, pairs, fractions, **kwargs)
+        prev = _read_parquet_if_exists(df.sparkSession, state_path)
+        out, audit = sticky_split(
+            df, pairs, fractions, assignments=prev, **kwargs
+        )
+        # pin before the state overwrite below: `out`'s plan READS
+        # state_path when prev is set — overwriting what a lazy plan
+        # still reads would corrupt the result (see PLANS.md lazy
+        # read-after-write note)
+        out = out.localCheckpoint(eager=True)
+        if "audit_path" in o:
+            audit.write.mode("overwrite").parquet(o["audit_path"])
+        out.select(id_col, split_col).write.mode("overwrite").parquet(
+            state_path
+        )
+        return out
     if op == "stratified_sample":
         from lakehouse_ingestion_spark.operators.sampling import stratified_sample
 

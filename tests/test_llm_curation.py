@@ -588,6 +588,101 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
     assert rows[70][1] == plain[50]
 
 
+def test_sticky_split_never_moves_assigned_docs_on_merge(spark):
+    """The round-8 stickiness contract: ingest growth that MERGES two
+    previously split clusters never moves an already-assigned document
+    (pure hash-of-rep WOULD move the side whose representative
+    changed); the would-have-moved docs surface in the audit frame
+    instead."""
+    from lakehouse_ingestion_spark.operators.split_guard import sticky_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs1 = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs1 = spark.createDataFrame(
+        [(0, 1), (2, 3), (50, 51)], "doc_a long, doc_b long"
+    )
+    out1, audit1 = sticky_split(docs1, pairs1, fr, assignments=None)
+    assert audit1.count() == 0  # bootstrap: nothing to audit
+    assign1 = {r["doc_id"]: r["split"] for r in out1.collect()}
+
+    # epoch 2: corpus grows, and pair (1, 2) MERGES clusters {0,1} and
+    # {2,3} — the merged rep is 0, so docs 2/3's hash input changed
+    docs2 = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    pairs2 = spark.createDataFrame(
+        [(0, 1), (2, 3), (1, 2), (50, 51), (3, 100), (110, 111)],
+        "doc_a long, doc_b long",
+    )
+    out2, audit2 = sticky_split(
+        docs2, pairs2, fr,
+        assignments=out1.select("doc_id", "split"),
+    )
+    rows2 = {r["doc_id"]: (r["rep"], r["split"]) for r in out2.collect()}
+    assert len(rows2) == 120
+    for d in range(100):
+        assert rows2[d][1] == assign1[d], f"doc {d} moved on re-run"
+    # merged cluster reps converged
+    assert {rows2[d][0] for d in (0, 1, 2, 3, 100)} == {0}
+    # the new member inherits a split its assigned cluster-mates hold
+    assert rows2[100][1] in {assign1[d] for d in (0, 1, 2, 3)}
+    # audit: every flagged doc has a real divergence or conflict
+    audit_rows = audit2.collect()
+    for r in audit_rows:
+        if r["reason"] == "kept_prev":
+            assert r["prev_split"] is not None
+            assert r["prev_split"] != r["hash_split"]
+            assert r["split"] == r["prev_split"]
+    # if the two merged clusters had landed in different splits, the
+    # whole merged cluster must be conflict-flagged
+    if assign1[0] != assign1[2]:
+        flagged = {r["doc_id"] for r in audit_rows if r["reason"] == "cluster_conflict"}
+        assert {0, 1, 2, 3, 100} <= flagged
+
+
+def test_sticky_split_majority_inheritance_and_conflict_audit(spark):
+    """Handcrafted assignment state: kept-verbatim splits, majority
+    inheritance with the deterministic fractions-order tie-break, and
+    cluster_conflict audit rows across the whole merged cluster."""
+    import pytest
+
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.operators.split_guard import sticky_split
+
+    fr = {"train": 0.5, "test": 0.5}
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 5, 10, 11, 12, 20)], "doc_id long"
+    )
+    # one merged conflict cluster {0..5} (0,1 train / 2,3 test; 4,5 new),
+    # one clean cluster {10,11,12} (10,11 test; 12 new), singleton 20
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (1, 2), (3, 4), (4, 5), (10, 11), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    prev = spark.createDataFrame(
+        [(0, "train"), (1, "train"), (2, "test"), (3, "test"),
+         (10, "test"), (11, "test")],
+        "doc_id long, split string",
+    )
+    out, audit = sticky_split(docs, pairs, fr, assignments=prev)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    # assigned docs keep their split verbatim, conflict or not
+    assert rows[0] == rows[1] == "train"
+    assert rows[2] == rows[3] == "test"
+    assert rows[10] == rows[11] == "test"
+    # 2-2 majority tie in {0..5} breaks toward the earlier fractions
+    # entry: train
+    assert rows[4] == rows[5] == "train"
+    # clean inheritance: unanimous cluster majority
+    assert rows[12] == "test"
+    by_reason: dict[str, set] = {}
+    for r in audit.collect():
+        by_reason.setdefault(r["reason"], set()).add(r["doc_id"])
+    assert by_reason.get("cluster_conflict") == {0, 1, 2, 3, 4, 5}
+    assert 20 not in {d for s in by_reason.values() for d in s}
+
+    with pytest.raises(ConfigError, match="assignments"):
+        sticky_split(docs, pairs, fr, assignments=prev.drop("split"))
+
+
 def test_incremental_near_dup_cap_organic_recall(spark):
     """Recall pin at the registry/probe geometry (8 hashes / 4 bands /
     t=0.3, round-7 verdict #5): with a viral cluster present, the cap
