@@ -499,6 +499,35 @@ def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored drift-reference profile (round 8,
+    operators/profile.numeric_profile): one fused aggregate pass over
+    events emitting per-column moments — the parquet-persisted half of
+    the profile -> config-driven DriftCheck loop (pipeline
+    ``profile_path``). A 20%-null projection of value exercises the
+    null_fraction side. mean/std round(4) in both engines (fold-order-
+    drifting aggregates, same rule as dq_drift); null_fraction is an
+    exact integer ratio, emitted raw."""
+    from lakehouse_ingestion_spark.operators.profile import numeric_profile
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_gappy"),
+    )
+    p = numeric_profile(e, ["event_id", "value", "value_gappy"])
+    return p.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "null_fraction",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+    )
+
+
 def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine routing (D14): bad rows tagged with the checks they
     violate (comma-joined for cross-engine comparison)."""
@@ -1456,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never hashed (new r08) ---
         "sticky_split": q_sticky_split,
+        "numeric_profile": q_numeric_profile,
         # --- last hashed: green r05 ---
         "q20_promotion_suppliers": q20_promotion_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -3831,6 +3861,30 @@ SELECT count(*) AS total_rows,
 FROM events
 """
 
+
+    qs["numeric_profile"] = """
+WITH e AS (
+  SELECT event_id, value,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value_gappy
+  FROM events
+),
+m AS (
+  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+         count(*) FILTER (WHERE event_id IS NULL) AS n_null,
+         avg(event_id::DOUBLE) AS mean, stddev_pop(event_id::DOUBLE) AS std
+  FROM e
+  UNION ALL
+  SELECT 'value', count(*), count(*) FILTER (WHERE value IS NULL),
+         avg(value), stddev_pop(value) FROM e
+  UNION ALL
+  SELECT 'value_gappy', count(*), count(*) FILTER (WHERE value_gappy IS NULL),
+         avg(value_gappy), stddev_pop(value_gappy) FROM e
+)
+SELECT col_name, n_rows, n_null,
+       n_null::DOUBLE / n_rows AS null_fraction,
+       round(mean, 4) AS mean, round(std, 4) AS std
+FROM m
+"""
 
     qs["dq_drift"] = """
 WITH ref AS (

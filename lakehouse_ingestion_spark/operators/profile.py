@@ -100,3 +100,60 @@ def profile_table(
     return stacked.select(
         "col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str", "avg_len"
     )
+
+
+def numeric_profile(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Reference profile for drift gating — the stored half of the
+    profile -> ``DriftCheck`` loop (round 8): one fused aggregate pass
+    over the reference slice producing one row per numeric column with
+    ``col_name, n_rows, n_null, null_fraction, mean, std`` (population
+    std — the same moments ``DriftCheck`` compares against). Persist
+    the output (parquet) and point a config-driven drift check at it
+    via ``profile_path`` — no hand-carried constants.
+
+    ``columns`` defaults to every numeric column. Like
+    ``profile_table``, this is ONE job regardless of column count; the
+    profile is k rows, so the store/read side is negligible at any
+    scale.
+    """
+    from pyspark.sql.types import NumericType
+
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        ]
+        if not columns:
+            raise ValueError("frame has no numeric columns to profile")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        d = F.col(c).cast("double")
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        aggs.append(F.avg(d).alias(f"__mean_{c}"))
+        aggs.append(F.stddev_pop(d).alias(f"__std_{c}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in columns:
+        stack_args.extend(
+            [f"'{c}'", f"`__null_{c}`", f"`__mean_{c}`", f"`__std_{c}`"]
+        )
+    expr = (
+        f"stack({len(columns)}, {', '.join(stack_args)})"
+        " as (col_name, n_null, mean, std)"
+    )
+    return one.select(F.col("__n").alias("n_rows"), F.expr(expr)).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        (F.col("n_null").cast("double") / F.col("n_rows")).alias(
+            "null_fraction"
+        ),
+        "mean",
+        "std",
+    )

@@ -75,7 +75,47 @@ _CHECK_TYPES = {
 }
 
 
-def build_ruleset(job: JobConfig, schema) -> DQRuleSet:
+def _resolve_drift_spec(spec: dict, spark) -> dict:
+    """Fill a drift check's reference moments from a STORED profile
+    (the ``operators/profile.numeric_profile`` output at
+    ``profile_path``) so the gate deploys without hand-carried
+    constants. Explicit ref_mean/ref_std in the spec win; the stored
+    null_fraction is used unless overridden."""
+    path = spec.get("profile_path")
+    if path is None:
+        return spec
+    if "ref_mean" in spec or "ref_std" in spec:
+        raise ConfigError(
+            "drift check: give profile_path OR explicit ref_mean/ref_std,"
+            " not both"
+        )
+    if spark is None:
+        raise ConfigError(
+            "drift check with profile_path needs a SparkSession "
+            "(build_ruleset(..., spark=...))"
+        )
+    col = spec.get("profile_column", spec["column"])
+    rows = {
+        r["col_name"]: r for r in spark.read.parquet(path).collect()
+    }
+    if col not in rows:
+        raise ConfigError(
+            f"profile at {path!r} has no row for column {col!r} "
+            f"(profiled: {sorted(rows)})"
+        )
+    r = rows[col]
+    if r["mean"] is None or r["std"] is None:
+        raise ConfigError(
+            f"profile row for {col!r} has no mean/std (empty or all-null"
+            " reference slice) — cannot gate drift against it"
+        )
+    out = dict(spec, ref_mean=float(r["mean"]), ref_std=float(r["std"]))
+    if "ref_null_fraction" not in out and r["null_fraction"] is not None:
+        out["ref_null_fraction"] = float(r["null_fraction"])
+    return out
+
+
+def build_ruleset(job: JobConfig, schema, spark=None) -> DQRuleSet:
     checks = []
     dq = job.data_quality
     if dq is None:
@@ -86,6 +126,8 @@ def build_ruleset(job: JobConfig, schema) -> DQRuleSet:
         kind = spec.get("type")
         if kind not in _CHECK_TYPES:
             raise ConfigError(f"unknown DQ check type: {kind}")
+        if kind == "drift":
+            spec = _resolve_drift_spec(spec, spark)
         checks.append(_CHECK_TYPES[kind](spec))
     return DQRuleSet(checks)
 
@@ -226,6 +268,13 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             df, o["key"], dict(o["fractions"]),
             seed=o.get("seed", "split"), split_col=o.get("split_col", "split"),
         )
+    if op == "numeric_profile":
+        # replace the frame with its reference drift profile — write it
+        # through the job's target, then point later jobs' drift checks
+        # at it via profile_path (operators/profile.numeric_profile)
+        from lakehouse_ingestion_spark.operators.profile import numeric_profile
+
+        return numeric_profile(df, o.get("columns"))
     if op == "cluster_reps":
         # attach each row's near-dup cluster representative (own id for
         # singletons) — the curation building block under
@@ -504,7 +553,7 @@ class Pipeline:
 
         writer = get_writer(job.target.format)
         opts = self._write_options(job)
-        ruleset = build_ruleset(job, schema)
+        ruleset = build_ruleset(job, schema, spark=self.spark)
         policy = job.data_quality.on_fail if job.data_quality else OnFailPolicy.LOG_ONLY
 
         if df.isStreaming:

@@ -345,6 +345,76 @@ def test_leakage_safe_split_config_driven(spark, registry, tmp_path):
         Pipeline(spark, cfgb, registry=registry).run()
 
 
+def test_drift_check_from_stored_profile(spark, registry, tmp_path):
+    """Round-8 verdict #5: profile -> stored parquet -> config-driven
+    DriftCheck, no hand-carried constants. Job 1 profiles the
+    reference slice through the numeric_profile transform; job 2's
+    drift check loads the moments via profile_path and FAIL_FASTs on a
+    unit-shifted batch while passing a steady one."""
+    from lakehouse_ingestion_spark.errors import DataQualityError
+
+    ref = tmp_path / "ref.jsonl"
+    ref.write_text(
+        "\n".join(
+            json.dumps({"event_id": i, "user": "u", "amount": 10.0 + (i % 5)})
+            for i in range(50)
+        )
+    )
+    profile_out = str(tmp_path / "profile")
+    cfg = parse_config(
+        _doc_config(
+            str(ref), profile_out,
+            [{"op": "numeric_profile", "columns": ["amount"]}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    prof = {r["col_name"]: r for r in spark.read.parquet(profile_out).collect()}
+    assert prof["amount"]["n_rows"] == 50
+    assert prof["amount"]["mean"] == pytest.approx(12.0)
+    assert prof["amount"]["null_fraction"] == 0.0
+
+    def gated_cfg(source, on_fail="FAIL_FAST"):
+        c = _config(str(source), str(tmp_path / "gated"), None, on_fail=on_fail)
+        c["jobs"][0]["data_quality"]["derive_from_schema"] = False
+        c["jobs"][0]["data_quality"]["checks"] = [
+            {"type": "drift", "column": "amount",
+             "profile_path": profile_out, "max_sigmas": 3.0,
+             "max_null_fraction_delta": 0.1}
+        ]
+        return parse_config(c, registry)
+
+    steady = tmp_path / "steady.jsonl"
+    steady.write_text(
+        "\n".join(
+            json.dumps({"event_id": i, "user": "u", "amount": 11.0 + (i % 3)})
+            for i in range(20)
+        )
+    )
+    res = Pipeline(spark, gated_cfg(steady), registry=registry).run()
+    assert res[0].rows_written == 20  # within 3 sigma: passes
+
+    drifted = tmp_path / "drifted.jsonl"
+    drifted.write_text(
+        "\n".join(
+            json.dumps({"event_id": i, "user": "u", "amount": 10.0 * (i % 5) + 100.0})
+            for i in range(20)
+        )
+    )
+    with pytest.raises(DataQualityError, match="drift"):
+        Pipeline(spark, gated_cfg(drifted), registry=registry).run()
+
+    # config errors are pre-Spark and precise
+    bad = gated_cfg(steady)
+    bad.jobs[0].data_quality.checks[0]["profile_column"] = "nope"
+    with pytest.raises(ConfigError, match="no row for column"):
+        Pipeline(spark, bad, registry=registry).run()
+    both = gated_cfg(steady)
+    both.jobs[0].data_quality.checks[0]["ref_mean"] = 1.0
+    with pytest.raises(ConfigError, match="not both"):
+        Pipeline(spark, both, registry=registry).run()
+
+
 def test_cluster_reps_config_driven(spark, registry, docs_file, tmp_path):
     """cluster_reps attaches the near-dup cluster representative from
     a spec (rep-keyed downstream ops without a split)."""
