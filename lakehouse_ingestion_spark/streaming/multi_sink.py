@@ -98,12 +98,16 @@ def write_epoch(
     REPLACES stale output instead of silently no-opping; the ledger
     gains a fresh row per sink (it is a log — readers dedupe).
 
-    Force deletes each sink's ``_epoch=<id>`` directory up front:
-    dynamic partition overwrite only rewrites partitions PRESENT in the
-    incoming data, so a forced re-run whose input (or transform output)
-    is empty would otherwise leave the prior run's rows on disk while
-    the fresh ledger row records rows=0 — ``read_committed`` would then
-    serve the stale data as committed."""
+    Forced re-runs write FIRST, then delete: dynamic partition
+    overwrite only rewrites partitions PRESENT in the incoming data, so
+    a forced re-run whose input (or transform output) is empty would
+    leave the prior run's rows on disk while the fresh ledger row
+    records rows=0 — the leftover partition is deleted AFTER the write
+    action reports zero rows, never up front. A re-run that fails
+    mid-transform/mid-write therefore leaves the prior epoch's data
+    and ledger intact (stale-but-consistent, detectable by retrying)
+    instead of a committed-but-empty epoch that ``read_committed``
+    would silently serve."""
     spark = batch_df.sparkSession
     done = (
         set() if force else _ledgered_sinks(spark, ledger_path, epoch_id)
@@ -117,8 +121,6 @@ def write_epoch(
     try:
         observations: dict[str, Observation] = {}
         for name, spec in todo.items():
-            if force:
-                _delete_epoch_partition(spark, spec.path, epoch_id)
             out = spec.transform(batch_df) if spec.transform else batch_df
             if EPOCH_COL in out.columns:
                 raise ConfigError(
@@ -141,6 +143,10 @@ def write_epoch(
                 .parquet(spec.path)
             )
             observations[name] = obs
+            if force and int(obs.get["rows"]) == 0:
+                # empty forced output wrote no partition — clear the
+                # previous run's leftover now that the write succeeded
+                _delete_epoch_partition(spark, spec.path, epoch_id)
         ledger = spark.createDataFrame(
             [(epoch_id, n, int(observations[n].get["rows"])) for n in todo],
             "epoch long, sink string, rows long",
@@ -153,7 +159,8 @@ def write_epoch(
 def _delete_epoch_partition(
     spark: SparkSession, sink_path: str, epoch_id: int
 ) -> None:
-    """Remove ``<sink_path>/_epoch=<id>/`` ahead of a forced rewrite.
+    """Remove ``<sink_path>/_epoch=<id>/`` after a forced rewrite whose
+    fresh output was empty (dynamic overwrite wrote no partition).
     Goes through the Hadoop FileSystem API so it works on whatever
     filesystem the sink path resolves to (local, HDFS, object store),
     not just local disk. Missing path is a no-op (delete returns

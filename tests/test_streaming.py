@@ -1082,8 +1082,9 @@ def test_multi_sink_forced_rerun_with_empty_input_clears_partition(
     when the new input (or a sink transform's output) is EMPTY. Dynamic
     partition overwrite alone only rewrites partitions present in the
     incoming data, so the forced path must delete the epoch directory
-    up front; otherwise stale rows survive while a fresh ledger row
-    records rows=0 and read_committed serves the stale data."""
+    AFTER a zero-row write; otherwise stale rows survive while a fresh
+    ledger row records rows=0 and read_committed serves the stale
+    data."""
     from lakehouse_ingestion_spark.streaming.multi_sink import (
         SinkSpec,
         read_committed,
@@ -1125,6 +1126,65 @@ def test_multi_sink_forced_rerun_with_empty_input_clears_partition(
     )
     assert {r.id for r in read_committed(spark, out, ledger, "s").collect()} == {
         9, 10, 11, 12,
+    }
+
+
+def test_multi_sink_forced_rerun_failure_keeps_prior_epoch(spark, tmp_path):
+    """Round-8 advice: a forced re-run that dies mid-transform/write
+    must leave the prior committed epoch INTACT (stale-but-consistent,
+    retryable) — the old delete-up-front path left a committed-but-
+    empty epoch that read_committed silently served."""
+    import pytest
+
+    from lakehouse_ingestion_spark.streaming.multi_sink import (
+        SinkSpec,
+        read_committed,
+        write_epoch,
+    )
+
+    ledger = str(tmp_path / "ff_ledger")
+    out = str(tmp_path / "ff_out")
+    write_epoch(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+        {"s": SinkSpec(out)},
+        ledger,
+        epoch_id=4,
+    )
+
+    def boom(df):
+        raise RuntimeError("transform died mid-re-run")
+
+    with pytest.raises(RuntimeError, match="died"):
+        write_epoch(
+            spark.createDataFrame([(9,)], "id long"),
+            {"s": SinkSpec(out, transform=boom)},
+            ledger,
+            epoch_id=4,
+            force=True,
+        )
+    got = read_committed(spark, out, ledger, "s")
+    assert {r.id for r in got.collect()} == {1, 2, 3}, (
+        "prior epoch lost on failed forced re-run"
+    )
+
+    # a write-side failure (not just transform) also keeps the data:
+    # the transform output schema is fine but the job fails at action
+    # time via a poisoned UDF-free expression -> use raise_error
+    from pyspark.sql import functions as F
+
+    def poison(df):
+        return df.withColumn("id", F.raise_error(F.lit("job-time failure")))
+
+    with pytest.raises(Exception, match="job-time failure"):
+        write_epoch(
+            spark.createDataFrame([(9,)], "id long"),
+            {"s": SinkSpec(out, transform=poison)},
+            ledger,
+            epoch_id=4,
+            force=True,
+        )
+    assert {r.id for r in read_committed(spark, out, ledger, "s").collect()} == {
+        1, 2, 3,
     }
 
 
