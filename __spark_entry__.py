@@ -404,6 +404,34 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "rep", "split")
 
 
+def q_incr_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (round 8,
+    operators/graph.incremental_components): the verified near-dup
+    pair set arrives as two batches (split by endpoint-sum parity, so
+    many components need a cross-batch MERGE); batch 2 folds into
+    batch 1's persisted labels by contracting new edges onto current
+    reps — the iterative CC runs on the batch-sized contracted graph,
+    never the corpus. Oracle: one full CC over the union (the operator
+    contract is exact equality with a full recompute)."""
+    from lakehouse_ingestion_spark.operators.graph import (
+        incremental_components,
+    )
+
+    # pin: both batches and the state derive from the expensive LSH
+    # pipeline / prior labels, each consumed by several plan branches
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
+    parity = (F.col("doc_a") + F.col("doc_b")) % 2
+    lab1 = incremental_components(
+        None, pairs.filter(parity == 0), "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    lab2 = incremental_components(
+        lab1, pairs.filter(parity == 1), "doc_a", "doc_b"
+    )
+    return lab2.select("node", "cluster_id")
+
+
 def q_sticky_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sticky leakage-safe split (round 8, operators/split_guard
     sticky_split): a simulated legacy epoch assigned every EVEN doc_id
@@ -698,10 +726,18 @@ def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
     )
-    # no broadcast hint on c: the segment-filtered customer frame scales
-    # linearly with SF, so a hard hint would bypass the 8 GB broadcast
-    # limit at large SF. AQE/size-stats pick broadcast at bench scale
-    # anyway (plan-audited) and degrade to shuffle join past threshold.
+    # SIZE-GATED broadcast on c (plans/hints.py): customer scales with
+    # SF so an unconditional hint would bypass the 8 GB limit at
+    # cluster scale, but the filter's static estimate is conservative
+    # (no column stats) so the planner won't broadcast a mid-sized
+    # segment slice on its own. Gate on the accurate scan estimate:
+    # hint under the cap, shuffle join beyond it.
+    from lakehouse_ingestion_spark.plans.hints import (
+        broadcast_if_under,
+        scan_estimate_bytes,
+    )
+
+    c = broadcast_if_under(c, scan_estimate_bytes(c))
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1486,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never hashed (new r08) ---
         "sticky_split": q_sticky_split,
         "numeric_profile": q_numeric_profile,
+        "incr_clusters": q_incr_clusters,
         # --- last hashed: green r05 ---
         "q20_promotion_suppliers": q20_promotion_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -1909,22 +1946,47 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orders shrink ~5x through the ASIA-customer semi filter BEFORE they
     # meet lineitem, and the surviving (o_orderkey, o_year) projection is
-    # 2 narrow columns. The join ORDERING is the win (sf10: 6.7 -> ~3 s:
-    # filter orders down before they meet lineitem). No broadcast hint on
-    # asia_cust/asia_orders: both scale linearly with SF, and a hard hint
-    # bypasses the size gate — at 100-TB scale it would OOM the driver
-    # instead of degrading to a shuffle join. AQE broadcasts both at
-    # bench scale on its own (plan-audited, execute=True) and falls back
-    # to SMJ past the threshold. Same rule for supp_nat and the part
-    # projection — supplier/part also grow with SF; only the fixed-size
-    # nation/region joins above keep hard hints.
+    # 2 narrow columns — broadcasting it keeps the 60M-row lineitem side
+    # from shuffling at all (sf10: 9.4 s un-hinted vs 4.4 s, because the
+    # static join-output estimate is garbage without column stats and
+    # AQE's runtime conversion fires only after the fact exchange ran).
+    # But asia_orders/asia_cust GROW with SF, so the hint is SIZE-GATED
+    # (plans/hints.py): keyed on the accurate narrow-scan estimates
+    # scaled by the 1-of-5-regions fraction — under the cap it
+    # broadcasts, past it (the 100-TB regime) the hint is withheld and
+    # the planner degrades to a shuffle join instead of OOMing. Same
+    # gate for supp_nat and the part projection; only the fixed-size
+    # nation/region joins above keep unconditional hints.
+    from lakehouse_ingestion_spark.plans.hints import (
+        broadcast_if_under,
+        scan_estimate_bytes,
+    )
+
+    cust_sz = scan_estimate_bytes(
+        _t(spark, sf_dir, "customer").select("c_custkey")
+    )
+    orders_sz = scan_estimate_bytes(o.select("o_orderkey", "o_orderdate"))
     asia_orders = (
-        o.join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        o.join(
+            broadcast_if_under(asia_cust, cust_sz // 5),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     )
+    asia_orders = broadcast_if_under(asia_orders, orders_sz // 5)
+    supp_sz = scan_estimate_bytes(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    part_sz = scan_estimate_bytes(p.select("p_partkey"))
     vol = (
-        l.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
-        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(
+            broadcast_if_under(p.select("p_partkey"), part_sz),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            broadcast_if_under(supp_nat, supp_sz),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("o_year"),
@@ -5227,6 +5289,16 @@ SELECT doc_id, rep,
        {_split_case_rep} AS split
 FROM u
 """
+    )
+
+    # incr_clusters: the operator folds batches incrementally; the
+    # contract is exact equality with a FULL recompute over the union,
+    # so the oracle is the cluster_split CTE truncated at comp (nodes
+    # that appear in any verified pair, labeled with the component min)
+    qs["incr_clusters"] = (
+        qs["cluster_split"][: qs["cluster_split"].index("lab AS (")]
+        + "sel AS (SELECT node, cluster_id FROM comp)\n"
+        "SELECT node, cluster_id FROM sel\n"
     )
 
     # sticky_split: the same CC skeleton; legacy epoch = plain doc_id

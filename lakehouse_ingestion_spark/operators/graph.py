@@ -259,6 +259,105 @@ def _star_components(
     )
 
 
+def incremental_components(
+    labels: DataFrame | None,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    algorithm: str = "jump",
+) -> DataFrame:
+    """Fold a BATCH of new edges into a persisted (node, cluster_id)
+    label table without re-running connected components over history —
+    the cluster-maintenance step for continuous ingest (round 8; the
+    same incremental posture as ``operators/incremental_dedup``, which
+    maintains the PAIR index this consumes).
+
+    ``labels=None`` bootstraps (plain ``connected_components`` over the
+    batch). Otherwise:
+
+    1. translate each new edge's endpoints to their CURRENT canonical
+       label (unseen endpoints label themselves),
+    2. run CC on that CONTRACTED graph — its node set is old cluster
+       reps + brand-new nodes touched this batch, so the iterative part
+       is batch-sized, never corpus-sized,
+    3. relabel the persisted table through the (old rep -> new rep)
+       delta — one equi-join against a broadcast-sized frame.
+
+    Labels equal a full recompute over the union of all edge batches
+    (property-tested): every persisted cluster_id is its component's
+    minimum node id, so the contracted CC's minimum is the global
+    minimum transitively. That invariant is REQUIRED of the input —
+    feed this function only its own output or
+    ``connected_components``'s.
+
+    100-TB posture: history participates in exactly two narrow-column
+    equi-joins (endpoint translation probes only batch edges; the
+    relabel join's build side is the delta, bounded by the batch's
+    touched components). Compare ``connected_components`` on the full
+    pair set, whose every label round shuffles the corpus-sized label
+    table. Batches that merely ADD members to existing clusters produce
+    a delta that relabels nothing.
+    """
+    if labels is None:
+        return connected_components(
+            edges, src=src, dst=dst,
+            max_iterations=max_iterations, algorithm=algorithm,
+        )
+    for c in ("node", "cluster_id"):
+        if c not in labels.columns:
+            raise ValueError(f"labels frame lacks column {c!r}")
+    la = labels.select(
+        F.col("node").alias("__ln"), F.col("cluster_id").alias("__lc")
+    )
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    contracted = (
+        e.join(la, e["__s"] == la["__ln"], "left")
+        .select(
+            F.coalesce("__lc", "__s").alias("__cs"), "__d"
+        )
+        .join(la, F.col("__d") == la["__ln"], "left")
+        .select(
+            F.col("__cs").alias(src),
+            F.coalesce("__lc", "__d").alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    new_nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select("__d"))
+        .distinct()
+        .join(la, F.col("node") == la["__ln"], "anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    if contracted.isEmpty():
+        # batch edges all fall inside existing clusters (or are self
+        # loops among new nodes... impossible: a new-new edge survives
+        # contraction) — labels unchanged, new singles impossible too
+        # except when edges were ALL intra-cluster: then any new node
+        # cannot exist (an edge with a new endpoint always survives).
+        return labels
+    delta = connected_components(
+        contracted, src=src, dst=dst,
+        max_iterations=max_iterations, algorithm=algorithm,
+    ).select(
+        F.col("node").alias("__old_rep"), F.col("cluster_id").alias("__new_rep")
+    )
+    all_labels = labels.unionByName(new_nodes)
+    return (
+        all_labels.join(
+            F.broadcast(delta),
+            all_labels["cluster_id"] == delta["__old_rep"],
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("__new_rep", "cluster_id").alias("cluster_id"),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     left: str = "doc_a",

@@ -376,6 +376,73 @@ def test_connected_components_jump_equals_propagate(spark):
     assert lab_p == lab_s
 
 
+def test_incremental_components_equals_full_recompute(spark):
+    """Folding edge batches through incremental_components must land on
+    the same labels as one connected_components run over the union —
+    random graphs split into 3 arbitrary batches, including batches
+    that MERGE previously separate components and batches that only add
+    members or only touch existing clusters."""
+    import numpy as np
+
+    from lakehouse_ingestion_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = np.random.default_rng(11)
+    pairs = set()
+    for base in (0, 100, 200):
+        nodes = list(range(base, base + 30))
+        for _ in range(25):
+            a, b = rng.choice(nodes, 2, replace=False)
+            pairs.add((int(a), int(b)))
+    # a chain whose halves arrive in different batches (forced merge)
+    pairs |= {(300 + i, 300 + i + 1) for i in range(12)}
+    all_pairs = sorted(pairs)
+    rng.shuffle(all_pairs)
+    thirds = [all_pairs[i::3] for i in range(3)]
+    labels = None
+    for batch in thirds:
+        edges = spark.createDataFrame(batch, "doc_a long, doc_b long")
+        labels = incremental_components(labels, edges, "doc_a", "doc_b")
+        # keep the state bounded like a real caller would (and pin it:
+        # the next increment reads it twice)
+        labels = labels.localCheckpoint(eager=True)
+    got = {r["node"]: r["cluster_id"] for r in labels.collect()}
+    want = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long"),
+            "doc_a",
+            "doc_b",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_components_intra_cluster_batch_is_noop(spark):
+    """A batch whose edges all fall inside existing clusters leaves the
+    label table unchanged (the contracted graph is empty — no CC rounds
+    run at all)."""
+    from lakehouse_ingestion_spark.operators.graph import (
+        incremental_components,
+    )
+
+    first = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = incremental_components(None, first, "doc_a", "doc_b")
+    redundant = spark.createDataFrame(
+        [(1, 3), (3, 2), (11, 10)], "doc_a long, doc_b long"
+    )
+    same = incremental_components(labels, redundant, "doc_a", "doc_b")
+    assert same is labels  # the no-op fast path returns the input state
+    import pytest
+
+    with pytest.raises(ValueError, match="labels frame lacks"):
+        incremental_components(labels.drop("cluster_id"), redundant, "doc_a", "doc_b")
+
+
 def test_connected_components_star_basics(spark):
     """Large-star/small-star: same fixpoint as propagation on the
     chain+triangle fixture, logarithmic rounds on a long chain, loud

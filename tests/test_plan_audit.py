@@ -147,11 +147,14 @@ def test_cluster_split_no_cartesian_no_python(spark, entrymod):
 
 def test_q8_fact_side_never_shuffles(spark, entrymod):
     """Round-8 rework: the SF-scaling sides (asia_cust, asia_orders,
-    supp_nat, part projection) carry NO hard broadcast hint — a hint
-    would bypass the size gate and OOM instead of degrading at 100-TB
-    scale. This asserts the hint-FREE plan still broadcasts every
-    lineitem-side join at bench scale (size stats / AQE pick it), so
-    the only exchange left is the final o_year aggregation."""
+    supp_nat, part projection) carry SIZE-GATED hints (plans/hints.py)
+    keyed on accurate scan estimates — an unconditional hint would
+    bypass the size gate and OOM instead of degrading at 100-TB scale,
+    while no hint at all costs the lineitem exchange at sf10 (static
+    join estimates are garbage without column stats; AQE converts only
+    after the exchange ran: 9.4 vs 4.4 s measured). At bench scale the
+    gate is open, so every lineitem-side join broadcasts and the only
+    exchange left is the final o_year aggregation."""
     df = entrymod.queries()["q8_market_share"](spark, SF_DIR)
     a = audit(df, execute=True)  # AQE-final plan
     assert a.joins.get("SortMergeJoin", 0) == 0, a.summary()
@@ -160,9 +163,9 @@ def test_q8_fact_side_never_shuffles(spark, entrymod):
 
 
 def test_q3_customer_join_broadcasts_unhinted(spark, entrymod):
-    """q3's segment-filtered customer frame lost its hard hint in r8
-    (customer scales with SF); auto-broadcast must still pick it at
-    bench scale."""
+    """q3's segment-filtered customer frame carries a size-gated hint
+    since r8 (customer scales with SF); at bench scale the gate is
+    open and the join broadcasts."""
     df = entrymod.queries()["q3_shipping"](spark, SF_DIR)
     a = audit(df, execute=True)
     assert a.joins.get("BroadcastHashJoin", 0) >= 1, a.summary()
