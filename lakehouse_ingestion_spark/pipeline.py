@@ -278,17 +278,40 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
     if op == "cluster_reps":
         # attach each row's near-dup cluster representative (own id for
         # singletons) — the curation building block under
-        # leakage_safe_split, exposed on its own for rep-keyed ops
+        # leakage_safe_split, exposed on its own for rep-keyed ops.
+        # With `labels_path`, the label table is MAINTAINED
+        # incrementally (operators/graph.incremental_components): this
+        # run's pairs fold into the persisted state by rep contraction,
+        # so the iterative CC never re-scans history.
         from lakehouse_ingestion_spark.operators.split_guard import cluster_reps
 
         id_col = o.get("id_col", "doc_id")
         rep_col = o.get("rep_col", "rep")
+        a_col = o.get("a_col", "doc_a")
+        b_col = o.get("b_col", "doc_b")
         pairs = _pairs_frame(df, o)
-        reps = cluster_reps(pairs)
+        labels_path = o.get("labels_path")
+        if labels_path is None:
+            reps = cluster_reps(pairs, a_col, b_col).withColumnRenamed(
+                "rep", "__rep"
+            )
+        else:
+            from lakehouse_ingestion_spark.operators.graph import (
+                incremental_components,
+            )
+
+            prev = _read_parquet_if_exists(df.sparkSession, labels_path)
+            labels = incremental_components(prev, pairs, a_col, b_col)
+            # pin before the state overwrite: the updated-label plan
+            # READS labels_path when prev is set
+            labels = labels.localCheckpoint(eager=True)
+            labels.write.mode("overwrite").parquet(labels_path)
+            reps = labels.select("node", F.col("cluster_id").alias("__rep"))
         return (
             df.join(reps, df[id_col] == reps["node"], "left")
             .drop("node")
-            .withColumn(rep_col, F.coalesce(F.col("rep"), F.col(id_col)))
+            .withColumn(rep_col, F.coalesce(F.col("__rep"), F.col(id_col)))
+            .drop("__rep")
         )
     if op == "leakage_safe_split":
         # near-dup clusters never straddle splits; with

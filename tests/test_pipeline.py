@@ -432,6 +432,45 @@ def test_cluster_reps_config_driven(spark, registry, docs_file, tmp_path):
     assert rows[2] == 2  # singleton represents itself
 
 
+def test_cluster_reps_incremental_labels_config_driven(spark, registry, tmp_path):
+    """cluster_reps with labels_path maintains the connected-components
+    label table incrementally across runs: run 2's pairs MERGE two
+    run-1 clusters and the final reps equal a full recompute."""
+    docs = tmp_path / "d.jsonl"
+    docs.write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": "x"}) for i in range(8))
+    )
+    labels = str(tmp_path / "cc_labels")
+
+    def run(pairs_rows, out):
+        pp = str(tmp_path / f"pairs_{out}")
+        spark.createDataFrame(pairs_rows, "doc_a long, doc_b long").write.parquet(pp)
+        cfg = parse_config(
+            _doc_config(
+                str(docs), str(tmp_path / out),
+                [{"op": "cluster_reps", "pairs_path": pp,
+                  "labels_path": labels}],
+            ),
+            registry,
+        )
+        Pipeline(spark, cfg, registry=registry).run()
+        return {
+            r["doc_id"]: r["rep"]
+            for r in spark.read.parquet(str(tmp_path / out)).collect()
+        }
+
+    r1 = run([(1, 2), (4, 5)], "cc1")
+    assert r1[2] == 1 and r1[5] == 4 and r1[0] == 0  # singleton self-rep
+    r2 = run([(2, 4), (6, 7)], "cc2")  # merges {1,2} with {4,5}
+    assert r2[1] == r2[2] == r2[4] == r2[5] == 1
+    assert r2[7] == 6
+    state = {
+        r["node"]: r["cluster_id"]
+        for r in spark.read.parquet(labels).collect()
+    }
+    assert state == {1: 1, 2: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+
 def test_unknown_transform_still_raises(spark, registry, docs_file, tmp_path):
     cfg = parse_config(
         _doc_config(docs_file, str(tmp_path / "x"), [{"op": "not_an_op"}]),
