@@ -145,6 +145,53 @@ def test_cluster_split_no_cartesian_no_python(spark, entrymod):
     assert not a.python_in_plan
 
 
+def test_sticky_split_and_incr_clusters_stay_jvm_side(spark, entrymod):
+    """The round-8 CC-family queries: no cartesian products, no
+    row-at-a-time Python anywhere in the plans."""
+    for q in ("sticky_split", "incr_clusters"):
+        df = entrymod.queries()[q](spark, SF_DIR)
+        a = audit(df)
+        assert a.joins.get("CartesianProduct", 0) == 0, q
+        assert a.joins.get("BroadcastNestedLoopJoin", 0) == 0, q
+        assert not a.python_in_plan, q
+
+
+def test_broadcast_gate_behavior(spark):
+    """plans/hints.py: the scan estimate is file-size-accurate, the
+    gate hints under the cap and withholds past it."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.plans.hints import (
+        broadcast_if_under,
+        scan_estimate_bytes,
+    )
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    small = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    sz = scan_estimate_bytes(small)
+    assert 0 < sz < 1 << 20  # nation is tiny and the estimate knows it
+
+    open_gate = lineitem.join(
+        broadcast_if_under(small, sz), lineitem.l_suppkey == small.n_nationkey
+    )
+    a = audit(open_gate)
+    assert a.joins.get("BroadcastHashJoin", 0) == 1
+
+    # past the cap the hint is withheld: with a sub-byte cap AND a
+    # zeroed session auto-threshold the join must NOT broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        closed = lineitem.join(
+            broadcast_if_under(small, sz, cap_bytes=0),
+            lineitem.l_suppkey == small.n_nationkey,
+        )
+        a2 = audit(closed)
+        assert a2.joins.get("BroadcastHashJoin", 0) == 0, a2.summary()
+        assert a2.joins.get("SortMergeJoin", 0) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
 def test_q8_fact_side_never_shuffles(spark, entrymod):
     """Round-8 rework: the SF-scaling sides (asia_cust, asia_orders,
     supp_nat, part projection) carry SIZE-GATED hints (plans/hints.py)
