@@ -78,6 +78,7 @@ def leakage_safe_split(
     seed: str = "split",
     split_col: str = "split",
     rep_col: str = "rep",
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` plus ``rep_col`` (the cluster representative; own id for
     singletons) and ``split_col``, where every member of a near-dup
@@ -86,10 +87,24 @@ def leakage_safe_split(
     ``pairs`` is any (a_col, b_col) near-dup pair frame — LSH-verified
     jaccard pairs, semantic-dedup pairs, exact-hash groups exploded to
     pairs. Pair ids must come from ``df[id_col]``'s domain.
+
+    ``reps`` short-circuits the CC run with a precomputed (node, rep)
+    frame — pass ``graph.incremental_components`` output (renamed) so
+    a continuously ingesting pipeline pays batch-sized label
+    maintenance instead of a full CC per epoch; ``pairs`` is ignored
+    when given. The rep table MUST label every component with its
+    minimum member (the invariant both ``cluster_reps`` and
+    ``incremental_components`` guarantee) or split determinism breaks.
     """
     if id_col not in df.columns:
         raise ConfigError(f"id_col {id_col!r} not in frame columns")
-    reps = cluster_reps(pairs, a_col, b_col)
+    if reps is None:
+        reps = cluster_reps(pairs, a_col, b_col)
+    else:
+        for c in ("node", "rep"):
+            if c not in reps.columns:
+                raise ConfigError(f"reps frame lacks column {c!r}")
+        reps = reps.select("node", "rep")
     out = (
         df.join(reps, df[id_col] == reps["node"], "left")
         .drop("node")
@@ -110,6 +125,7 @@ def sticky_split(
     seed: str = "split",
     split_col: str = "split",
     rep_col: str = "rep",
+    reps: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Leakage-safe split with FIRST-ASSIGNMENT STICKINESS under
     cluster merges (see module docstring).
@@ -153,7 +169,7 @@ def sticky_split(
     if assignments is None:
         out = leakage_safe_split(
             df, pairs, fractions, id_col, a_col, b_col, seed,
-            split_col, rep_col,
+            split_col, rep_col, reps=reps,
         )
         audit = out.select(
             F.col(id_col),
@@ -169,7 +185,7 @@ def sticky_split(
             raise ConfigError(f"assignments frame lacks column {c!r}")
     fresh = leakage_safe_split(
         df, pairs, fractions, id_col, a_col, b_col, seed,
-        "_hash_split", rep_col,
+        "_hash_split", rep_col, reps=reps,
     )
     prev = assignments.select(
         F.col(id_col).alias("_prev_id"),

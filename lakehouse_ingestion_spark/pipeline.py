@@ -145,6 +145,31 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
         return None
 
 
+def _maintained_reps(df: DataFrame, pairs: DataFrame, o: dict) -> DataFrame | None:
+    """When the stage declares ``labels_path``, fold this run's pairs
+    into the persisted connected-components label table
+    (``operators/graph.incremental_components`` — batch-sized CC, no
+    history rescan), write the state back, and return the (node, rep)
+    frame. None when the stage is not label-maintaining (each run pays
+    a full CC over its pair set)."""
+    labels_path = o.get("labels_path")
+    if labels_path is None:
+        return None
+    from lakehouse_ingestion_spark.operators.graph import (
+        incremental_components,
+    )
+
+    a_col = o.get("a_col", "doc_a")
+    b_col = o.get("b_col", "doc_b")
+    prev = _read_parquet_if_exists(df.sparkSession, labels_path)
+    labels = incremental_components(prev, pairs, a_col, b_col)
+    # pin before the state overwrite: the updated-label plan READS
+    # labels_path when prev is set
+    labels = labels.localCheckpoint(eager=True)
+    labels.write.mode("overwrite").parquet(labels_path)
+    return labels.select("node", F.col("cluster_id").alias("rep"))
+
+
 def _pairs_frame(df: DataFrame, o: dict) -> DataFrame:
     """Resolve a near-dup pair frame (doc_a, doc_b) for cluster-aware
     stages: either a precomputed table at ``pairs_path`` (columns
@@ -290,23 +315,10 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
         a_col = o.get("a_col", "doc_a")
         b_col = o.get("b_col", "doc_b")
         pairs = _pairs_frame(df, o)
-        labels_path = o.get("labels_path")
-        if labels_path is None:
-            reps = cluster_reps(pairs, a_col, b_col).withColumnRenamed(
-                "rep", "__rep"
-            )
-        else:
-            from lakehouse_ingestion_spark.operators.graph import (
-                incremental_components,
-            )
-
-            prev = _read_parquet_if_exists(df.sparkSession, labels_path)
-            labels = incremental_components(prev, pairs, a_col, b_col)
-            # pin before the state overwrite: the updated-label plan
-            # READS labels_path when prev is set
-            labels = labels.localCheckpoint(eager=True)
-            labels.write.mode("overwrite").parquet(labels_path)
-            reps = labels.select("node", F.col("cluster_id").alias("__rep"))
+        reps = _maintained_reps(df, pairs, o)
+        if reps is None:
+            reps = cluster_reps(pairs, a_col, b_col)
+        reps = reps.withColumnRenamed("rep", "__rep")
         return (
             df.join(reps, df[id_col] == reps["node"], "left")
             .drop("node")
@@ -333,16 +345,20 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
         )
         pairs = _pairs_frame(df, o)
         fractions = dict(o["fractions"])
+        # optional incremental label maintenance (labels_path): reps
+        # come from the persisted CC state folded with this run's
+        # pairs, so the per-epoch cost is batch-sized
+        reps = _maintained_reps(df, pairs, o)
         state_path = o.get("assignments_path")
         if state_path is None:
             if "audit_path" in o:
                 raise ConfigError(
                     "audit_path requires assignments_path (sticky mode)"
                 )
-            return leakage_safe_split(df, pairs, fractions, **kwargs)
+            return leakage_safe_split(df, pairs, fractions, reps=reps, **kwargs)
         prev = _read_parquet_if_exists(df.sparkSession, state_path)
         out, audit = sticky_split(
-            df, pairs, fractions, assignments=prev, **kwargs
+            df, pairs, fractions, assignments=prev, reps=reps, **kwargs
         )
         # pin before the state overwrite below: `out`'s plan READS
         # state_path when prev is set — overwriting what a lazy plan

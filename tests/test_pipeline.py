@@ -345,6 +345,62 @@ def test_leakage_safe_split_config_driven(spark, registry, tmp_path):
         Pipeline(spark, cfgb, registry=registry).run()
 
 
+def test_sticky_split_with_incremental_labels(spark, registry, tmp_path):
+    """The fully incremental curation chain: leakage_safe_split with
+    BOTH labels_path (persisted CC state, batch-sized maintenance) and
+    assignments_path (sticky splits). A merging second epoch keeps
+    every assigned doc's split and the label state reflects the merged
+    clusters."""
+    docs1 = tmp_path / "i1.jsonl"
+    docs1.write_text(
+        "\n".join(json.dumps({"doc_id": d, "text": "x"}) for d in (1, 2, 4, 5, 9))
+    )
+    labels = str(tmp_path / "labels")
+    assigns = str(tmp_path / "assigns")
+
+    def stage(pairs_rows, tag):
+        pp = str(tmp_path / f"p_{tag}")
+        spark.createDataFrame(pairs_rows, "doc_a long, doc_b long").write.parquet(pp)
+        return {
+            "op": "leakage_safe_split",
+            "fractions": {"train": 0.5, "test": 0.5},
+            "pairs_path": pp,
+            "labels_path": labels,
+            "assignments_path": assigns,
+        }
+
+    out1 = str(tmp_path / "io1")
+    cfg = parse_config(
+        _doc_config(str(docs1), out1, [stage([(1, 2), (4, 5)], "e1")]), registry
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    r1 = {r["doc_id"]: r["split"] for r in spark.read.parquet(out1).collect()}
+
+    docs2 = tmp_path / "i2.jsonl"
+    docs2.write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": "x"}) for d in (1, 2, 4, 5, 6, 9)
+        )
+    )
+    out2 = str(tmp_path / "io2")
+    # epoch 2's pairs MERGE {1,2} and {4,5} and attach new doc 6
+    cfg2 = parse_config(
+        _doc_config(str(docs2), out2, [stage([(2, 4), (5, 6)], "e2")]), registry
+    )
+    Pipeline(spark, cfg2, registry=registry).run()
+    r2 = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
+    for d in (1, 2, 4, 5, 9):
+        assert r2[d]["split"] == r1[d], f"doc {d} moved"
+    # label state holds the merged component under min-id rep 1
+    state = {
+        r["node"]: r["cluster_id"]
+        for r in spark.read.parquet(labels).collect()
+    }
+    assert state == {1: 1, 2: 1, 4: 1, 5: 1, 6: 1}
+    assert r2[6]["rep"] == 1
+    assert r2[6]["split"] in {r1[1], r1[4]}  # inherited from the merge
+
+
 def test_drift_check_from_stored_profile(spark, registry, tmp_path):
     """Round-8 verdict #5: profile -> stored parquet -> config-driven
     DriftCheck, no hand-carried constants. Job 1 profiles the
