@@ -344,10 +344,18 @@ def incremental_components(
     ).select(
         F.col("node").alias("__old_rep"), F.col("cluster_id").alias("__new_rep")
     )
+    # the CC output is a checkpoint-materialized RDD with no plan
+    # stats, so the planner can't see it's small — hint the broadcast
+    # ourselves, but SIZE-GATED (counting the materialized blocks is
+    # cheap): a bootstrap-sized batch can make the delta grow past
+    # broadcast limits, and an unconditional hint would OOM instead of
+    # degrading to a shuffle join (same rule as plans/hints.py)
+    if delta.count() <= 10_000_000:  # 2 long cols ~ 160 MB build side
+        delta = F.broadcast(delta)
     all_labels = labels.unionByName(new_nodes)
     return (
         all_labels.join(
-            F.broadcast(delta),
+            delta,
             all_labels["cluster_id"] == delta["__old_rep"],
             "left",
         )
