@@ -697,6 +697,90 @@ def test_streaming_near_dup_index_maintained(spark, tmp_path):
     } == {1, 2, 12}
 
 
+def test_streaming_sticky_split_across_batches(spark, tmp_path):
+    """Streaming leakage-safe split (round 8, streaming/curation):
+    near-dup docs in LATER batches inherit the cluster split assigned
+    earlier, merges never move assigned docs, and a redelivered batch
+    replays idempotently (same output, no index/assignment bloat)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_ingestion_spark.streaming.curation import (
+        sticky_split_foreach_batch,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different material that shares nothing at all here"
+    t3 = "a third body of text with its very own unique words inside"
+    state = str(tmp_path / "cur_state")
+    out = str(tmp_path / "cur_out")
+    audits = []
+    fn = sticky_split_foreach_batch(
+        state,
+        {"train": 0.5, "test": 0.5},
+        threshold=0.3,
+        sink=lambda df, e: df.withColumn(
+            "epoch", F.lit(e)
+        ).write.mode("append").parquet(out),
+        audit_sink=lambda df, e: audits.append((e, df.collect())),
+        num_hashes=8,
+        num_bands=4,
+    )
+    b1 = spark.createDataFrame(
+        [(1, t1), (2, t1 + " tail"), (3, t2), (4, t3)],
+        "doc_id long, text string",
+    )
+    fn(b1, 0)
+    r1 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out).where("epoch = 0").collect()
+    }
+    assert r1[1]["split"] == r1[2]["split"]  # near-dups split together
+    assert r1[1]["rep"] == r1[2]["rep"] == 1
+
+    # batch 2: doc 11 near-dups doc 1 (inherits its cluster/split),
+    # doc 13 near-dups the SINGLETON doc 3 (a merge of a previously
+    # hash-assigned singleton — doc 3's split must not move)
+    b2 = spark.createDataFrame(
+        [(11, t1 + " extra"), (13, t2 + " extra"), (14, "totally new words")],
+        "doc_id long, text string",
+    )
+    fn(b2, 1)
+    r2 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out).where("epoch = 1").collect()
+    }
+    assert r2[11]["split"] == r1[1]["split"]  # inherited across batches
+    assert r2[13]["split"] == r1[3]["split"]  # 3's assignment inherited
+    assigned = {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(f"{state}/assignments").collect()
+    }
+    assert {d for d, _ in assigned} == {1, 2, 3, 4, 11, 13, 14}
+
+    # redelivery of batch 2: identical output, no state bloat
+    n_hashes = spark.read.parquet(f"{state}/hashes").count()
+    fn(b2, 1)
+    r2b = [
+        (r["doc_id"], r["split"], r["rep"])
+        for r in spark.read.parquet(out).where("epoch = 1").collect()
+    ]
+    assert sorted(r2b) == sorted(
+        [(d, r["split"], r["rep"]) for d, r in r2.items()] * 2
+    )  # the sink appended twice (epoch-keyed sinks would overwrite)
+    assert spark.read.parquet(f"{state}/hashes").count() == n_hashes
+    assert {
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(f"{state}/assignments").collect()
+    } == assigned
+    # batch pipeline interop: the label table is the incremental-CC
+    # shape leakage_safe_split's labels_path consumes
+    state_labels = {
+        r["node"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{state}/labels").collect()
+    }
+    assert state_labels[11] == 1 and state_labels[13] == 3
+
+
 def test_streaming_bloom_dedup_exact_forever(spark, tmp_path):
     """Three micro-batches through the Bloom-screened exact dedup:
     cross-batch duplicates drop no matter how far apart (no watermark
