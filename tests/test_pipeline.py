@@ -737,6 +737,111 @@ def test_streaming_fanout_pipeline(spark, registry, tmp_path):
     assert {r.sink for r in led.collect()} == {"bronze", "silver"}
 
 
+def test_streaming_sticky_split_pipeline(spark, registry, tmp_path):
+    """Config-driven streaming curation split (round 8): two
+    micro-batches through the sticky_split target — batch-2 near-dups
+    inherit batch-1's cluster split, output routes exactly-once
+    through the epoch ledger, states persist under state_dir."""
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    indir = tmp_path / "ss_in"
+    indir.mkdir()
+    (indir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": t1},
+                {"doc_id": 2, "text": t1 + " tail"},
+                {"doc_id": 3, "text": "unrelated material entirely here"},
+            ]
+        )
+    )
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 11, "text": t1 + " extra"}) + "\n"
+    )
+    out = str(tmp_path / "ss_out")
+    state = str(tmp_path / "ss_state")
+    ledger = str(tmp_path / "ss_ledger")
+    registry.register(
+        "demo", "docs", "v1",
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        ),
+    )
+    cfg = parse_config(
+        {
+            "env": "test",
+            "jobs": [
+                {
+                    "name": "curate-split",
+                    "source": {
+                        "type": "json",
+                        "options": {
+                            "path": str(indir),
+                            "format": "json",
+                            "streaming": "true",
+                            "maxFilesPerTrigger": "1",
+                        },
+                    },
+                    "schema": {
+                        "domain": "demo", "dataset": "docs", "version": "v1",
+                    },
+                    "target": {
+                        "format": "sticky_split",
+                        "options": {
+                            "path": out,
+                            "state_dir": state,
+                            "threshold": 0.3,
+                            "fractions": {"train": 0.5, "test": 0.5},
+                            "num_hashes": 8,
+                            "num_bands": 4,
+                            "ledger_path": ledger,
+                            "checkpoint_location": str(tmp_path / "ss_cp"),
+                            "trigger_interval": "availableNow",
+                        },
+                    },
+                }
+            ],
+        },
+        registry,
+    )
+    results = Pipeline(spark, cfg, registry=registry).run()
+    results[0].query.awaitTermination(180)
+
+    from lakehouse_ingestion_spark.streaming.multi_sink import read_committed
+
+    rows = {
+        r["doc_id"]: r
+        for r in read_committed(spark, out, ledger, "split").collect()
+    }
+    assert set(rows) == {1, 2, 3, 11}
+    assert rows[1]["split"] == rows[2]["split"] == rows[11]["split"]
+    assert rows[11]["rep"] == 1  # cross-batch cluster inheritance
+    # the persisted states are the batch-pipeline layouts
+    assert {
+        r["node"] for r in spark.read.parquet(f"{state}/labels").collect()
+    } == {1, 2, 11}
+    assert spark.read.parquet(f"{state}/assignments").count() == 4
+
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions
+    from lakehouse_ingestion_spark.sinks.curation import StickySplitWriter
+
+    with pytest.raises(ConfigError, match="state_dir"):
+        StickySplitWriter().write_batch(
+            spark.range(1),
+            WriteOptions(path="/tmp/x", options={"threshold": 0.3,
+                                                 "fractions": {"a": 1.0}}),
+        )
+    with pytest.raises(ConfigError, match="fractions"):
+        StickySplitWriter().write_batch(
+            spark.range(1),
+            WriteOptions(path="/tmp/x", options={"threshold": 0.3,
+                                                 "state_dir": "/tmp/s"}),
+        )
+
+
 def test_fanout_config_validation(spark, registry, tmp_path):
     from lakehouse_ingestion_spark.sinks.fanout import FanoutWriter
     from lakehouse_ingestion_spark.sinks.base import WriteOptions
