@@ -325,6 +325,26 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             .withColumn(rep_col, F.coalesce(F.col("__rep"), F.col(id_col)))
             .drop("__rep")
         )
+    if op == "near_dup_drop":
+        # fuzzy dedup from config: keep exactly ONE document per
+        # near-dup cluster (the representative = min id; singletons
+        # keep themselves). Pairs via pairs_path or inline exact
+        # Jaccard; with labels_path the cluster state is maintained
+        # incrementally like the other cluster-aware stages — note the
+        # rep can MOVE to a later-arriving smaller id across epochs,
+        # so multi-epoch keep-FIRST semantics belong to
+        # streaming/near_dup (index-maintaining), not this stage.
+        from lakehouse_ingestion_spark.operators.split_guard import cluster_reps
+
+        id_col = o.get("id_col", "doc_id")
+        pairs = _pairs_frame(df, o)
+        reps = _maintained_reps(df, pairs, o)
+        if reps is None:
+            reps = cluster_reps(
+                pairs, o.get("a_col", "doc_a"), o.get("b_col", "doc_b")
+            )
+        dropped = reps.filter(F.col("node") != F.col("rep")).select("node")
+        return df.join(dropped, df[id_col] == dropped["node"], "left_anti")
     if op == "leakage_safe_split":
         # near-dup clusters never straddle splits; with
         # `assignments_path` the assignment is STICKY across runs

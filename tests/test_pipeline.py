@@ -488,6 +488,36 @@ def test_cluster_reps_config_driven(spark, registry, docs_file, tmp_path):
     assert rows[2] == 2  # singleton represents itself
 
 
+def test_near_dup_drop_config_driven(spark, registry, tmp_path):
+    """Fuzzy dedup from a spec: one survivor per near-dup cluster (the
+    min id), singletons untouched — including a transitive chain the
+    naive drop-all-right-sides rule would over-keep."""
+    t1 = " ".join(f"alpha word{i % 17} beta" for i in range(30))
+    src = tmp_path / "nd.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": t1},
+                {"doc_id": 5, "text": t1 + " tail"},
+                {"doc_id": 9, "text": t1 + " tail more"},
+                {"doc_id": 7, "text": "totally different unique material"},
+            ]
+        )
+    )
+    out = str(tmp_path / "nd_out")
+    cfg = parse_config(
+        _doc_config(
+            str(src), out,
+            [{"op": "near_dup_drop", "near_dup": {"threshold": 0.3}}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 7}
+
+
 def test_cluster_reps_incremental_labels_config_driven(spark, registry, tmp_path):
     """cluster_reps with labels_path maintains the connected-components
     label table incrementally across runs: run 2's pairs MERGE two
