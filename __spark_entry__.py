@@ -1515,9 +1515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r08 window: the 24 queries whose freshest hash is r05 + the
-    # first 26 of the r06 cohort (73 stale queries rotate forward over
-    # r08/r09); the r07-hashed set rides at the tail.
+    # query.  r08 window: 3 never-hashed round-8 queries + the 24 whose
+    # freshest hash is r05 + the first 23 of the r06 cohort (stale
+    # queries rotate forward over r08/r09); the r07-hashed set rides at
+    # the tail. random_proj/source_report (r7-touched operators) sit at
+    # positions 46/47 — inside the window per the r7 verdict task 7.
     return {
         # --- never hashed (new r08) ---
         "sticky_split": q_sticky_split,
