@@ -470,6 +470,25 @@ def test_drift_check_from_stored_profile(spark, registry, tmp_path):
     with pytest.raises(ConfigError, match="not both"):
         Pipeline(spark, both, registry=registry).run()
 
+    # an all-null reference slice profiles to NULL moments — gating
+    # against it must fail loudly at config time, not divide by NaN
+    from lakehouse_ingestion_spark.operators.profile import numeric_profile
+
+    allnull = spark.createDataFrame(
+        [(None,), (None,)], "amount double"
+    )
+    numeric_profile(allnull, ["amount"]).write.mode("overwrite").parquet(
+        str(tmp_path / "nullprof")
+    )
+    nullgated = gated_cfg(steady)
+    nullgated.jobs[0].data_quality.checks[0]["profile_path"] = str(
+        tmp_path / "nullprof"
+    )
+    with pytest.raises(ConfigError, match="no mean/std"):
+        Pipeline(spark, nullgated, registry=registry).run()
+    with pytest.raises(ValueError, match="no numeric columns"):
+        numeric_profile(spark.createDataFrame([("x",)], "s string"))
+
 
 def test_cluster_reps_config_driven(spark, registry, docs_file, tmp_path):
     """cluster_reps attaches the near-dup cluster representative from
