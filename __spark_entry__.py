@@ -1515,65 +1515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r08 window: 3 never-hashed round-8 queries + the 24 whose
-    # freshest hash is r05 + the first 23 of the r06 cohort (stale
-    # queries rotate forward over r08/r09); the r07-hashed set rides at
-    # the tail. random_proj/source_report (r7-touched operators) sit at
-    # positions 46/47 — inside the window per the r7 verdict task 7.
+    # query.  r09 window: the 26 queries whose freshest hash is r06
+    # (CDC/SCD/gold/DQ/TPC-H q3+q5/similarity families) + the first 24 of
+    # the r07 cohort; the r08-hashed set rides at the tail.
     return {
-        # --- never hashed (new r08) ---
-        "sticky_split": q_sticky_split,
-        "numeric_profile": q_numeric_profile,
-        "incr_clusters": q_incr_clusters,
-        # --- last hashed: green r05 ---
-        "q20_promotion_suppliers": q20_promotion_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "jaccard_pairs": q_jaccard_pairs,
-        "doc_repetition": q_doc_repetition,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "domain_cap": q_domain_cap,
-        "cluster_rep": q_cluster_rep,
-        "anomaly": q_anomaly,
-        "unpivot": q_unpivot,
-        "incr_gold": q_incr_gold,
-        "sketch_rollup": q_sketch_rollup,
-        "pit_join": q_pit_join,
-        "edit_join": q_edit_join,
-        "rolling_window": q_rolling_window,
-        "decontaminate": q_decontaminate,
-        "chunk_docs": q_chunk_docs,
-        "vocab_build": q_vocab_build,
-        "token_ids": q_token_ids,
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_sketch_merge": q_quantile_sketch_merge,
-        "star_clusters": q_star_clusters,
-        "topk_sketch": q_topk_sketch,
-        "weighted_sample": q_weighted_sample,
         # --- last hashed: green r06 ---
-        "pii_scrub": q_pii_scrub,
-        "line_dedup": q_line_dedup,
-        "lm_perplexity": q_lm_perplexity,
-        "semantic_dedup": q_semantic_dedup,
-        "exact_substr": q_exact_substr,
-        "ngram_novelty": q_ngram_novelty,
-        "incr_near_dup": q_incr_near_dup,
-        "resample": q_resample,
-        "resample_interp": q_resample_interp,
-        "snapshot_diff": q_snapshot_diff,
-        "histogram": q_histogram,
-        "quantile_buckets": q_quantile_buckets,
-        "table_profile": q_table_profile,
-        "bloom_dedup": q_bloom_dedup,
-        "bloom_dedup_sharded": q_bloom_dedup_sharded,
-        "dedup_content": q_dedup_content,
-        "strip_spans": q_strip_spans,
-        "blocklist_filter": q_blocklist_filter,
-        "random_proj": q_random_proj,
-        "source_report": q_source_report,
-        "pricing_summary": q_pricing_summary,
-        "dedup_exact": q_dedup_exact,
-        "dedup_latest": q_dedup_latest,
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
         "scd2": q_scd2,
@@ -1651,6 +1597,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q12_shipping_delay": q12_shipping_delay,
         "q16_supplier_counts": q16_supplier_counts,
+        # --- last hashed: green r08 ---
+        "sticky_split": q_sticky_split,
+        "numeric_profile": q_numeric_profile,
+        "incr_clusters": q_incr_clusters,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "jaccard_pairs": q_jaccard_pairs,
+        "doc_repetition": q_doc_repetition,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "domain_cap": q_domain_cap,
+        "cluster_rep": q_cluster_rep,
+        "anomaly": q_anomaly,
+        "unpivot": q_unpivot,
+        "incr_gold": q_incr_gold,
+        "sketch_rollup": q_sketch_rollup,
+        "pit_join": q_pit_join,
+        "edit_join": q_edit_join,
+        "rolling_window": q_rolling_window,
+        "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
+        "vocab_build": q_vocab_build,
+        "token_ids": q_token_ids,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merge": q_quantile_sketch_merge,
+        "star_clusters": q_star_clusters,
+        "topk_sketch": q_topk_sketch,
+        "weighted_sample": q_weighted_sample,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
+        "exact_substr": q_exact_substr,
+        "ngram_novelty": q_ngram_novelty,
+        "incr_near_dup": q_incr_near_dup,
+        "resample": q_resample,
+        "resample_interp": q_resample_interp,
+        "snapshot_diff": q_snapshot_diff,
+        "histogram": q_histogram,
+        "quantile_buckets": q_quantile_buckets,
+        "table_profile": q_table_profile,
+        "bloom_dedup": q_bloom_dedup,
+        "bloom_dedup_sharded": q_bloom_dedup_sharded,
+        "dedup_content": q_dedup_content,
+        "strip_spans": q_strip_spans,
+        "blocklist_filter": q_blocklist_filter,
+        "random_proj": q_random_proj,
+        "source_report": q_source_report,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_latest": q_dedup_latest,
     }
 
 
