@@ -158,10 +158,17 @@ def _maintained_reps(df: DataFrame, pairs: DataFrame, o: dict) -> DataFrame | No
     from lakehouse_ingestion_spark.operators.graph import (
         incremental_components,
     )
+    from lakehouse_ingestion_spark.streaming.curation import current_labels
 
     a_col = o.get("a_col", "doc_a")
     b_col = o.get("b_col", "doc_b")
     prev = _read_parquet_if_exists(df.sparkSession, labels_path)
+    if prev is not None:
+        # a streaming curation sink maintains the same state as an
+        # epoch-partitioned delta log — resolve to current rows first
+        # (the flat overwrite below converts the layout back; the
+        # stream re-adopts it via its one-time migration)
+        prev = current_labels(prev)
     labels = incremental_components(prev, pairs, a_col, b_col)
     # pin before the state overwrite: the updated-label plan READS
     # labels_path when prev is set
@@ -376,20 +383,58 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
                     "audit_path requires assignments_path (sticky mode)"
                 )
             return leakage_safe_split(df, pairs, fractions, reps=reps, **kwargs)
+        from lakehouse_ingestion_spark.operators.split_guard import (
+            apply_conflict_policy,
+        )
+        from lakehouse_ingestion_spark.streaming.curation import (
+            current_assignments,
+        )
+
         prev = _read_parquet_if_exists(df.sparkSession, state_path)
+        if prev is not None:
+            # streaming-maintained state is an epoch delta log with
+            # re-keyed rows — resolve to one current row per doc
+            prev = current_assignments(prev, id_col, split_col)
         out, audit = sticky_split(
             df, pairs, fractions, assignments=prev, reps=reps, **kwargs
         )
+        action = o.get("conflict_action", "report")
+        if action != "report":
+            # quarantine_eval persists its forced splits (below), so
+            # conflicted clusters converge out of eval; drop_cluster
+            # withholds members from the OUTPUT but the pre-drop frame
+            # still drives the state write, keeping them deterministic
+            audit = audit.localCheckpoint(eager=True)
+        if action == "quarantine_eval":
+            out = apply_conflict_policy(
+                out, audit, action, fractions,
+                split_col=split_col, rep_col=kwargs["rep_col"],
+            )
         # pin before the state overwrite below: `out`'s plan READS
         # state_path when prev is set — overwriting what a lazy plan
         # still reads would corrupt the result (see PLANS.md lazy
         # read-after-write note)
         out = out.localCheckpoint(eager=True)
         if "audit_path" in o:
-            audit.write.mode("overwrite").parquet(o["audit_path"])
-        out.select(id_col, split_col).write.mode("overwrite").parquet(
-            state_path
-        )
+            # the audit is a LOG of leakage events — append, never
+            # clobber prior runs' rows (r8 ADVICE)
+            audit.write.mode("append").parquet(o["audit_path"])
+        # stickiness must survive partial-corpus runs: assigned docs
+        # absent from df keep their rows (r8 ADVICE — the plain
+        # overwrite silently discarded them, so reappearing docs were
+        # re-split by majority/hash with no audit)
+        new_state = out.select(id_col, split_col)
+        if prev is not None:
+            kept = prev.select(id_col, split_col).join(
+                out.select(id_col), id_col, "left_anti"
+            ).localCheckpoint(eager=True)  # reads state_path: pin pre-overwrite
+            new_state = new_state.unionByName(kept)
+        new_state.write.mode("overwrite").parquet(state_path)
+        if action == "drop_cluster":
+            out = apply_conflict_policy(
+                out, audit, action, fractions,
+                split_col=split_col, rep_col=kwargs["rep_col"],
+            )
         return out
     if op == "stratified_sample":
         from lakehouse_ingestion_spark.operators.sampling import stratified_sample

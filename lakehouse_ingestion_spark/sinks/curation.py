@@ -16,7 +16,15 @@ target:
     fractions: {train: 0.8, val: 0.1, test: 0.1}
     audit_path: /data/splits/audit        # optional
     ledger_path: /data/splits/ledger      # optional: exactly-once output
+    conflict_action: quarantine_eval      # optional: report (default) /
+                                          # quarantine_eval / drop_cluster
 ```
+
+``conflict_action`` decides what happens to clusters whose merge
+joined already-differently-split docs (pre-existing leakage —
+``operators/split_guard.apply_conflict_policy``): report them in the
+audit only, force them into the first (train) split, or withhold them
+from the output entirely.
 
 With ``ledger_path`` the labeled output routes through
 ``streaming/multi_sink.write_epoch`` — epoch-partitioned idempotent
@@ -108,6 +116,7 @@ def _build_fn(opts: WriteOptions):
         posting_cap=(
             int(o["posting_cap"]) if "posting_cap" in o else None
         ),
+        conflict_action=o.get("conflict_action", "report"),
     )
 
 
