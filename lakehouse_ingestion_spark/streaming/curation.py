@@ -350,6 +350,20 @@ def sticky_split_foreach_batch(
                 matched = assign_raw.join(
                     touched, assign_raw[rep_col] == touched["rep"], "semi"
                 )
+                # resolve ONE row per doc on the (O(K)-sized) matched
+                # set: a legacy-bootstrap doc reprocessed in a batch has
+                # both its old and new rows keyed by the same current
+                # rep — without this, it votes twice in the majority and
+                # a policy-changed split reads as a permanent conflict
+                if EPOCH_COL in matched.columns:
+                    matched = matched.groupBy(id_col).agg(
+                        F.max_by(split_col, F.col(EPOCH_COL)).alias(split_col),
+                        F.max_by(rep_col, F.col(EPOCH_COL)).alias(rep_col),
+                    )
+                # both consumers below are O(K) — pin one evaluation
+                matched = matched.select(
+                    id_col, split_col, rep_col
+                ).localCheckpoint(eager=True)
                 # re-key merged members to their post-merge rep before
                 # the majority census (their stored rep is pre-merge)
                 bmoves = F.broadcast(moves)
@@ -400,12 +414,12 @@ def sticky_split_foreach_batch(
                 audit_sink(audit, epoch_id)
             # ---- state deltas (all idempotent epoch partitions) ----
             new_assign = out.select(id_col, split_col, rep_col)
-            if assign_raw is not None:
+            if hist is not None:
                 bmoves2 = F.broadcast(moves)
                 moved = (
-                    assign_raw.join(
+                    matched.join(
                         bmoves2,
-                        assign_raw[rep_col] == bmoves2["__old_rep"],
+                        matched[rep_col] == bmoves2["__old_rep"],
                         "inner",
                     )
                     .select(
@@ -413,6 +427,11 @@ def sticky_split_foreach_batch(
                         F.col(split_col),
                         F.col("__new_rep").alias(rep_col),
                     )
+                    # an assigned doc that is ALSO in this batch (the
+                    # legacy-bootstrap overlap) already writes its row
+                    # through `out` — a second same-epoch row would make
+                    # latest-wins ambiguous and double its majority vote
+                    .join(batch_df.select(id_col), id_col, "left_anti")
                 )
                 new_assign = new_assign.unionByName(moved)
             _write_epoch(new_assign, assign_path, epoch_id)

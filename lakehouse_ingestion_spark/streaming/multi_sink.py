@@ -103,11 +103,13 @@ def write_epoch(
     a forced re-run whose input (or transform output) is empty would
     leave the prior run's rows on disk while the fresh ledger row
     records rows=0 — the leftover partition is deleted AFTER the write
-    action reports zero rows, never up front. A re-run that fails
-    mid-transform/mid-write therefore leaves the prior epoch's data
-    and ledger intact (stale-but-consistent, detectable by retrying)
-    instead of a committed-but-empty epoch that ``read_committed``
-    would silently serve."""
+    action reports zero rows, never up front, and the rows=0 ledger row
+    appends BEFORE the delete (so no crash point leaves a deleted
+    partition whose freshest ledger row claims rows>0). A re-run that
+    fails mid-transform/mid-write therefore leaves the prior epoch's
+    data and ledger intact (stale-but-consistent, detectable by
+    retrying) instead of a committed-but-empty epoch that
+    ``read_committed`` would silently serve."""
     spark = batch_df.sparkSession
     done = (
         set() if force else _ledgered_sinks(spark, ledger_path, epoch_id)
@@ -144,8 +146,17 @@ def write_epoch(
             )
             observations[name] = obs
             if force and int(obs.get["rows"]) == 0:
-                # empty forced output wrote no partition — clear the
-                # previous run's leftover now that the write succeeded
+                # empty forced output wrote no partition — the previous
+                # run's leftover must go. Ledger the rows=0 row FIRST:
+                # a crash between the two steps then leaves either
+                # (ledger only) the old data still served under a
+                # superseded-by-newer-row count, or (both) the empty
+                # epoch correctly recorded — never a deleted partition
+                # whose freshest ledger row still claims rows>0
+                spark.createDataFrame(
+                    [(epoch_id, name, 0)],
+                    "epoch long, sink string, rows long",
+                ).write.mode("append").parquet(ledger_path)
                 _delete_epoch_partition(spark, spec.path, epoch_id)
         ledger = spark.createDataFrame(
             [(epoch_id, n, int(observations[n].get["rows"])) for n in todo],
