@@ -147,6 +147,71 @@ def current_labels(raw: DataFrame) -> DataFrame:
 MIGRATION_EPOCH = -1
 
 
+def compact_split_state(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    rep_col: str = "rep",
+) -> None:
+    """Fold the split-state delta logs into ONE snapshot partition per
+    table, bounding read amplification on long-running streams (the
+    per-trigger path reads stay O(touched), but partition counts and
+    superseded rows grow with epochs — this is the cadence compaction
+    the r8 verdict asked for instead of per-trigger rewrites).
+
+    * ``labels`` / ``assignments``: latest row per key survives;
+      superseded rows and dead partitions go.
+    * ``hashes`` / ``bands``: rows are never superseded — they fold
+      into the snapshot partition verbatim (small-file consolidation).
+    * Partitions from epochs the LEDGER never committed (a crashed
+      attempt that was never redelivered) are DROPPED, matching the
+      read path's exclusion semantics; the reserved migration
+      partition (``_epoch=-1``) always folds in.
+    * The ledger itself is kept verbatim: replay detection for
+      redelivered pre-compaction epochs must keep answering
+      "committed" (the replay path reads the snapshot state).
+
+    Run while the stream is STOPPED at a ledgered epoch — the same
+    contract as any offline state surgery. The snapshot lands at the
+    max ledgered epoch, so latest-wins ordering against any future
+    epoch is preserved.
+    """
+    ledger = _read_if_exists(spark, f"{state_dir}/ledger")
+    if ledger is None:
+        return  # nothing ever committed; nothing safe to fold
+    committed = ledger.select("epoch").distinct()
+    max_epoch = committed.agg(F.max("epoch")).collect()[0][0]
+    keep = F.broadcast(
+        committed.union(
+            spark.createDataFrame([(MIGRATION_EPOCH,)], "epoch long")
+        ).withColumnRenamed("epoch", EPOCH_COL)
+    )
+
+    def _fold(name: str, resolve) -> None:
+        raw = _read_if_exists(spark, f"{state_dir}/{name}")
+        if raw is None or EPOCH_COL not in raw.columns:
+            return
+        kept = raw.join(keep, EPOCH_COL, "semi")
+        snap = resolve(kept).localCheckpoint(eager=True)  # reads the path
+        (
+            snap.withColumn(EPOCH_COL, F.lit(max_epoch))
+            .write.mode("overwrite")  # static: every old partition goes
+            .partitionBy(EPOCH_COL)
+            .parquet(f"{state_dir}/{name}")
+        )
+
+    _fold("labels", lambda df: df.groupBy("node").agg(
+        F.max_by("cluster_id", F.col(EPOCH_COL)).alias("cluster_id")
+    ))
+    _fold("assignments", lambda df: df.groupBy(id_col).agg(
+        F.max_by(split_col, F.col(EPOCH_COL)).alias(split_col),
+        F.max_by(rep_col, F.col(EPOCH_COL)).alias(rep_col),
+    ))
+    _fold("hashes", lambda df: df.drop(EPOCH_COL))
+    _fold("bands", lambda df: df.drop(EPOCH_COL))
+
+
 def _migrate_legacy_assignments(
     assign_raw: DataFrame,
     labels_raw: DataFrame | None,

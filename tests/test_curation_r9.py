@@ -411,6 +411,77 @@ def test_pipeline_conflict_quarantine_and_drop(spark, registry, tmp_path):
     assert any(r["reason"] == "cluster_conflict" for r in aud)
 
 
+def test_compact_split_state_folds_and_preserves(spark, tmp_path):
+    """Cadence compaction: after folding, each state table is a single
+    snapshot partition, resolved contents are unchanged, un-ledgered
+    (crashed-partial) partitions are dropped, and the stream keeps
+    working on top — new epochs append, ledgered replays still replay."""
+    from lakehouse_ingestion_spark.streaming.curation import (
+        compact_split_state,
+        current_labels,
+        sticky_split_foreach_batch,
+    )
+
+    state = str(tmp_path / "st")
+    out = str(tmp_path / "out")
+    fn = sticky_split_foreach_batch(
+        state, {"train": 0.5, "test": 0.5}, threshold=0.3,
+        sink=lambda df, e: df.write.mode("append").parquet(out),
+        num_hashes=8, num_bands=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    fn(mk([(1, T1), (2, T1 + " tail"), (3, T2)]), 0)
+    fn(mk([(11, T1 + " extra")]), 1)
+    before_lab = {
+        r["node"]: r["cluster_id"]
+        for r in current_labels(spark.read.parquet(f"{state}/labels")).collect()
+    }
+    before_assign = {
+        r["doc_id"]: (r["split"], r["rep"])
+        for r in spark.read.parquet(f"{state}/assignments")
+        .groupBy("doc_id").agg(
+            F.max_by("split", "_epoch").alias("split"),
+            F.max_by("rep", "_epoch").alias("rep"),
+        ).collect()
+    }
+    # plant a crashed-partial partition the ledger never committed
+    spark.createDataFrame(
+        [(999, "poison", 999)], "doc_id long, split string, rep long"
+    ).withColumn("_epoch", F.lit(99)).write.mode("append").partitionBy(
+        "_epoch"
+    ).parquet(f"{state}/assignments")
+
+    compact_split_state(spark, state)
+
+    for name in ("labels", "assignments", "hashes", "bands"):
+        eps = {
+            r["_epoch"]
+            for r in spark.read.parquet(f"{state}/{name}")
+            .select("_epoch").distinct().collect()
+        }
+        assert eps == {1}, (name, eps)  # one snapshot at max ledgered epoch
+    after_assign = {
+        r["doc_id"]: (r["split"], r["rep"])
+        for r in spark.read.parquet(f"{state}/assignments").collect()
+    }
+    assert after_assign == before_assign  # poison row dropped, rest intact
+    assert {
+        r["node"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{state}/labels").collect()
+    } == before_lab
+
+    # the stream continues on the snapshot: inheritance + replay intact
+    fn(mk([(12, T1 + " more")]), 2)
+    r = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert r[12]["split"] == r[1]["split"]
+    n_out = spark.read.parquet(out).count()
+    n_hashes = spark.read.parquet(f"{state}/hashes").count()
+    fn(mk([(12, T1 + " more")]), 2)  # ledgered replay re-emits only
+    assert spark.read.parquet(out).count() == n_out + 1
+    # replay touched no state: same index rows as before
+    assert spark.read.parquet(f"{state}/hashes").count() == n_hashes
+
+
 def test_pipeline_rejects_unknown_conflict_action(spark, registry, tmp_path):
     from lakehouse_ingestion_spark.errors import ConfigError
     from lakehouse_ingestion_spark.operators.split_guard import (
