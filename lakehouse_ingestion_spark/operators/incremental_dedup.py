@@ -137,6 +137,7 @@ def incremental_near_dup(
     posting_cap: int | None = None,
     hot_keys: DataFrame | None = None,
     on_cap_metric=None,
+    precomputed_delta: MinHashIndexFrames | None = None,
 ) -> tuple[DataFrame, MinHashIndexFrames]:
     """Verified near-dup pairs for a new batch, plus the batch's index
     delta (append it to the store to complete the increment).
@@ -164,7 +165,10 @@ def incremental_near_dup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    delta = minhash_index(
+    # callers that already signed the batch (e.g. to maintain a posting-
+    # count state BEFORE candidate generation — streaming/curation) pass
+    # their frames back in; signing is the expensive map stage
+    delta = precomputed_delta or minhash_index(
         batch, text_col, id_col, shingle_n, num_hashes, num_bands, seed
     )
     bb = delta.bands

@@ -18,6 +18,8 @@ target:
     ledger_path: /data/splits/ledger      # optional: exactly-once output
     conflict_action: quarantine_eval      # optional: report (default) /
                                           # quarantine_eval / drop_cluster
+    compact_every: 100                    # optional: fold the state delta
+                                          # logs every N epochs
 ```
 
 ``conflict_action`` decides what happens to clusters whose merge
@@ -117,6 +119,9 @@ def _build_fn(opts: WriteOptions):
             int(o["posting_cap"]) if "posting_cap" in o else None
         ),
         conflict_action=o.get("conflict_action", "report"),
+        compact_every=(
+            int(o["compact_every"]) if "compact_every" in o else None
+        ),
     )
 
 

@@ -22,7 +22,11 @@ maintain ONE split state):
   rep change re-emits its members, a stored row whose ``rep`` is a
   current cluster rep is by construction the doc's latest row — the
   invariant that lets each batch read its clusters' history with one
-  broadcast-filtered scan instead of a corpus-wide dedup.
+  broadcast-filtered scan instead of a corpus-wide dedup;
+* with ``posting_cap``, two more: ``posting_counts`` (running
+  (band, key) totals, updated by batch-keyed joins) and ``hot_keys``
+  (the pre-filtered over-cap set, broadcast-sized by construction) —
+  so the LSH cap census never rescans the stored postings per trigger.
 
 Why foreachBatch and not a stateful operator: all four states are
 corpus-sized and must be queryable offline. The state store keeps
@@ -210,6 +214,13 @@ def compact_split_state(
     ))
     _fold("hashes", lambda df: df.drop(EPOCH_COL))
     _fold("bands", lambda df: df.drop(EPOCH_COL))
+    _fold("posting_counts", lambda df: df.groupBy("band", "key").agg(
+        F.max_by("n", F.col(EPOCH_COL)).alias("n")
+    ))
+    # hot entries never retract (totals only grow)
+    _fold("hot_keys", lambda df: df.groupBy("band", "key").agg(
+        F.max("n_postings").alias("n_postings")
+    ))
 
 
 def _migrate_legacy_assignments(
@@ -272,6 +283,7 @@ def sticky_split_foreach_batch(
     lsh_seed: int = 42,
     posting_cap: int | None = None,
     conflict_action: str = "report",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function (state layout, per-batch cost,
     and crash story in the module docstring).
@@ -292,6 +304,15 @@ def sticky_split_foreach_batch(
     Replayed (ledgered) epochs re-emit the labeled output from the
     committed assignment state and skip the audit sink (the audit is a
     log of state-changing events; the state change already committed).
+
+    ``compact_every=N`` runs ``compact_split_state`` after every Nth
+    epoch's ledger append — the declarative cadence for bounding delta-
+    log partition counts. It runs on the foreachBatch thread right
+    after the commit point, so the "stream stopped at a ledgered epoch"
+    contract holds by construction; a crash mid-compaction has the same
+    (one-off, restore-from-source) window as the legacy migration, and
+    a crash BEFORE it simply skips the cadence tick (the next one
+    catches up).
     """
     if not 0.0 < threshold <= 1.0:
         raise ConfigError(f"threshold must be in (0, 1], got {threshold}")
@@ -302,11 +323,17 @@ def sticky_split_foreach_batch(
             f"conflict_action must be one of {CONFLICT_ACTIONS},"
             f" got {conflict_action!r}"
         )
+    if compact_every is not None and compact_every < 1:
+        raise ConfigError(
+            f"compact_every must be >= 1, got {compact_every}"
+        )
     bands_path = f"{state_dir}/bands"
     hashes_path = f"{state_dir}/hashes"
     labels_path = f"{state_dir}/labels"
     assign_path = f"{state_dir}/assignments"
     ledger_path = f"{state_dir}/ledger"
+    counts_path = f"{state_dir}/posting_counts"
+    hot_path = f"{state_dir}/hot_keys"
 
     def _replay(spark: SparkSession, batch_df: DataFrame, epoch_id: int) -> None:
         assign = _read_if_exists(spark, assign_path)
@@ -370,6 +397,83 @@ def sticky_split_foreach_batch(
                     bands=bands_raw.drop(EPOCH_COL),
                     hashes=hashes_raw.drop(EPOCH_COL),
                 )
+            # maintained hot-key state (round 9): with posting_cap set,
+            # the capped census no longer rescans the stored postings
+            # per trigger — running (band, key) totals update with
+            # batch-keyed joins and the pre-filtered hot set (broadcast-
+            # sized by construction: <= |postings|/cap entries) feeds
+            # candidate generation directly. Semantics equal the census
+            # (totals only grow; pinned by the equivalence test).
+            pre = None
+            hot_all = None
+            counts_delta = None
+            newly_hot = None
+            if posting_cap is not None:
+                from lakehouse_ingestion_spark.operators.incremental_dedup import (
+                    minhash_index,
+                )
+
+                raw_pre = minhash_index(
+                    batch_df, text_col, id_col, shingle_n,
+                    num_hashes, num_bands, lsh_seed,
+                )
+                # bands feed the count update AND candidate joins; pin
+                # so the batch signs once (the expensive map stage)
+                pre = MinHashIndexFrames(
+                    bands=raw_pre.bands.localCheckpoint(eager=True),
+                    hashes=raw_pre.hashes.localCheckpoint(eager=True),
+                )
+                batch_counts = pre.bands.groupBy("band", "key").agg(
+                    F.count(F.lit(1)).alias("__bn")
+                )
+                prev_counts = _read_state(spark, counts_path, epoch_id)
+                if prev_counts is not None:
+                    touch = prev_counts.join(
+                        batch_counts.select("band", "key"),
+                        ["band", "key"],
+                        "semi",
+                    )
+                    if EPOCH_COL in touch.columns:
+                        touch = touch.groupBy("band", "key").agg(
+                            F.max_by("n", F.col(EPOCH_COL)).alias("__pn")
+                        )
+                    else:
+                        touch = touch.select(
+                            "band", "key", F.col("n").alias("__pn")
+                        )
+                    counts_delta = batch_counts.join(
+                        touch, ["band", "key"], "left"
+                    ).select(
+                        "band",
+                        "key",
+                        (
+                            F.col("__bn") + F.coalesce("__pn", F.lit(0))
+                        ).alias("n"),
+                    )
+                else:
+                    counts_delta = batch_counts.select(
+                        "band", "key", F.col("__bn").alias("n")
+                    )
+                # reads counts_path — pin before this epoch's write
+                counts_delta = counts_delta.localCheckpoint(eager=True)
+                newly_hot = counts_delta.filter(
+                    F.col("n") > posting_cap
+                ).select("band", "key", F.col("n").alias("n_postings"))
+                hot_prev = _read_state(spark, hot_path, epoch_id)
+                if hot_prev is not None:
+                    newly_hot = newly_hot.join(
+                        hot_prev.select("band", "key"),
+                        ["band", "key"],
+                        "left_anti",
+                    )
+                    hot_all = hot_prev.select(
+                        "band", "key", "n_postings"
+                    ).unionByName(newly_hot)
+                else:
+                    hot_all = newly_hot
+                # reads hot_path — pin before this epoch's write
+                newly_hot = newly_hot.localCheckpoint(eager=True)
+                hot_all = hot_all.localCheckpoint(eager=True)
             pairs, delta = incremental_near_dup(
                 batch_df,
                 index,
@@ -380,7 +484,8 @@ def sticky_split_foreach_batch(
                 num_hashes=num_hashes,
                 num_bands=num_bands,
                 seed=lsh_seed,
-                posting_cap=posting_cap,
+                hot_keys=hot_all,
+                precomputed_delta=pre,
             )
             # pairs feed the label fold and the split; one materialization
             pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
@@ -505,11 +610,19 @@ def sticky_split_foreach_batch(
             )
             _write_epoch(delta.hashes, hashes_path, epoch_id)
             _write_epoch(delta.bands, bands_path, epoch_id)
+            if counts_delta is not None:
+                _write_epoch(counts_delta, counts_path, epoch_id)
+                _write_epoch(newly_hot, hot_path, epoch_id)
             # ledger LAST: an un-ledgered epoch re-runs end to end
             spark.createDataFrame(
                 [(epoch_id, LEDGER_SINK, 0)],
                 "epoch long, sink string, rows long",
             ).write.mode("append").parquet(ledger_path)
+            if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+                compact_split_state(
+                    spark, state_dir,
+                    id_col=id_col, split_col=split_col, rep_col=rep_col,
+                )
         finally:
             batch_df.unpersist()
 

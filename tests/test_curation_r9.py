@@ -482,6 +482,121 @@ def test_compact_split_state_folds_and_preserves(spark, tmp_path):
     assert spark.read.parquet(f"{state}/hashes").count() == n_hashes
 
 
+def test_streaming_hot_key_state_matches_census(spark, tmp_path):
+    """With posting_cap, the sink maintains running (band, key) totals
+    and a pre-filtered hot set instead of re-scanning stored postings
+    per trigger. Equivalence pin: the resulting cluster state matches
+    batch-by-batch census-mode incremental_near_dup + label folding
+    exactly (hot keys drop the same candidates), the hot set is
+    populated, and the maintained totals equal a direct recount of the
+    stored postings. compact_every folds everything into one snapshot
+    partition at the final ledgered epoch."""
+    from lakehouse_ingestion_spark.operators.graph import (
+        incremental_components,
+    )
+    from lakehouse_ingestion_spark.operators.incremental_dedup import (
+        MinHashIndexFrames,
+        incremental_near_dup,
+    )
+    from lakehouse_ingestion_spark.streaming.curation import (
+        current_labels,
+        sticky_split_foreach_batch,
+    )
+
+    dup = "same boilerplate text repeated in every copy of this form"
+    cap = 3
+    batches = [
+        # 4 exact dupes blow past the cap in epoch 0; 6/7 pair normally
+        [(1, dup), (2, dup), (3, dup), (4, dup),
+         (6, _uniq(6) + " shared tail words here"),
+         (7, _uniq(6) + " shared tail words here also")],
+        # more dup copies (keys already hot) + a fresh normal pair
+        [(11, dup), (12, dup),
+         (16, _uniq(16) + " other shared tail"),
+         (17, _uniq(16) + " other shared tail too")],
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    state = str(tmp_path / "st")
+    fn = sticky_split_foreach_batch(
+        state, {"train": 0.5, "test": 0.5}, threshold=0.3,
+        sink=lambda df, e: None,
+        num_hashes=8, num_bands=4, posting_cap=cap, compact_every=2,
+    )
+    for e, rows in enumerate(batches):
+        fn(mk(rows), e)
+
+    # census-mode reference: same batches, per-trigger postings census
+    idx = None
+    ref_labels = None
+    for rows in batches:
+        pairs, d = incremental_near_dup(
+            mk(rows), idx, 0.3,
+            num_hashes=8, num_bands=4, posting_cap=cap,
+        )
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        ref_labels = incremental_components(
+            ref_labels, pairs, "doc_a", "doc_b"
+        ).localCheckpoint(eager=True)
+        if idx is None:
+            idx = MinHashIndexFrames(
+                bands=d.bands.localCheckpoint(eager=True),
+                hashes=d.hashes.localCheckpoint(eager=True),
+            )
+        else:
+            idx = MinHashIndexFrames(
+                bands=idx.bands.unionByName(d.bands).localCheckpoint(
+                    eager=True
+                ),
+                hashes=idx.hashes.unionByName(d.hashes).localCheckpoint(
+                    eager=True
+                ),
+            )
+    want = {
+        r["node"]: r["cluster_id"] for r in ref_labels.collect()
+    }
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in current_labels(
+            spark.read.parquet(f"{state}/labels")
+        ).collect()
+    }
+    assert got == want
+    assert want[7] == 6 and want[17] == 16  # normal pairs still formed
+    assert 1 not in want  # hot-capped dupes never clustered
+
+    # hot set populated; totals equal a recount of the stored postings
+    hot = spark.read.parquet(f"{state}/hot_keys")
+    assert hot.count() > 0
+    recount = {
+        (r["band"], r["key"]): r["n"]
+        for r in spark.read.parquet(f"{state}/bands")
+        .groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts_raw = spark.read.parquet(f"{state}/posting_counts")
+    totals = {
+        (r["band"], r["key"]): r["n"]
+        for r in counts_raw.groupBy("band", "key")
+        .agg(F.max_by("n", "_epoch").alias("n")).collect()
+    }
+    assert totals == recount
+    # every hot key really is over the cap
+    for r in hot.collect():
+        assert recount[(r["band"], r["key"])] > cap
+
+    # compact_every=2 ran after epoch 1: every table is one snapshot
+    for name in (
+        "labels", "assignments", "hashes", "bands",
+        "posting_counts", "hot_keys",
+    ):
+        eps = {
+            r["_epoch"]
+            for r in spark.read.parquet(f"{state}/{name}")
+            .select("_epoch").distinct().collect()
+        }
+        assert eps == {1}, (name, eps)
+
+
 def test_pipeline_rejects_unknown_conflict_action(spark, registry, tmp_path):
     from lakehouse_ingestion_spark.errors import ConfigError
     from lakehouse_ingestion_spark.operators.split_guard import (
