@@ -460,6 +460,46 @@ def q_sticky_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict policy over the sticky split (round 9,
+    operators/split_guard.apply_conflict_policy): same simulated legacy
+    scenario as q_sticky_split, but conflict_action=quarantine_eval —
+    every member of a cluster whose legacy assignments already straddle
+    splits is forced into the FIRST fractions split (train), removing
+    the pre-existing leakage from val/test; everyone else keeps the
+    sticky outcome. Emits the quarantined flag per doc."""
+    from lakehouse_ingestion_spark.operators.sampling import hash_split
+    from lakehouse_ingestion_spark.operators.split_guard import (
+        apply_conflict_policy,
+        sticky_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    prev = hash_split(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", SPLIT_FRACTIONS,
+        seed="legacy",
+    )
+    out, audit = sticky_split(
+        d, pairs, SPLIT_FRACTIONS, assignments=prev, seed="split"
+    )
+    out = apply_conflict_policy(out, audit, "quarantine_eval", SPLIT_FRACTIONS)
+    conflicted = (
+        audit.filter(F.col("reason") == "cluster_conflict")
+        .select(F.col("rep").alias("__cr"))
+        .distinct()
+    )
+    return (
+        out.join(F.broadcast(conflicted), out["rep"] == F.col("__cr"), "left")
+        .select(
+            "doc_id",
+            "rep",
+            "split",
+            F.col("__cr").isNotNull().alias("quarantined"),
+        )
+    )
+
+
 def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DriftCheck end-to-end (D17): profile a reference slice (the
     'view' events), then gate two batches through the check's fused
@@ -1515,10 +1555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r09 window: the 26 queries whose freshest hash is r06
-    # (CDC/SCD/gold/DQ/TPC-H q3+q5/similarity families) + the first 24 of
-    # the r07 cohort; the r08-hashed set rides at the tail.
+    # query.  r09 window: the never-hashed r09 addition
+    # (split_conflicts) + the 26 queries whose freshest hash is r06
+    # (CDC/SCD/gold/DQ/TPC-H q3+q5/similarity families) + the first 23
+    # of the r07 cohort; the r08-hashed set rides at the tail.
     return {
+        # --- never hashed (new r09) ---
+        "split_conflicts": q_split_conflicts,
         # --- last hashed: green r06 ---
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
@@ -5349,6 +5392,19 @@ SELECT doc_id, rep, split,
             WHEN prev_split IS NULL AND cluster_split IS NOT NULL
                  AND cluster_split <> hash_split THEN 'inherited'
        END AS reason
+FROM fin
+"""
+    )
+
+    # same scenario through apply_conflict_policy(quarantine_eval):
+    # conflicted clusters (legacy splits straddle, n_splits >= 2) force
+    # every member into the FIRST fractions split
+    _first_split = next(iter(SPLIT_FRACTIONS))
+    qs["split_conflicts"] = (
+        qs["sticky_split"][: qs["sticky_split"].index("SELECT doc_id, rep, split,")]
+        + f"""SELECT doc_id, rep,
+       CASE WHEN n_splits >= 2 THEN '{_first_split}' ELSE split END AS split,
+       (n_splits >= 2) AS quarantined
 FROM fin
 """
     )
