@@ -240,7 +240,10 @@ def _migrate_legacy_assignments(
     non-idempotent write in this module (a crash mid-migration needs the
     legacy table restored from its source); every subsequent write is an
     epoch partition."""
-    cur = current_assignments(assign_raw, id_col, split_col)
+    # the r8 flat layout appended exact-duplicate rows on redelivery —
+    # dedup ONCE here (corpus-sized, at adoption) so the epoch-layout
+    # invariants start clean
+    cur = current_assignments(assign_raw, id_col, split_col).distinct()
     if labels_raw is not None:
         lab = current_labels(labels_raw)
         cur = (

@@ -597,6 +597,52 @@ def test_streaming_hot_key_state_matches_census(spark, tmp_path):
         assert eps == {1}, (name, eps)
 
 
+def test_streaming_drop_cluster_replay_stays_dropped(spark, tmp_path):
+    """drop_cluster through the sink: conflicted-cluster members are
+    withheld from the output but keep deterministic assignments; a
+    ledgered replay re-derives the drop from state, so dropped docs are
+    never re-emitted."""
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions
+    from lakehouse_ingestion_spark.sinks.curation import StickySplitWriter
+
+    state = str(tmp_path / "st")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, "train"), (2, "test")], "doc_id long, split string"
+    ).write.parquet(f"{state}/assignments")
+    opts = WriteOptions(
+        path=out,
+        options={
+            "state_dir": state,
+            "threshold": 0.3,
+            "fractions": {"train": 0.5, "test": 0.5},
+            "conflict_action": "drop_cluster",
+            "num_hashes": 8,
+            "num_bands": 4,
+        },
+    )
+    w = StickySplitWriter()
+    batch = spark.createDataFrame(
+        [(1, T1), (2, T1 + " tail"), (3, T2)], "doc_id long, text string"
+    )
+    w.write_epoch_batch(batch, opts, 0)
+    emitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert emitted == {3}  # conflicted cluster withheld
+    # state still assigns the dropped docs (splits unchanged)
+    assign = spark.read.parquet(f"{state}/assignments")
+    latest = {
+        r["doc_id"]: r["split"]
+        for r in assign.groupBy("doc_id")
+        .agg(F.max_by("split", "_epoch").alias("split")).collect()
+    }
+    assert latest[1] == "train" and latest[2] == "test" and 3 in latest
+
+    w.write_epoch_batch(batch, opts, 0)  # ledgered replay
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {3}  # still withheld
+    assert len(rows) == 2  # re-emitted once more (append sink)
+
+
 def test_pipeline_rejects_unknown_conflict_action(spark, registry, tmp_path):
     from lakehouse_ingestion_spark.errors import ConfigError
     from lakehouse_ingestion_spark.operators.split_guard import (
