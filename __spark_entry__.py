@@ -1324,6 +1324,56 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(vectors, queries, refined, k=3, nprobe=2)
 
 
+_IVF_IDX_PATH = "/tmp/spark_graft_ivf_idx"
+_ivf_idx_built_for: str | None = None
+
+
+def ivf_index_build(spark: SparkSession, sf_dir: str) -> None:
+    """Build phase of q_incr_ann: ingest the corpus into the maintained
+    IVF index in three modulo-split batches — each append is one
+    map-only matmul pass over ITS batch (operators/incremental_ann),
+    the postings land partitioned by cell. Billed separately by the
+    bench (the incr_build / bloom_setup precedent): the probe then
+    measures what a serving query actually pays against a maintained
+    index — a partition-pruned read of ~nprobe/K of the corpus."""
+    global _ivf_idx_built_for
+    import shutil
+
+    from lakehouse_ingestion_spark.operators.incremental_ann import (
+        append_postings,
+    )
+
+    vectors, _queries, seeds = _ivf_parts(spark, sf_dir)
+    corpus = vectors.where(F.col("vec_id") >= 18)
+    shutil.rmtree(_IVF_IDX_PATH, ignore_errors=True)
+    for i in range(3):
+        append_postings(
+            corpus.where(F.col("vec_id") % 3 == i), seeds, _IVF_IDX_PATH
+        )
+    _ivf_idx_built_for = sf_dir
+
+
+def q_incr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a MAINTAINED IVF index (round 9,
+    operators/incremental_ann): the corpus was ingested incrementally
+    (ivf_index_build, three batch appends — never a corpus rescan), and
+    the search reads ONLY the probed cells' partitions (cell IN (...)
+    prunes at the parquet directory level) before the fused local-top-k
+    scoring kernel. Same answer contract as q_ann_ivf restricted to the
+    indexed corpus: fixed centroids => incremental assignment ==
+    one-shot assignment (append-order invariance property-tested)."""
+    from lakehouse_ingestion_spark.operators.incremental_ann import (
+        read_postings,
+        search_postings,
+    )
+
+    if _ivf_idx_built_for != sf_dir:
+        ivf_index_build(spark, sf_dir)
+    postings = read_postings(spark, _IVF_IDX_PATH)
+    _vectors, queries, seeds = _ivf_parts(spark, sf_dir)
+    return search_postings(postings, queries, seeds, k=3, nprobe=2)
+
+
 _bucketed_built_for: str | None = None
 
 
@@ -1544,6 +1594,7 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
         "bucketed_join": bucketed_build,
         "pit_join": pit_build,
         "incr_near_dup": incr_build,
+        "incr_ann": ivf_index_build,
         "bloom_dedup": bloom_setup,
         "bloom_dedup_sharded": bloom_sharded_setup,
     }
@@ -1555,13 +1606,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r09 window: the never-hashed r09 addition
-    # (split_conflicts) + the 26 queries whose freshest hash is r06
-    # (CDC/SCD/gold/DQ/TPC-H q3+q5/similarity families) + the first 23
-    # of the r07 cohort; the r08-hashed set rides at the tail.
+    # query.  r09 window: the never-hashed r09 additions
+    # (split_conflicts, incr_ann) + the 26 queries whose freshest hash
+    # is r06 (CDC/SCD/gold/DQ/TPC-H q3+q5/similarity families) + the
+    # first 22 of the r07 cohort; the r08-hashed set rides at the tail.
     return {
         # --- never hashed (new r09) ---
         "split_conflicts": q_split_conflicts,
+        "incr_ann": q_incr_ann,
         # --- last hashed: green r06 ---
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
@@ -4407,6 +4459,49 @@ GROUP BY c_mktsegment
     qs["ann_ivf_refined"] = _duck_ann_ivf_refined_sql()
 
     qs["ann_ivf"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+vecs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 18),
+qs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 8 AND vec_id < 18),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             round(list_dot_product(x.v, c.cv)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cid ASC) AS r
+    FROM vecs x CROSS JOIN cent c) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid AS cell FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+             round(list_dot_product(x.v, c.cv)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cid ASC) AS r
+    FROM qs x CROSS JOIN cent c) WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT p.q_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.q_id <> a.neighbor_id),
+scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+  FROM cand JOIN qs q ON q.vec_id = cand.q_id
+            JOIN vecs n ON n.vec_id = cand.neighbor_id)
+SELECT q_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rk
+FROM scored QUALIFY rk <= 3
+"""
+
+    # q_incr_ann: fixed centroids make the incrementally-built index's
+    # assignment identical to a one-shot assignment (append-order
+    # invariance is property-tested), so the oracle is the same probed
+    # top-k as ann_ivf over the indexed corpus (vec_id >= 18) — the
+    # maintained layout changes WHAT IS READ (probed cells only), not
+    # the answer.
+    qs["incr_ann"] = """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
 vecs AS (SELECT vec_id, v FROM emb WHERE vec_id >= 18),
