@@ -4,3 +4,4 @@ from lakehouse_ingestion_spark.sinks.delta import DeltaWriter, DELTA_AVAILABLE  
 from lakehouse_ingestion_spark.sinks.iceberg import IcebergWriter, iceberg_available  # noqa: F401
 from lakehouse_ingestion_spark.sinks.fanout import FanoutWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.curation import StickySplitWriter  # noqa: F401
+from lakehouse_ingestion_spark.sinks.ann_index import AnnIndexWriter  # noqa: F401

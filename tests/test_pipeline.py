@@ -939,3 +939,105 @@ def test_fanout_batch_rerun_replaces_stale_output(spark, tmp_path):
     led = spark.read.parquet(ledger)
     assert led.count() == 2
     assert sorted(r.rows for r in led.collect()) == [1, 2]
+
+
+def test_streaming_ann_index_pipeline(spark, registry, tmp_path):
+    """Config-driven maintained ANN index (round 9): two micro-batches
+    of embeddings through the ann_index target — postings accumulate
+    under the index dir cell-partitioned, and search_index over the
+    maintained state matches the one-shot ivf_topk."""
+    from pyspark.sql.types import ArrayType
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = {i: [float(x) for x in rng.normal(size=4).round(3)] for i in range(12)}
+    seeds_path = str(tmp_path / "ann_seeds")
+    spark.createDataFrame(
+        [(i, vecs[i]) for i in range(2)], "cid long, cv array<double>"
+    ).write.parquet(seeds_path)
+
+    indir = tmp_path / "ann_in"
+    indir.mkdir()
+    (indir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "v": vecs[i]}) for i in range(2, 7)
+        )
+    )
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "v": vecs[i]}) for i in range(7, 12)
+        )
+    )
+    registry.register(
+        "demo", "emb", "v1",
+        StructType(
+            [
+                StructField("vec_id", LongType(), False),
+                StructField("v", ArrayType(DoubleType()), True),
+            ]
+        ),
+    )
+    idx = str(tmp_path / "ann_idx")
+    cfg = parse_config(
+        {
+            "env": "test",
+            "jobs": [
+                {
+                    "name": "maintain-ann",
+                    "source": {
+                        "type": "json",
+                        "options": {
+                            "path": str(indir),
+                            "format": "json",
+                            "streaming": "true",
+                            "maxFilesPerTrigger": "1",
+                        },
+                    },
+                    "schema": {
+                        "domain": "demo", "dataset": "emb", "version": "v1",
+                    },
+                    "target": {
+                        "format": "ann_index",
+                        "options": {
+                            "path": idx,
+                            "centroids_path": seeds_path,
+                            "checkpoint_location": str(tmp_path / "ann_cp"),
+                            "trigger_interval": "availableNow",
+                        },
+                    },
+                }
+            ],
+        },
+        registry,
+    )
+    results = Pipeline(spark, cfg, registry=registry).run()
+    results[0].query.awaitTermination(180)
+
+    from lakehouse_ingestion_spark.operators.ann import ivf_topk
+    from lakehouse_ingestion_spark.streaming.ann_index import (
+        committed_postings,
+        search_index,
+    )
+
+    assert committed_postings(spark, idx).count() == 10
+    corpus = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(2, 12)], "vec_id long, v array<double>"
+    )
+    seeds = spark.read.parquet(seeds_path)
+    queries = corpus.limit(2)
+    got = search_index(spark, idx, queries, k=3, nprobe=1)
+    want = ivf_topk(corpus, queries, seeds, k=3, nprobe=1)
+    rows = lambda df: sorted(
+        (r["q_id"], r["neighbor_id"], round(r["cos_sim"], 6), r["rk"])
+        for r in df.collect()
+    )
+    assert rows(got) == rows(want)
+
+    from lakehouse_ingestion_spark.sinks.ann_index import AnnIndexWriter
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions
+
+    with pytest.raises(ConfigError, match="centroids_path"):
+        AnnIndexWriter().write_batch(
+            spark.range(1), WriteOptions(path="/tmp/x", options={})
+        )
