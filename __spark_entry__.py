@@ -1614,6 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never hashed (new r09) ---
         "split_conflicts": q_split_conflicts,
         "incr_ann": q_incr_ann,
+        "token_budget": q_token_budget,
+        "shard_export": q_shard_export,
+        "html_extract": q_html_extract,
         # --- last hashed: green r06 ---
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
@@ -3067,11 +3070,130 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens_to_ids(d, vocab)
 
 
+# budget = (corpus token total) // TOKEN_BUDGET_DENOM — scales with SF so
+# the query exercises the boundary partition at every bench scale
+TOKEN_BUDGET_DENOM = 4
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded corpus selection (operators/selection.py): fill a
+    token budget (25% of the corpus) with the highest-scoring documents
+    — the distributed prefix-sum that replaces the single-partition
+    ``SUM() OVER (ORDER BY ...)`` window. The score stands in for an
+    upstream model's quality score (a deterministic integer so both
+    engines order identically); cost is the whitespace token count.
+    Partitions whose running offset already exceeds the budget are
+    pruned before any per-row work — at a 1% budget, 99% of the corpus
+    is never touched after the range exchange."""
+    from lakehouse_ingestion_spark.operators.selection import token_budget_select
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003))
+        .cast("long")
+        .alias("score"),
+        token_count("text").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total) // TOKEN_BUDGET_DENOM
+    return token_budget_select(
+        scored, "score", "n_tokens", budget, "doc_id", cum_col="cum_tokens"
+    )
+
+
+SHARD_N = 16
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle (operators/export.py):
+    every document gets a content-hash shuffle position, a shard
+    (position mod SHARD_N — uniform by construction, no size
+    measurement needed) and its 1-based rank within the shard. The rank
+    window partitions by shard, so parallelism equals the shard count —
+    never a global sort. export_shards writes this same frame as
+    shard=K/ directories (pytest-verified); the query checks the
+    assignment + ordering algebra against the md5 mirror."""
+    from lakehouse_ingestion_spark.operators.export import shard_assign
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "lang"))
+    out = shard_assign(d, "doc_id", SHARD_N, seed="export")
+    return out.select(
+        "doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos")
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl text extraction (functions/extraction.py): each doc is
+    wrapped in a deterministic HTML page (script/style payloads, block
+    tags, comments, double-encoded entities, a too-short nav item) and
+    recovered with the pure-codegen regexp chain + the C4-style
+    boilerplate line filter. The whole pass is JVM whole-stage codegen —
+    no UDF, no Arrow hop; the oracle replays the IDENTICAL RE2-safe
+    pattern chain (single source of truth: extraction.HTML_STRIP_STEPS)."""
+    from lakehouse_ingestion_spark.functions.extraction import (
+        boilerplate_line_filter,
+        html_to_text,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title><script type="text/javascript">'
+            "var x = 1 < 2;</script><style>p { color: red; }</style></head>"
+            "<body><h1>"
+        ),
+        F.col("lang"),
+        F.lit("</h1>\n<p>"),
+        F.substring(F.col("text"), 1, 160),
+        F.lit(
+            ' &amp; tail.</p><!-- hidden comment --><div class="x">'
+            "Second &lt;block&gt; ends here.</div>"
+            "<ul><li>item one is long enough to keep.</li><li>nav</li></ul>"
+            "</body></html>"
+        ),
+    )
+    ext = html_to_text(html)
+    return d.select(
+        "doc_id",
+        ext.alias("extracted"),
+        boilerplate_line_filter(ext, min_chars=20).alias("content"),
+        F.length(ext).cast("long").alias("n_chars_extracted"),
+    )
+
+
 # ===========================================================================
 # DuckDB oracle SQL
 # ===========================================================================
 
 _H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _duck_lit(s: str) -> str:
+    """DuckDB string literal; real newlines are spliced as chr(10)
+    (single-quoted strings have no escape processing in DuckDB, so the
+    regex backslashes pass through untouched — only actual newline
+    characters need the chr splice)."""
+    parts = s.split("\n")
+    out: list[str] = []
+    for i, p in enumerate(parts):
+        if p:
+            out.append("'" + p.replace("'", "''") + "'")
+        if i < len(parts) - 1:
+            out.append("chr(10)")
+    return " || ".join(out) if out else "''"
+
+
+def _duck_html_chain(col: str) -> str:
+    """The html_to_text regexp chain over ``col`` — generated from the
+    SAME step table the Spark side runs (extraction.HTML_STRIP_STEPS:
+    single source of truth, RE2-safe by construction)."""
+    from lakehouse_ingestion_spark.functions.extraction import HTML_STRIP_STEPS
+
+    expr = col
+    for pat, rep in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, {_duck_lit(pat)}, {_duck_lit(rep)}, 'g')"
+    return f"trim({expr})"
 
 
 def _duck_shingles_cte() -> str:
@@ -3873,6 +3995,75 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
        count(*) AS n_copies
 FROM documents
 GROUP BY 1
+"""
+
+    # q_token_budget: the distributed prefix-sum must equal the SQL
+    # window formulation exactly — integer costs, total order via
+    # (score DESC, doc_id ASC), budget = corpus total // DENOM.
+    qs["token_budget"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 1000003 AS score,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+b AS (SELECT CAST(SUM(n_tokens) // {TOKEN_BUDGET_DENOM} AS BIGINT) AS budget
+      FROM scored),
+cum AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+FROM cum, b WHERE cum_tokens <= budget
+"""
+
+    # q_shard_export: shard + within-shard rank under the md5 shuffle
+    # order (chr(31) = the \\x1f seed separator sampling/export share).
+    _hpos = _H60.format(x="doc_id::VARCHAR || chr(31) || 'export'")
+    qs["shard_export"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_hpos} AS hpos FROM documents
+)
+SELECT doc_id, lang,
+       CAST(hpos % {SHARD_N} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hpos % {SHARD_N}
+                               ORDER BY hpos, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+    # q_html_extract: replay the IDENTICAL regexp chain (generated from
+    # extraction.HTML_STRIP_STEPS) over the same synthesized page.
+    _page = (
+        "'<html><head><title>d</title><script type=\"text/javascript\">"
+        "var x = 1 < 2;</script><style>p { color: red; }</style></head>"
+        "<body><h1>' || lang || '</h1>' || chr(10) || '<p>' || "
+        "substr(text, 1, 160) || ' &amp; tail.</p><!-- hidden comment -->"
+        "<div class=\"x\">Second &lt;block&gt; ends here.</div>"
+        "<ul><li>item one is long enough to keep.</li><li>nav</li></ul>"
+        "</body></html>'"
+    )
+    _punct = "'[.!?\"'']$'"
+    qs["html_extract"] = f"""
+WITH page AS (
+  SELECT doc_id, {_page} AS html FROM documents
+),
+ext AS (
+  SELECT doc_id, {_duck_html_chain("html")} AS extracted FROM page
+)
+SELECT doc_id, extracted,
+       array_to_string(
+         list_transform(
+           list_filter(string_split(extracted, chr(10)),
+                       x -> len(trim(x)) >= 20
+                            AND regexp_matches(trim(x), {_punct})),
+           x -> trim(x)),
+         chr(10)) AS content,
+       CAST(length(extracted) AS BIGINT) AS n_chars_extracted
+FROM ext
 """
 
     qs["dedup_latest"] = f"""

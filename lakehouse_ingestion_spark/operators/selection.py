@@ -1,0 +1,135 @@
+"""Budget-bounded corpus selection: take the best documents until a
+token budget is exhausted.
+
+The canonical last step of a curation pipeline — "fill a 1B-token
+training budget with the highest-quality documents" — is a prefix of the
+corpus under (score DESC, key ASC) whose running token sum stays within
+the budget.  The naive Spark formulation,
+``SUM(cost) OVER (ORDER BY score DESC)``, is a single-partition window:
+every row funnels through ONE task, which is exactly the plan that dies
+at 100 TB.
+
+``token_budget_select`` computes the same prefix with a two-pass
+distributed prefix sum instead:
+
+1. ``repartitionByRange`` on (score DESC, key ASC) — one range exchange;
+   partition *i* holds rows that sort strictly before partition *i+1*.
+2. Per-partition cost totals (``spark_partition_id`` groupBy — one row
+   per shuffle partition) are collected to the driver and prefix-summed
+   into per-partition OFFSETS.  This is a bounded ``collect`` of one row
+   per partition, never per data row.
+3. Partitions whose offset already exceeds the budget are pruned with a
+   ``_pid IN (...)`` filter BEFORE any per-row work — at a 1%-of-corpus
+   budget, 99% of the data is never touched after the exchange.
+4. Surviving partitions get an exact within-partition running sum via an
+   Arrow-batched ``mapInPandas`` (rows arrive pre-sorted from
+   ``sortWithinPartitions``; a per-task carry chains the batches).
+
+The selected SET is independent of the range-partition boundaries (the
+prefix of a total order does not care where the partition cuts fall), so
+the result is deterministic even though ``repartitionByRange`` samples
+boundaries at runtime.  Ties on ``score`` are broken by ``key`` ASC,
+making the order total; with integer costs the cut-off is exact in any
+engine (DuckDB oracle: ``SUM(cost) OVER (ORDER BY score DESC, key)
+<= budget``).
+
+Costs must be non-negative — that is what makes ``cum <= budget``
+equivalent to "stop at the first overflow" (monotone running sum); the
+totals pass asserts it for free.  No document is truncated: a row is
+selected iff its WHOLE cost fits.
+
+Reference parity: the reference has no selection operator; this extends
+the declared Gold-layer curation surface (SURVEY.md §2B aggregation
+family) the same way mixture/weighted_sample do.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    key_col: str,
+    cum_col: str = "cum_cost",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Select the prefix of ``df`` under (score DESC, key ASC) whose
+    running ``cost_col`` sum stays <= ``budget``.
+
+    Returns the selected rows with ``cum_col`` appended (the running
+    total INCLUDING the row) — the same frame
+    ``SUM(cost) OVER (ORDER BY score DESC, key) <= budget`` yields, but
+    with no single-partition window stage.  The returned frame reads
+    from a cached copy of the range exchange; it is materialization-
+    ready (the caller's first action consumes the cache Spark then
+    LRU-manages).
+    """
+    if budget < 0:
+        raise ConfigError(f"budget must be >= 0, got {budget}")
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    order = [F.col(score_col).desc(), F.col(key_col).asc()]
+    ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+
+    totals_rows = (
+        with_pid.groupBy("_pid")
+        .agg(
+            F.sum(F.col(cost_col).cast("long")).alias("t"),
+            F.min(F.col(cost_col).cast("long")).alias("mn"),
+        )
+        .collect()
+    )
+    if any(r["mn"] is not None and r["mn"] < 0 for r in totals_rows):
+        with_pid.unpersist()
+        raise ConfigError(f"{cost_col} must be non-negative for budget selection")
+    totals = {r["_pid"]: r["t"] or 0 for r in totals_rows}
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+
+    # Partition pruning: a partition starting past the budget contributes
+    # nothing (costs are non-negative, the running sum is monotone).
+    keep = [p for p in sorted(offsets) if offsets[p] <= budget]
+
+    out_fields = df.schema.fields
+    result_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + f", `{cum_col}` long"
+    )
+    if not keep:
+        with_pid.unpersist()
+        return df.sparkSession.createDataFrame([], result_schema)
+
+    def cumsum_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One input partition per task; batches arrive in the partition's
+        # sorted order, so a running carry chains them exactly.
+        carry: int | None = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            if carry is None:
+                carry = offsets[int(pdf["_pid"].iloc[0])]
+            cum = pdf[cost_col].astype("int64").cumsum() + carry
+            carry = int(cum.iloc[-1])
+            pdf = pdf.assign(**{cum_col: cum})
+            yield pdf[pdf[cum_col] <= budget].drop(columns=["_pid"])
+
+    return with_pid.filter(F.col("_pid").isin(keep)).mapInPandas(
+        cumsum_batches, schema=result_schema
+    )
