@@ -597,6 +597,44 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             id_col=o.get("id_col", "doc_id"),
             k=int(o.get("k", 8)),
         )
+    if op == "html_extract":
+        # raw-crawl markup -> text, pure codegen (functions/extraction.py);
+        # the optional C4-style line filter drops nav/footer boilerplate
+        from lakehouse_ingestion_spark.functions.extraction import (
+            boilerplate_line_filter,
+            html_to_text,
+        )
+
+        out_col = o.get("output_col", "text")
+        extracted = html_to_text(o.get("html_col", "html"))
+        if o.get("line_filter", False):
+            tmp = "__extracted"
+            df = df.withColumn(tmp, extracted)
+            return df.withColumn(
+                out_col,
+                boilerplate_line_filter(
+                    tmp,
+                    min_chars=int(o.get("min_line_chars", 30)),
+                    require_punct=bool(o.get("require_punct", True)),
+                ),
+            ).drop(tmp)
+        return df.withColumn(out_col, extracted)
+    if op == "token_budget_select":
+        # budget-bounded corpus selection (operators/selection.py) — the
+        # distributed prefix sum; keeps the prefix of (score DESC, key)
+        # whose running cost stays within `budget`
+        from lakehouse_ingestion_spark.operators.selection import (
+            token_budget_select,
+        )
+
+        return token_budget_select(
+            df,
+            score_col=o["score_col"],
+            cost_col=o["cost_col"],
+            budget=int(o["budget"]),
+            key_col=o.get("key_col", "doc_id"),
+            cum_col=o.get("cum_col", "cum_cost"),
+        )
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":

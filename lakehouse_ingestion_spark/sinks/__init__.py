@@ -5,3 +5,4 @@ from lakehouse_ingestion_spark.sinks.iceberg import IcebergWriter, iceberg_avail
 from lakehouse_ingestion_spark.sinks.fanout import FanoutWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.curation import StickySplitWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.ann_index import AnnIndexWriter  # noqa: F401
+from lakehouse_ingestion_spark.sinks.export import ShardExportWriter  # noqa: F401

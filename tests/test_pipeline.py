@@ -1041,3 +1041,87 @@ def test_streaming_ann_index_pipeline(spark, registry, tmp_path):
         AnnIndexWriter().write_batch(
             spark.range(1), WriteOptions(path="/tmp/x", options={})
         )
+
+
+def test_html_extract_config_driven(spark, registry, tmp_path):
+    """HTML -> text from a spec: tags stripped, entities decoded, then
+    the C4-style line filter keeps only content lines."""
+    page = (
+        "<html><body><script>nav();</script><p>This paragraph is easily "
+        "long enough to keep &amp; it ends correctly.</p>"
+        "<div>Home | About</div></body></html>"
+    )
+    src = tmp_path / "pages.jsonl"
+    src.write_text(json.dumps({"doc_id": 1, "html": page}))
+    out = str(tmp_path / "extracted")
+    cfg = parse_config(
+        _doc_config(
+            str(src), out,
+            [{"op": "html_extract", "html_col": "html", "output_col": "text",
+              "line_filter": True, "min_line_chars": 20}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    row = spark.read.parquet(out).collect()[0]
+    assert row["text"] == (
+        "This paragraph is easily long enough to keep & it ends correctly."
+    )
+    assert "nav()" not in row["text"] and "Home" not in row["text"]
+
+
+def test_token_budget_select_config_driven(spark, registry, tmp_path):
+    """Budget selection from a spec: the (score DESC, id) prefix whose
+    cost sum fits the budget survives; the straddling doc does not."""
+    src = tmp_path / "scored.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": "x", "score": s, "n_tokens": c})
+            for i, s, c in [(1, 9, 40), (2, 8, 40), (3, 7, 40), (4, 6, 40)]
+        )
+    )
+    out = str(tmp_path / "selected")
+    cfg = parse_config(
+        _doc_config(
+            str(src), out,
+            [{"op": "token_budget_select", "score_col": "score",
+              "cost_col": "n_tokens", "budget": 100, "key_col": "doc_id"}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    got = {r["doc_id"]: r["cum_cost"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 40, 2: 80}  # doc 3 would overflow to 120
+
+
+def test_shards_sink_config_driven(spark, registry, tmp_path):
+    """target format 'shards' writes shard=K dirs holding every row; the
+    append mode is rejected (it would interleave shuffle orders)."""
+    import glob
+    import os
+
+    src = tmp_path / "exp.jsonl"
+    src.write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": f"d{i}"}) for i in range(60))
+    )
+    out = str(tmp_path / "shards_out")
+    cfg_dict = _doc_config(str(src), out, [])
+    cfg_dict["jobs"][0]["target"] = {
+        "format": "shards",
+        "options": {"path": out, "mode": "overwrite", "key_col": "doc_id",
+                    "n_shards": 4},
+    }
+    cfg = parse_config(cfg_dict, registry)
+    Pipeline(spark, cfg, registry=registry).run()
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 4
+    assert spark.read.parquet(out).count() == 60
+
+    bad = _doc_config(str(src), str(tmp_path / "bad"), [])
+    bad["jobs"][0]["target"] = {
+        "format": "shards",
+        "options": {"path": str(tmp_path / "bad"), "mode": "append",
+                    "key_col": "doc_id"},
+    }
+    with pytest.raises(ConfigError, match="overwrite-only"):
+        Pipeline(spark, parse_config(bad, registry), registry=registry).run()
