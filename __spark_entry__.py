@@ -3116,7 +3116,11 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment + ordering algebra against the md5 mirror."""
     from lakehouse_ingestion_spark.operators.export import shard_assign
 
-    d = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "lang"))
+    # no ensure_parallelism: the only pre-exchange work is the md5
+    # projection (trivial per row), and the rank window's exchange
+    # redistributes immediately — the extra round-robin shuffle measured
+    # 1.5x slower at sf10 (1.35 vs 0.89 s median-of-3, BASELINE r9)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     out = shard_assign(d, "doc_id", SHARD_N, seed="export")
     return out.select(
         "doc_id", "lang", "shard", F.col("pos").cast("long").alias("pos")
