@@ -1615,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_conflicts": q_split_conflicts,
         "incr_ann": q_incr_ann,
         "token_budget": q_token_budget,
+        "domain_budget": q_domain_budget,
         "shard_export": q_shard_export,
         "html_extract": q_html_extract,
         # --- last hashed: green r06 ---
@@ -3102,6 +3103,37 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum budget selection (operators/selection.py,
+    stratified_budget_select): every source fills 25% of ITS OWN token
+    total with its best documents — the mixture-shaping counterpart of
+    q_token_budget.  Same two-pass distributed prefix sum, but the
+    totals pass is (partition, stratum)-level and the budgets mapping is
+    a config-sized dict (computed here from one bounded groupBy — one
+    row per source)."""
+    from lakehouse_ingestion_spark.operators.selection import (
+        stratified_budget_select,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003))
+        .cast("long")
+        .alias("score"),
+        token_count("text").alias("n_tokens"),
+    )
+    budgets = {
+        r["source"]: int(r["t"]) // TOKEN_BUDGET_DENOM
+        for r in scored.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    return stratified_budget_select(
+        scored, "source", "score", "n_tokens", budgets, "doc_id",
+        cum_col="cum_tokens",
+    )
+
+
 SHARD_N = 16
 
 
@@ -4023,6 +4055,31 @@ cum AS (
 SELECT doc_id, CAST(score AS BIGINT) AS score,
        CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
 FROM cum, b WHERE cum_tokens <= budget
+"""
+
+    # q_domain_budget: the per-stratum prefix sum vs the partitioned
+    # window + per-source budget join.
+    qs["domain_budget"] = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         (doc_id * 2654435761) % 1000003 AS score,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+b AS (SELECT source, CAST(SUM(n_tokens) // {TOKEN_BUDGET_DENOM} AS BIGINT)
+             AS budget
+      FROM scored GROUP BY source),
+cum AS (
+  SELECT doc_id, source, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT cum.doc_id, cum.source, CAST(score AS BIGINT) AS score,
+       CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+FROM cum JOIN b USING (source) WHERE cum_tokens <= b.budget
 """
 
     # q_shard_export: shard + within-shard rank under the md5 shuffle

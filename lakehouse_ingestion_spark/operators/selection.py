@@ -133,3 +133,134 @@ def token_budget_select(
     return with_pid.filter(F.col("_pid").isin(keep)).mapInPandas(
         cumsum_batches, schema=result_schema
     )
+
+
+def stratified_budget_select(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    cost_col: str,
+    budgets: dict | int,
+    key_col: str,
+    default_budget: int = 0,
+    cum_col: str = "cum_cost",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-stratum budget selection: within every stratum (domain,
+    language, source), keep the (score DESC, key ASC) prefix whose
+    running ``cost_col`` sum fits that stratum's budget — "fill each
+    domain's token quota with its best documents", the mixture-shaping
+    counterpart of :func:`token_budget_select`.
+
+    Equals ``SUM(cost) OVER (PARTITION BY stratum ORDER BY score DESC,
+    key) <= budget(stratum)`` but with the same two-pass distributed
+    prefix sum: ONE range exchange on (stratum, score DESC, key), a
+    (partition, stratum)-level totals pass, then a pruned Arrow cumsum.
+    Because partitions are range-sorted, strata are contiguous across
+    them, so the totals frame has at most ``num_partitions + n_strata``
+    rows — the driver-side state is bounded by the strata count, the
+    same config-sized mapping ``budgets`` itself is (this is NOT the
+    operator for millions of micro-strata; at that cardinality the
+    budget itself is data and belongs in a join).
+
+    ``budgets``: dict ``stratum -> budget`` (missing strata get
+    ``default_budget``, 0 = drop them — loud beats silent inclusion),
+    or a single int applied to every stratum.  NULL strata form their
+    own stratum keyed ``None``.
+    """
+    flat = dict(budgets) if isinstance(budgets, dict) else None
+    if flat is None and int(budgets) < 0:
+        raise ConfigError(f"budget must be >= 0, got {budgets}")
+    if flat is not None and any(int(b) < 0 for b in flat.values()):
+        raise ConfigError("all stratum budgets must be >= 0")
+    if default_budget < 0:
+        raise ConfigError(f"default_budget must be >= 0, got {default_budget}")
+
+    def budget_of(stratum) -> int:
+        if flat is None:
+            return int(budgets)
+        return int(flat.get(stratum, default_budget))
+
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = [
+        F.col(strata_col).asc(),
+        F.col(score_col).desc(),
+        F.col(key_col).asc(),
+    ]
+    ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+
+    totals_rows = (
+        with_pid.groupBy("_pid", strata_col)
+        .agg(
+            F.sum(F.col(cost_col).cast("long")).alias("t"),
+            F.min(F.col(cost_col).cast("long")).alias("mn"),
+        )
+        .collect()
+    )
+    if any(r["mn"] is not None and r["mn"] < 0 for r in totals_rows):
+        with_pid.unpersist()
+        raise ConfigError(f"{cost_col} must be non-negative for budget selection")
+
+    # per-(partition, stratum) offsets: prefix sum over pid order within
+    # each stratum (strata are contiguous across range partitions, so
+    # this loop touches <= n_parts + n_strata rows)
+    by_stratum: dict[object, list[tuple[int, int]]] = {}
+    for r in totals_rows:
+        by_stratum.setdefault(r[strata_col], []).append((r["_pid"], r["t"] or 0))
+    offsets: dict[tuple[int, object], int] = {}
+    keep_pids: set[int] = set()
+    for stratum, pid_totals in by_stratum.items():
+        running = 0
+        b = budget_of(stratum)
+        for pid, t in sorted(pid_totals):
+            offsets[(pid, stratum)] = running
+            if running <= b:
+                keep_pids.add(pid)  # stratum still inside its budget here
+            running += t
+
+    out_fields = df.schema.fields
+    result_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + f", `{cum_col}` long"
+    )
+    if not keep_pids:
+        with_pid.unpersist()
+        return df.sparkSession.createDataFrame([], result_schema)
+
+    _UNSET = object()  # sentinel: != any stratum value, including None
+
+    def cumsum_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted by (stratum, score desc, key); per-stratum
+        # carries chain batches, resetting at each stratum boundary
+        pid: int | None = None
+        cur: object = _UNSET
+        carry = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            cums: list[int] = []
+            keeps: list[bool] = []
+            costs = pdf[cost_col].astype("int64").tolist()
+            strata = pdf[strata_col].tolist()
+            for s, c in zip(strata, costs):
+                key = None if (s is None or (isinstance(s, float) and pd.isna(s))) else s
+                if cur is _UNSET or key != cur:
+                    cur = key
+                    carry = offsets.get((pid, key), 0)
+                carry += int(c)
+                cums.append(carry)
+                keeps.append(carry <= budget_of(key))
+            pdf = pdf.assign(
+                **{cum_col: pd.Series(cums, index=pdf.index, dtype="int64")}
+            )
+            yield pdf[pd.Series(keeps, index=pdf.index)].drop(columns=["_pid"])
+
+    return with_pid.filter(F.col("_pid").isin(sorted(keep_pids))).mapInPandas(
+        cumsum_batches, schema=result_schema
+    )

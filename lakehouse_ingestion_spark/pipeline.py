@@ -635,6 +635,24 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             key_col=o.get("key_col", "doc_id"),
             cum_col=o.get("cum_col", "cum_cost"),
         )
+    if op == "stratified_budget_select":
+        # per-stratum budgets ("fill each domain's token quota") —
+        # `budgets` is a config mapping stratum -> budget, or one int
+        from lakehouse_ingestion_spark.operators.selection import (
+            stratified_budget_select,
+        )
+
+        b = o["budgets"]
+        return stratified_budget_select(
+            df,
+            strata_col=o["strata_col"],
+            score_col=o["score_col"],
+            cost_col=o["cost_col"],
+            budgets=dict(b) if isinstance(b, dict) else int(b),
+            key_col=o.get("key_col", "doc_id"),
+            default_budget=int(o.get("default_budget", 0)),
+            cum_col=o.get("cum_col", "cum_cost"),
+        )
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))
     if op == "filter":

@@ -1125,3 +1125,31 @@ def test_shards_sink_config_driven(spark, registry, tmp_path):
     }
     with pytest.raises(ConfigError, match="overwrite-only"):
         Pipeline(spark, parse_config(bad, registry), registry=registry).run()
+
+
+def test_stratified_budget_select_config_driven(spark, registry, tmp_path):
+    """Per-domain quota from a spec: each domain independently keeps its
+    (score DESC, id) prefix; a domain missing from `budgets` is dropped
+    (default_budget 0)."""
+    src = tmp_path / "mix.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": "x", "dom": d, "score": s,
+                        "n_tokens": 30})
+            for i, d, s in [(1, "web", 9), (2, "web", 8), (3, "web", 7),
+                            (4, "code", 9), (5, "code", 8), (6, "junk", 9)]
+        )
+    )
+    out = str(tmp_path / "mix_out")
+    cfg = parse_config(
+        _doc_config(
+            str(src), out,
+            [{"op": "stratified_budget_select", "strata_col": "dom",
+              "score_col": "score", "cost_col": "n_tokens",
+              "budgets": {"web": 60, "code": 30}, "key_col": "doc_id"}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 4}  # web keeps 2, code keeps 1, junk dropped

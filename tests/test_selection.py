@@ -84,3 +84,104 @@ def test_result_independent_of_partition_count(spark, corpus):
     a = _rows(token_budget_select(corpus, "score", "cost", budget, "id", num_partitions=2))
     b = _rows(token_budget_select(corpus, "score", "cost", budget, "id", num_partitions=29))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stratified_budget_select
+# ---------------------------------------------------------------------------
+
+from lakehouse_ingestion_spark.operators.selection import (  # noqa: E402
+    stratified_budget_select,
+)
+
+
+def _sframe(spark, rows):
+    return spark.createDataFrame(rows, "id long, dom string, score long, cost long")
+
+
+def _strat_reference(df, budget_of):
+    w = Window.partitionBy("dom").orderBy(F.col("score").desc(), F.col("id").asc())
+    cum = df.withColumn("cum_cost", F.sum("cost").over(w))
+    doms = [r["dom"] for r in df.select("dom").distinct().collect()]
+    keep = None
+    for d in doms:
+        cond = (F.col("dom").eqNullSafe(d)) & (F.col("cum_cost") <= budget_of(d))
+        keep = cond if keep is None else keep | cond
+    return cum.filter(keep)
+
+
+@pytest.fixture(scope="module")
+def strat_corpus(spark):
+    rows = [
+        (i, ["web", "code", "wiki"][i % 3], (i * 2654435761) % 13, 1 + (i * 48271) % 53)
+        for i in range(1, 241)
+    ]
+    return _sframe(spark, rows)
+
+
+def test_stratified_matches_window(spark, strat_corpus):
+    budgets = {"web": 300, "code": 150, "wiki": 2_000_000}
+    got = stratified_budget_select(
+        strat_corpus, "dom", "score", "cost", budgets, "id", num_partitions=7
+    )
+    want = _strat_reference(strat_corpus, lambda d: budgets[d])
+    assert _rows(got) == _rows(want)
+    # wiki's budget exceeds its total -> every wiki row selected
+    n_wiki = strat_corpus.filter(F.col("dom") == "wiki").count()
+    assert got.filter(F.col("dom") == "wiki").count() == n_wiki
+
+
+def test_stratified_int_budget_and_default(spark, strat_corpus):
+    got = stratified_budget_select(
+        strat_corpus, "dom", "score", "cost", 200, "id", num_partitions=5
+    )
+    want = _strat_reference(strat_corpus, lambda d: 200)
+    assert _rows(got) == _rows(want)
+    # dict missing a stratum: default 0 drops it entirely
+    sel = stratified_budget_select(
+        strat_corpus, "dom", "score", "cost", {"web": 200}, "id"
+    )
+    assert sel.filter(F.col("dom") != "web").count() == 0
+    assert sel.count() > 0
+
+
+def test_stratified_null_stratum(spark):
+    rows = [(1, None, 5, 10), (2, None, 4, 10), (3, "a", 9, 10)]
+    df = _sframe(spark, rows)
+    got = stratified_budget_select(
+        df, "dom", "score", "cost", {"a": 10}, "id", default_budget=10
+    )
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [1, 3]  # null stratum gets default_budget; doc 2 overflows
+
+
+def test_stratified_negative_budget_raises(spark, strat_corpus):
+    with pytest.raises(ConfigError):
+        stratified_budget_select(strat_corpus, "dom", "score", "cost", -5, "id")
+    with pytest.raises(ConfigError):
+        stratified_budget_select(
+            strat_corpus, "dom", "score", "cost", {"web": -1}, "id"
+        )
+
+
+def test_stratified_partition_count_invariance(spark, strat_corpus):
+    budgets = {"web": 333, "code": 111, "wiki": 555}
+    a = _rows(
+        stratified_budget_select(
+            strat_corpus, "dom", "score", "cost", budgets, "id", num_partitions=2
+        )
+    )
+    b = _rows(
+        stratified_budget_select(
+            strat_corpus, "dom", "score", "cost", budgets, "id", num_partitions=31
+        )
+    )
+    assert a == b
+
+
+def test_stratified_no_global_window(spark, strat_corpus):
+    out = stratified_budget_select(
+        strat_corpus, "dom", "score", "cost", 100, "id", num_partitions=7
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
