@@ -1618,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_budget": q_domain_budget,
         "shard_export": q_shard_export,
         "html_extract": q_html_extract,
+        "semantic_decon": q_semantic_decon,
         # --- last hashed: green r06 ---
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
@@ -3103,6 +3104,30 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDECON_TAU = 0.92  # probed margins: min |max_cos - tau| >= 0.08 at
+# sf0.01/sf0.1/sf1, so rounded-cosine threshold membership cannot flip
+# between the numpy and DuckDB float paths on any test fixture
+
+
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval decontamination (operators/semantic_decon.py):
+    every 97th embedding plays the held-out eval set; each training
+    vector gets its max rounded cosine against the eval matrix, the
+    nearest eval id (ties to smallest), and a contaminated flag at
+    tau=0.92. ONE map-only BLAS pass with the eval matrix shipped in
+    the UDF closure — no shuffle, no join, no candidate generation
+    (the n-gram screen's broadcast asymmetry, embedding-side)."""
+    from lakehouse_ingestion_spark.operators.semantic_decon import (
+        semantic_decontaminate,
+    )
+
+    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    ev = e.filter(F.col("vec_id") % 97 == 0)
+    tr = e.filter(F.col("vec_id") % 97 != 0).select("vec_id", "embedding")
+    out = semantic_decontaminate(tr, ev, threshold=SEMDECON_TAU)
+    return out.select("vec_id", "max_cos", "nearest_eval_id", "contaminated")
+
+
 def q_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum budget selection (operators/selection.py,
     stratified_budget_select): every source fills 25% of ITS OWN token
@@ -4080,6 +4105,30 @@ cum AS (
 SELECT cum.doc_id, cum.source, CAST(score AS BIGINT) AS score,
        CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
 FROM cum JOIN b USING (source) WHERE cum_tokens <= b.budget
+"""
+
+    # q_semantic_decon: max rounded cosine per training vector against
+    # the eval subset; nearest eval by (rounded cos DESC, eval_id ASC) —
+    # the same tie-break as numpy argmax over the id-sorted eval matrix.
+    qs["semantic_decon"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS evv FROM emb WHERE vec_id % 97 = 0),
+pairs AS (
+  SELECT e.vec_id, ev.eval_id,
+         round(list_dot_product(e.v, ev.evv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(ev.evv, ev.evv))), 6) AS c
+  FROM emb e CROSS JOIN ev WHERE e.vec_id % 97 != 0
+),
+ranked AS (
+  SELECT vec_id, eval_id, c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, eval_id ASC) AS rk
+  FROM pairs
+)
+SELECT vec_id, c AS max_cos, eval_id AS nearest_eval_id,
+       (c >= {SEMDECON_TAU}) AS contaminated
+FROM ranked WHERE rk = 1
 """
 
     # q_shard_export: shard + within-shard rank under the md5 shuffle

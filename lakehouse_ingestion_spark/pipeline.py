@@ -635,6 +635,25 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             key_col=o.get("key_col", "doc_id"),
             cum_col=o.get("cum_col", "cum_cost"),
         )
+    if op == "semantic_decontaminate":
+        # embedding-side train/eval screen: eval set read from parquet
+        # (small by contract — the operator gates with max_eval)
+        from lakehouse_ingestion_spark.operators.semantic_decon import (
+            semantic_decontaminate,
+        )
+
+        ev = df.sparkSession.read.parquet(o["eval_path"])
+        out = semantic_decontaminate(
+            df,
+            ev,
+            id_col=o.get("id_col", "vec_id"),
+            vec_col=o.get("vec_col", "embedding"),
+            threshold=float(o.get("threshold", 0.9)),
+            max_eval=int(o.get("max_eval", 200_000)),
+        )
+        if o.get("drop_contaminated", False):
+            return out.filter(~F.col("contaminated"))
+        return out
     if op == "stratified_budget_select":
         # per-stratum budgets ("fill each domain's token quota") —
         # `budgets` is a config mapping stratum -> budget, or one int

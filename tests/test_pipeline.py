@@ -1153,3 +1153,32 @@ def test_stratified_budget_select_config_driven(spark, registry, tmp_path):
     Pipeline(spark, cfg, registry=registry).run()
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 4}  # web keeps 2, code keeps 1, junk dropped
+
+
+def test_semantic_decontaminate_config_driven(spark, registry, tmp_path):
+    """Embedding screen from a spec: contaminated rows dropped when the
+    policy says so; eval set comes from a parquet path."""
+    ev_path = str(tmp_path / "eval_emb")
+    spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    ).write.parquet(ev_path)
+    src = tmp_path / "emb.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": "x", "embedding": v})
+            for i, v in [(1, [0.99, 0.01]), (2, [0.0, 1.0])]
+        )
+    )
+    out = str(tmp_path / "clean")
+    cfg = parse_config(
+        _doc_config(
+            str(src), out,
+            [{"op": "semantic_decontaminate", "eval_path": ev_path,
+              "id_col": "vec_id", "vec_col": "embedding",
+              "threshold": 0.9, "drop_contaminated": True}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert kept == [2]
