@@ -6,3 +6,4 @@ from lakehouse_ingestion_spark.sinks.fanout import FanoutWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.curation import StickySplitWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.ann_index import AnnIndexWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.export import ShardExportWriter  # noqa: F401
+from lakehouse_ingestion_spark.sinks.budget import BudgetAdmitWriter  # noqa: F401

@@ -1,0 +1,148 @@
+"""Streaming budget admission: admit the best documents from a stream
+until a global token budget is exhausted.
+
+The streaming counterpart of ``operators/selection.token_budget_select``
+— "keep filling the 1B-token training budget as crawl batches arrive,
+best-first within each batch, stop at quota".  Cross-batch semantics are
+first-come-first-served by epoch (a stream cannot re-rank what it has
+already admitted); within an epoch the batch's (score DESC, key ASC)
+prefix fills whatever budget remains.
+
+State is ONE tiny ledger (epoch, rows, batch_cost, spent_after) — a row
+per epoch, read back as the spent-so-far sum.  Nothing corpus-sized is
+ever read or written per trigger (the lesson of the r8 curation sink):
+per-batch I/O is the batch itself plus the O(#epochs) ledger, and the
+number of admitting epochs is bounded by budget/batch_cost anyway.
+
+Replay safety (same contract as ``multi_sink.write_epoch``):
+
+- output lands epoch-partitioned with dynamic partition overwrite —
+  data FIRST, ledger append AFTER;
+- a redelivered ledgered epoch is skipped outright;
+- a redelivered epoch that crashed between write and ledger recomputes
+  the identical admission (the ledger excludes the crashed epoch, so
+  ``remaining`` is unchanged, and the selection is a pure function of
+  batch content) and dynamic-overwrites its own partition — convergent.
+
+Once the ledger shows the budget exhausted, every later epoch ledgers
+``rows=0`` without touching the data path, so the stream can keep
+running as a no-op or be stopped by the caller polling ``spent()``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+
+EPOCH_COL = "_epoch"
+
+
+def _read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(ledger_path)
+    except Exception:
+        return None
+
+
+def spent(spark: SparkSession, ledger_path: str) -> int:
+    """Total cost admitted so far (0 when no epoch has committed)."""
+    led = _read_ledger(spark, ledger_path)
+    if led is None:
+        return 0
+    row = led.agg(F.sum("batch_cost").alias("s")).collect()[0]
+    return int(row["s"] or 0)
+
+
+def admit_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    ledger_path: str,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    key_col: str,
+    cum_col: str = "cum_cost",
+) -> None:
+    """One micro-batch through the admission: select, write, ledger."""
+    from lakehouse_ingestion_spark.operators.selection import (
+        token_budget_select,
+    )
+
+    spark = batch_df.sparkSession
+    led = _read_ledger(spark, ledger_path)
+    already = 0
+    if led is not None:
+        seen = led.filter(F.col("epoch") == epoch_id).count()
+        if seen:
+            return  # ledgered epoch: output is committed, skip outright
+        already = int(
+            led.agg(F.sum("batch_cost").alias("s")).collect()[0]["s"] or 0
+        )
+    remaining = budget - already
+
+    n_rows = 0
+    batch_cost = 0
+    if remaining > 0:
+        admitted = token_budget_select(
+            batch_df, score_col, cost_col, remaining, key_col, cum_col=cum_col
+        )
+        # make the audit column the GLOBAL running total, not batch-local
+        admitted = admitted.withColumn(
+            cum_col, F.col(cum_col) + F.lit(already)
+        ).withColumn(EPOCH_COL, F.lit(epoch_id))
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        counted = admitted.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.col(cost_col).cast("long")), F.lit(0)).alias(
+                "cost"
+            ),
+        )
+        (
+            counted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(out_path)
+        )
+        n_rows = int(obs.get["rows"])
+        batch_cost = int(obs.get["cost"])
+    spark.createDataFrame(
+        [(epoch_id, n_rows, batch_cost, already + batch_cost)],
+        "epoch long, rows long, batch_cost long, spent_after long",
+    ).write.mode("append").parquet(ledger_path)
+
+
+def budget_admit_foreach_batch(
+    out_path: str,
+    ledger_path: str,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    key_col: str,
+    cum_col: str = "cum_cost",
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function for a budget-admission sink."""
+    if budget < 0:
+        raise ConfigError(f"budget must be >= 0, got {budget}")
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_epoch(
+            batch_df,
+            int(epoch_id),
+            out_path,
+            ledger_path,
+            score_col,
+            cost_col,
+            budget,
+            key_col,
+            cum_col=cum_col,
+        )
+
+    return _fn

@@ -1,0 +1,208 @@
+"""Streaming budget admission: cross-batch quota, replay convergence,
+batch-sized state I/O."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.streaming.budget import (
+    admit_epoch,
+    budget_admit_foreach_batch,
+    spent,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "ledger")
+
+
+def _admit(spark, paths, rows, epoch, budget=100):
+    out, ledger = paths
+    admit_epoch(
+        _batch(spark, rows), epoch, out, ledger,
+        "score", "n_tokens", budget, "doc_id",
+    )
+
+
+def test_budget_spans_batches(spark, paths):
+    out, ledger = paths
+    # epoch 0: 60 of 100 admitted tokens; epoch 1: only 40 left
+    _admit(spark, paths, [(1, 9, 30), (2, 8, 30), (3, 7, 30)], 0, budget=90)
+    _admit(spark, paths, [(4, 9, 30), (5, 8, 30)], 1, budget=90)
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {1, 2, 3}  # 90 spent
+    assert spent(spark, ledger) == 90
+    # epoch 2: budget exhausted -> ledgered as a no-op, no data touched
+    _admit(spark, paths, [(6, 9, 1)], 2, budget=90)
+    assert spark.read.parquet(out).count() == 3
+    led = {r["epoch"]: r for r in spark.read.parquet(ledger).collect()}
+    assert led[2]["rows"] == 0 and led[2]["spent_after"] == 90
+
+
+def test_best_first_within_batch_fcfs_across(spark, paths):
+    out, _ = paths
+    # epoch 0's weaker doc is admitted before epoch 1's stronger ones:
+    # a stream cannot re-rank history — that asymmetry is the contract.
+    # Within epoch 1 the PREFIX contract holds: the batch's best doc
+    # fills first, and the running sum stops at the first overflow.
+    _admit(spark, paths, [(1, 1, 50)], 0, budget=80)
+    _admit(spark, paths, [(2, 99, 20), (3, 98, 50)], 1, budget=80)
+    got = {r["doc_id"]: r["cum_cost"] for r in spark.read.parquet(out).collect()}
+    # doc 2: global cum 50 + 20 = 70 <= 80; doc 3 would overflow to 120
+    assert got == {1: 50, 2: 70}
+
+
+def test_redelivery_is_idempotent(spark, paths):
+    out, ledger = paths
+    rows = [(1, 9, 40), (2, 8, 40)]
+    _admit(spark, paths, rows, 0)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    _admit(spark, paths, rows, 0)  # ledgered epoch redelivered: skipped
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert before == after
+    assert spark.read.parquet(ledger).filter(F.col("epoch") == 0).count() == 1
+
+
+def test_crash_between_write_and_ledger_converges(spark, paths, tmp_path):
+    out, ledger = paths
+    # simulate the crash window: epoch 0's data written, ledger missing
+    df = _batch(spark, [(1, 9, 40), (2, 8, 40), (3, 7, 40)])
+    from lakehouse_ingestion_spark.operators.selection import (
+        token_budget_select,
+    )
+
+    pre = token_budget_select(df, "score", "n_tokens", 100, "doc_id")
+    (
+        pre.withColumn("_epoch", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(out)
+    )
+    # redelivery recomputes the identical admission and overwrites
+    _admit(spark, paths, [(1, 9, 40), (2, 8, 40), (3, 7, 40)], 0)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
+    assert spent(spark, ledger) == 80
+
+
+def test_foreach_batch_builder_validates(spark, paths):
+    out, ledger = paths
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        budget_admit_foreach_batch(out, ledger, "s", "c", -1, "id")
+    fn = budget_admit_foreach_batch(
+        out, ledger, "score", "n_tokens", 50, "doc_id"
+    )
+    fn(_batch(spark, [(1, 5, 30), (2, 4, 30)]), 0)
+    assert spent(spark, ledger) == 30
+
+
+def test_budget_admit_sink_batch_mode(spark, tmp_path):
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions, get_writer
+
+    out = str(tmp_path / "sink_out")
+    ledger = str(tmp_path / "sink_ledger")
+    w = get_writer("budget_admit")
+    opts = WriteOptions(
+        path=out,
+        options={"ledger_path": ledger, "score_col": "score",
+                 "cost_col": "n_tokens", "budget": 60, "key_col": "doc_id"},
+    )
+    w.write_batch(_batch(spark, [(1, 9, 30), (2, 8, 30), (3, 7, 30)]), opts)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="budget"):
+        w.write_batch(
+            _batch(spark, [(1, 1, 1)]),
+            WriteOptions(path=out, options={"ledger_path": ledger}),
+        )
+
+
+def test_streaming_budget_pipeline(spark, tmp_path):
+    """Config-driven streaming budget admission: two micro-batches
+    through the budget_admit target; batch 2 only gets what remains."""
+    import json
+
+    from lakehouse_ingestion_spark.config import parse_config
+    from lakehouse_ingestion_spark.pipeline import Pipeline
+    from lakehouse_ingestion_spark.schema_registry import SchemaRegistry
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    registry = SchemaRegistry(str(tmp_path / "reg"))
+    registry.register(
+        "demo", "scored", "v1",
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("score", LongType(), True),
+                StructField("n_tokens", LongType(), True),
+            ]
+        ),
+    )
+    indir = tmp_path / "ba_in"
+    indir.mkdir()
+    (indir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "score": s, "n_tokens": c})
+            for i, s, c in [(1, 9, 30), (2, 8, 30)]
+        )
+    )
+    (indir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "score": s, "n_tokens": c})
+            for i, s, c in [(3, 99, 30), (4, 98, 30)]
+        )
+    )
+    out = str(tmp_path / "ba_out")
+    ledger = str(tmp_path / "ba_ledger")
+    cfg = parse_config(
+        {
+            "env": "test",
+            "jobs": [
+                {
+                    "name": "budget-admit",
+                    "source": {
+                        "type": "json",
+                        "options": {
+                            "path": str(indir),
+                            "format": "json",
+                            "streaming": "true",
+                            "maxFilesPerTrigger": "1",
+                        },
+                    },
+                    "schema": {
+                        "domain": "demo", "dataset": "scored", "version": "v1",
+                    },
+                    "target": {
+                        "format": "budget_admit",
+                        "options": {
+                            "path": out,
+                            "ledger_path": ledger,
+                            "score_col": "score",
+                            "cost_col": "n_tokens",
+                            "budget": 90,
+                            "key_col": "doc_id",
+                            "checkpoint_location": str(tmp_path / "ba_cp"),
+                            "trigger_interval": "availableNow",
+                        },
+                    },
+                }
+            ],
+        },
+        registry,
+    )
+    results = Pipeline(spark, cfg, registry=registry).run()
+    results[0].query.awaitTermination(180)
+
+    got = {r["doc_id"]: r["cum_cost"] for r in spark.read.parquet(out).collect()}
+    # batch 1 spends 60; batch 2's best doc takes the last 30
+    assert got == {1: 30, 2: 60, 3: 90}
+    assert spent(spark, ledger) == 90
