@@ -1619,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": q_shard_export,
         "html_extract": q_html_extract,
         "semantic_decon": q_semantic_decon,
+        "source_canonical": q_source_canonical,
         # --- last hashed: green r06 ---
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
@@ -3104,6 +3105,40 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup (operators/dedup.dedup_by_priority):
+    every 7th document also arrives via a higher-priority 'mirror'
+    source (the curated-dump-vs-crawl overlap); per content fingerprint
+    ONE copy survives — the mirror one where it exists, min-id
+    otherwise — with provenance counts. Same ONE-exchange max_by shape
+    as dedup_content; the priority mapping is a pure CASE projection."""
+    from lakehouse_ingestion_spark.operators.dedup import dedup_by_priority
+
+    # fingerprint computed ONCE per base row, then the mirror copy fans
+    # out via explode with the fp attached — a union of two scans would
+    # normalize+md5 the corpus twice (sf10 A/B: 3.55 -> 3.25 s; most of
+    # the remaining cost is the single md5 pass, same class as the
+    # documented md5-bound dedup_exact row)
+    base = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    one = F.struct(F.col("doc_id"), F.col("source"))
+    two = F.struct(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+    )
+    copies = F.when(
+        F.col("doc_id") % 7 == 0, F.array(one, two)
+    ).otherwise(F.array(one))
+    un = base.select(F.explode(copies).alias("c"), "fp").select(
+        F.col("c.doc_id").alias("doc_id"),
+        F.col("c.source").alias("source"),
+        "fp",
+    )
+    out = dedup_by_priority(un, {"mirror": 5}, fingerprint_col="fp")
+    return out.select("doc_id", "source", "n_copies", "n_sources")
+
+
 SEMDECON_TAU = 0.92  # probed margins: min |max_cos - tau| >= 0.08 at
 # sf0.01/sf0.1/sf1, so rounded-cosine threshold membership cannot flip
 # between the numpy and DuckDB float paths on any test fixture
@@ -4129,6 +4164,34 @@ ranked AS (
 SELECT vec_id, c AS max_cos, eval_id AS nearest_eval_id,
        (c >= {SEMDECON_TAU}) AS contaminated
 FROM ranked WHERE rk = 1
+"""
+
+    # q_source_canonical: priority-ranked winner per content fingerprint
+    # (mirror source outranks the crawl), provenance via a grouped pass.
+    qs["source_canonical"] = """
+WITH un AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         CASE WHEN source = 'mirror' THEN 5 ELSE 0 END AS p
+  FROM un
+),
+win AS (
+  SELECT doc_id, source, f,
+         row_number() OVER (PARTITION BY f ORDER BY p DESC, doc_id ASC) AS rk
+  FROM fp
+),
+stats AS (
+  SELECT f, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+  FROM fp GROUP BY f
+)
+SELECT w.doc_id, w.source, s.n_copies, s.n_sources
+FROM win w JOIN stats s USING (f) WHERE w.rk = 1
 """
 
     # q_shard_export: shard + within-shard rank under the md5 shuffle

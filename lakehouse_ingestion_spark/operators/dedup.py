@@ -119,3 +119,68 @@ def dedup_latest_agg(
     row = F.struct(*[F.col(c) for c in df.columns])
     out = df.groupBy(*key_columns).agg(F.max_by(row, ordering).alias("__w"))
     return out.select(*[F.col(f"__w.{c}").alias(c) for c in df.columns])
+
+
+def dedup_by_priority(
+    df: DataFrame,
+    priorities: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    normalize: bool = True,
+    default_priority: int = 0,
+    provenance: bool = True,
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Cross-source canonicalization: when the SAME content appears in
+    several corpora (a curated dump and a crawl, two crawl snapshots),
+    keep the copy from the highest-priority source — not an arbitrary
+    or min-id winner — and carry the provenance.
+
+    ``priorities`` maps source name -> rank (higher wins; unknown
+    sources get ``default_priority``); ties break to the smallest
+    ``id_col``, so the winner is total and deterministic.  With
+    ``provenance`` the survivors carry ``n_copies`` (rows merged) and
+    ``n_sources`` (distinct sources seen) — the duplication facts
+    mixture weighting and dedup audits need.
+
+    Scale: the same ONE-exchange shape as :func:`dedup_by_content` —
+    ``max_by`` over a (priority, -id) struct plus the provenance
+    counters ride a single fingerprint-keyed aggregation with map-side
+    partials; the priority mapping is a pure CASE projection (config-
+    sized, no join).
+
+    ``fingerprint_col`` takes a PRECOMPUTED fingerprint column instead
+    of hashing ``text_col`` here — ingest pipelines that already carry
+    a content hash (or fan one row out into several source rows, as
+    q_source_canonical does) skip a second normalize+hash pass over
+    the corpus.
+    """
+    if fingerprint_col is not None:
+        fp: Column = F.col(fingerprint_col)
+    else:
+        try:
+            fp = FINGERPRINT_FNS[hash_fn](F.col(text_col), normalize=normalize)
+        except KeyError:
+            raise ValueError(
+                f"hash_fn must be one of {sorted(FINGERPRINT_FNS)}, got {hash_fn!r}"
+            ) from None
+    prio: Column = F.lit(int(default_priority))
+    for name, rank in sorted(priorities.items()):
+        prio = F.when(F.col(source_col) == name, F.lit(int(rank))).otherwise(prio)
+    # max_by ordering: (priority asc, id desc) under MAX semantics ->
+    # highest priority, then SMALLEST id (negate the id)
+    ordering = F.struct(prio.alias("p"), (-F.col(id_col)).alias("ni"))
+    row = F.struct(*[F.col(c) for c in df.columns])
+    aggs = [F.max_by(row, ordering).alias("__w")]
+    if provenance:
+        aggs += [
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct(F.col(source_col)).alias("n_sources"),
+        ]
+    out = df.groupBy(fp.alias("__fp")).agg(*aggs)
+    cols = [F.col(f"__w.{c}").alias(c) for c in df.columns]
+    if provenance:
+        cols += [F.col("n_copies"), F.col("n_sources")]
+    return out.select(*cols)

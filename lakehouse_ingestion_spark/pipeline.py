@@ -218,6 +218,23 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             raise ConfigError("conform transform requires the job to declare a schema")
         return conform(df, schema, drop_extra=bool(o.get("drop_extra", False)))
     if op == "dedup":
+        if "priorities" in o:
+            # cross-source canonicalization: highest-priority source
+            # wins per content fingerprint, provenance attached
+            from lakehouse_ingestion_spark.operators.dedup import (
+                dedup_by_priority,
+            )
+
+            return dedup_by_priority(
+                df,
+                {str(k): int(v) for k, v in dict(o["priorities"]).items()},
+                source_col=o.get("source_col", "source"),
+                text_col=o.get("text_col", "text"),
+                id_col=o.get("id_col", "doc_id"),
+                hash_fn=o.get("hash_fn", "xxhash64"),
+                default_priority=int(o.get("default_priority", 0)),
+                provenance=bool(o.get("provenance", True)),
+            )
         if "order_by" in o:
             return dedup_latest_by_key(
                 df, list(o["keys"]), [F.col(c).desc() for c in o["order_by"]]

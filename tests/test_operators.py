@@ -638,3 +638,49 @@ def test_profile_table_exact_vs_approx_paths(spark):
     plan = profile_table(df, exact_distinct=True)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_dedup_by_priority(spark):
+    """Cross-source canonicalization: highest-priority source wins per
+    content fingerprint, ties to smallest id, provenance attached."""
+    from lakehouse_ingestion_spark.operators.dedup import dedup_by_priority
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "crawl"),
+            (2, "same text", "curated"),
+            (3, "same text", "crawl"),
+            (4, "unique text", "crawl"),
+            (5, "other  text", "unknown_src"),
+            (6, "other text", "unknown_src"),  # same after normalization
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_by_priority(
+            df, {"curated": 10, "crawl": 1}, hash_fn="md5"
+        ).collect()
+    }
+    assert set(out) == {2, 4, 5}
+    assert out[2]["source"] == "curated"
+    assert out[2]["n_copies"] == 3 and out[2]["n_sources"] == 2
+    assert out[4]["n_copies"] == 1
+    # unknown sources fall to default_priority; min-id tie-break
+    assert out[5]["n_copies"] == 2 and out[5]["n_sources"] == 1
+
+    # higher default than mapped rank flips the winner
+    flipped = dedup_by_priority(
+        df, {"curated": -5}, default_priority=0, hash_fn="md5"
+    )
+    winners = {r["doc_id"] for r in flipped.collect()}
+    assert 1 in winners and 2 not in winners
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup_by_priority(df, {}, hash_fn="nope")
+
+    # provenance=False returns the bare input schema
+    bare = dedup_by_priority(df, {"curated": 10}, provenance=False)
+    assert bare.columns == ["doc_id", "text", "source"]

@@ -1182,3 +1182,28 @@ def test_semantic_decontaminate_config_driven(spark, registry, tmp_path):
     Pipeline(spark, cfg, registry=registry).run()
     kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert kept == [2]
+
+
+def test_dedup_priorities_config_driven(spark, registry, tmp_path):
+    """dedup with a priorities mapping canonicalizes across sources."""
+    src = tmp_path / "ps.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "source": s})
+            for i, t, s in [(1, "dup text", "crawl"), (2, "dup text", "curated"),
+                            (3, "solo", "crawl")]
+        )
+    )
+    out = str(tmp_path / "ps_out")
+    cfg = parse_config(
+        _doc_config(
+            str(src), out,
+            [{"op": "dedup", "priorities": {"curated": 10, "crawl": 1},
+              "hash_fn": "md5"}],
+        ),
+        registry,
+    )
+    Pipeline(spark, cfg, registry=registry).run()
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["source"] == "curated" and rows[2]["n_copies"] == 2
