@@ -1207,3 +1207,75 @@ def test_dedup_priorities_config_driven(spark, registry, tmp_path):
     rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert set(rows) == {2, 3}
     assert rows[2]["source"] == "curated" and rows[2]["n_copies"] == 2
+
+
+def test_export_train_chain_end_to_end(spark, registry, tmp_path):
+    """The full export chain from one YAML shape (configs/
+    export-train.yaml): html_extract -> priority dedup -> budget
+    selection -> shards sink. Asserts the bundled example config
+    parses, then runs the same chain on synthesized pages."""
+    import glob
+    import os
+
+    import yaml
+
+    # the shipped example must at least parse structurally
+    shipped = yaml.safe_load(open("configs/export-train.yaml"))
+    ops = [t["op"] for t in shipped["jobs"][0]["transforms"]]
+    assert ops == ["html_extract", "dedup", "derive_column",
+                   "derive_column", "token_budget_select"]
+    assert shipped["jobs"][0]["target"]["format"] == "shards"
+
+    page = (
+        "<html><body><p>This is a perfectly reasonable training "
+        "document with enough length to keep.</p></body></html>"
+    )
+    src = tmp_path / "pages.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "html": page + f"<p>v{i % 3}.</p>",
+                        "source": s})
+            for i, s in [(1, "crawl_2023"), (2, "curated_dump"),
+                         (3, "crawl_2023"), (4, "crawl_2024"),
+                         (5, "crawl_2023"), (6, "crawl_2023")]
+        )
+    )
+    out = str(tmp_path / "shards")
+    cfg_dict = {
+        "env": "test",
+        "jobs": [
+            {
+                "name": "export",
+                "source_system": "t",
+                "source": {"type": "json",
+                           "options": {"path": str(src), "format": "json"}},
+                "transforms": [
+                    {"op": "html_extract", "html_col": "html",
+                     "output_col": "text"},
+                    {"op": "dedup",
+                     "priorities": {"curated_dump": 10, "crawl_2024": 2},
+                     "hash_fn": "md5"},
+                    {"op": "derive_column", "name": "n_tokens",
+                     "expr": "size(split(trim(text), '\\\\s+'))"},
+                    {"op": "token_budget_select", "score_col": "n_tokens",
+                     "cost_col": "n_tokens", "budget": 1000,
+                     "key_col": "doc_id"},
+                ],
+                "target": {
+                    "format": "shards",
+                    "options": {"path": out, "mode": "overwrite",
+                                "key_col": "doc_id", "n_shards": 2},
+                },
+            }
+        ],
+    }
+    Pipeline(spark, parse_config(cfg_dict, registry), registry=registry).run()
+    back = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    # docs 1,3,5,6 share page-variant texts only pairwise: v1==v4 text?
+    # ids 1..6 produce suffixes v1,v2,v0,v1,v2,v0 -> three content
+    # groups {1,4},{2,5},{3,6}; priorities pick 4 (crawl_2024 > default),
+    # 2 (curated), and min-id 3
+    assert set(rows) == {2, 3, 4}
+    assert {r["shard"] is not None for r in rows.values()} == {True}
+    assert glob.glob(os.path.join(out, "shard=*"))
