@@ -72,3 +72,39 @@ def test_map_only_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_streaming_transform(spark, tmp_path):
+    """The screen composes into Structured Streaming untouched: the eval
+    matrix is batch-side (collected once at plan build), the corpus pass
+    is MapInPandas — legal in a streaming plan, no state required."""
+    import json
+
+    indir = tmp_path / "stream_in"
+    indir.mkdir()
+    (indir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "embedding": v})
+            for i, v in [(1, [0.99, 0.01]), (2, [0.0, 1.0])]
+        )
+    )
+    ev = _emb(spark, [(100, [1.0, 0.0])])
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .json(str(indir))
+    )
+    out = semantic_decontaminate(stream, ev, threshold=0.9)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["vec_id"]: r["contaminated"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows == {1: True, 2: False}
