@@ -1606,10 +1606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r09 window: the never-hashed r09 additions
-    # (split_conflicts, incr_ann) + the 26 queries whose freshest hash
-    # is r06 (CDC/SCD/gold/DQ/TPC-H q3+q5/similarity families) + the
-    # first 22 of the r07 cohort; the r08-hashed set rides at the tail.
+    # query.  r09 window: the 8 never-hashed r09 additions
+    # (split_conflicts, incr_ann, token_budget, domain_budget,
+    # shard_export, html_extract, semantic_decon, source_canonical) +
+    # the 26 queries whose freshest hash is r06 (CDC/SCD/gold/DQ/TPC-H
+    # q3+q5/similarity families) + the oldest 16 of the r07 cohort; the
+    # r08-hashed set rides at the tail.
     return {
         # --- never hashed (new r09) ---
         "split_conflicts": q_split_conflicts,
