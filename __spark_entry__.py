@@ -1606,66 +1606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r09 window: the 8 never-hashed r09 additions
-    # (split_conflicts, incr_ann, token_budget, domain_budget,
-    # shard_export, html_extract, semantic_decon, source_canonical) +
-    # the 26 queries whose freshest hash is r06 (CDC/SCD/gold/DQ/TPC-H
-    # q3+q5/similarity families) + the oldest 16 of the r07 cohort; the
-    # r08-hashed set rides at the tail.
+    # query.  r10 window: the 34 queries whose freshest hash is r07
+    # (text/ann/TPC-H tail families) + the oldest 16 of the r08 cohort;
+    # the r09-hashed set (all 50 green last round) rides at the tail.
     return {
-        # --- never hashed (new r09) ---
-        "split_conflicts": q_split_conflicts,
-        "incr_ann": q_incr_ann,
-        "token_budget": q_token_budget,
-        "domain_budget": q_domain_budget,
-        "shard_export": q_shard_export,
-        "html_extract": q_html_extract,
-        "semantic_decon": q_semantic_decon,
-        "source_canonical": q_source_canonical,
-        # --- last hashed: green r06 ---
-        "cdc_apply": q_cdc_apply,
-        "cdc_incremental": q_cdc_incremental,
-        "scd2": q_scd2,
-        "scd1": q_scd1,
-        "upsert": q_upsert,
-        "enrich": q_enrich,
-        "denormalize": q_denormalize,
-        "gold_daily": q_gold_daily,
-        "gold_rollup": q_gold_rollup,
-        "gold_cube": q_gold_cube,
-        "window_topk": q_window_topk,
-        "dq_summary": q_dq_summary,
-        "quarantine": q_quarantine,
-        "ref_integrity": q_ref_integrity,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
-        "minhash": q_minhash,
-        "near_dup": q_near_dup,
-        "ann_cosine": q_ann_cosine,
-        "q3_shipping": q3_shipping,
-        "q5_local_supplier": q5_local_supplier,
-        "set_ops": q_set_ops,
-        "sort_limit": q_sort_limit,
-        "scalar_funcs": q_scalar_funcs,
-        "simhash": q_simhash,
-        "cosine_dup": q_cosine_dup,
         # --- last hashed: green r07 ---
-        "corr_panel": q_corr_panel,
-        "dq_drift": q_dq_drift,
-        "cluster_split": q_cluster_split,
-        "ann_lsh": q_ann_lsh,
-        "multimodal": q_multimodal,
-        "kafka_decode": q_kafka_decode,
-        "grouping_sets": q_grouping_sets,
-        "percentiles": q_percentiles,
-        "salted_agg": q_salted_agg,
-        "window_frames": q_window_frames,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "fingerprint": q_fingerprint,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "approx_distinct": q_approx_distinct,
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
         "ann_ivf": q_ann_ivf,
@@ -1751,6 +1696,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_latest": q_dedup_latest,
+        # --- last hashed: green r09 ---
+        "split_conflicts": q_split_conflicts,
+        "incr_ann": q_incr_ann,
+        "token_budget": q_token_budget,
+        "domain_budget": q_domain_budget,
+        "shard_export": q_shard_export,
+        "html_extract": q_html_extract,
+        "semantic_decon": q_semantic_decon,
+        "source_canonical": q_source_canonical,
+        "cdc_apply": q_cdc_apply,
+        "cdc_incremental": q_cdc_incremental,
+        "scd2": q_scd2,
+        "scd1": q_scd1,
+        "upsert": q_upsert,
+        "enrich": q_enrich,
+        "denormalize": q_denormalize,
+        "gold_daily": q_gold_daily,
+        "gold_rollup": q_gold_rollup,
+        "gold_cube": q_gold_cube,
+        "window_topk": q_window_topk,
+        "dq_summary": q_dq_summary,
+        "quarantine": q_quarantine,
+        "ref_integrity": q_ref_integrity,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "minhash": q_minhash,
+        "near_dup": q_near_dup,
+        "ann_cosine": q_ann_cosine,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
+        "set_ops": q_set_ops,
+        "sort_limit": q_sort_limit,
+        "scalar_funcs": q_scalar_funcs,
+        "simhash": q_simhash,
+        "cosine_dup": q_cosine_dup,
+        "corr_panel": q_corr_panel,
+        "dq_drift": q_dq_drift,
+        "cluster_split": q_cluster_split,
+        "ann_lsh": q_ann_lsh,
+        "multimodal": q_multimodal,
+        "kafka_decode": q_kafka_decode,
+        "grouping_sets": q_grouping_sets,
+        "percentiles": q_percentiles,
+        "salted_agg": q_salted_agg,
+        "window_frames": q_window_frames,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "fingerprint": q_fingerprint,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "approx_distinct": q_approx_distinct,
     }
 
 
