@@ -55,12 +55,15 @@ HTML_STRIP_STEPS: list[tuple[str, str]] = [
     (r"&amp;", "&"),
     # whitespace normalization: horizontal runs -> one space, strip
     # spaces around newlines, cap blank runs at one empty line, and
-    # strip the edges (trim() only eats spaces, not newlines)
-    (r"[ \t\r\f]+", " "),
+    # strip the edges (trim() only eats spaces, not newlines).
+    # \x0B is listed explicitly: Java's \s matches vertical tab but
+    # RE2's (DuckDB's) does not, so every class here is spelled out
+    # engine-identically to keep the hash-exact cross-engine contract.
+    (r"[ \t\r\f\x0B]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{3,}", "\n\n"),
-    (r"^\s+", ""),
-    (r"\s+$", ""),
+    (r"^[ \t\r\n\f\x0B]+", ""),
+    (r"[ \t\r\n\f\x0B]+$", ""),
 ]
 
 

@@ -140,7 +140,8 @@ def dedup_by_priority(
 
     ``priorities`` maps source name -> rank (higher wins; unknown
     sources get ``default_priority``); ties break to the smallest
-    ``id_col``, so the winner is total and deterministic.  With
+    ``id_col`` (any orderable type — string doc ids included), so the
+    winner is total and deterministic.  With
     ``provenance`` the survivors carry ``n_copies`` (rows merged) and
     ``n_sources`` (distinct sources seen) — the duplication facts
     mixture weighting and dedup audits need.
@@ -169,11 +170,13 @@ def dedup_by_priority(
     prio: Column = F.lit(int(default_priority))
     for name, rank in sorted(priorities.items()):
         prio = F.when(F.col(source_col) == name, F.lit(int(rank))).otherwise(prio)
-    # max_by ordering: (priority asc, id desc) under MAX semantics ->
-    # highest priority, then SMALLEST id (negate the id)
-    ordering = F.struct(prio.alias("p"), (-F.col(id_col)).alias("ni"))
+    # min_by ordering: (-priority, id) under MIN semantics -> highest
+    # priority, then SMALLEST id.  The negation lands on the priority
+    # rank (always a config int), NOT on the id — so string doc ids
+    # order naturally instead of failing at analysis time.
+    ordering = F.struct((-prio).alias("np"), F.col(id_col).alias("i"))
     row = F.struct(*[F.col(c) for c in df.columns])
-    aggs = [F.max_by(row, ordering).alias("__w")]
+    aggs = [F.min_by(row, ordering).alias("__w")]
     if provenance:
         aggs += [
             F.count(F.lit(1)).alias("n_copies"),

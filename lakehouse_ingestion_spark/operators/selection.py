@@ -62,6 +62,7 @@ def token_budget_select(
     key_col: str,
     cum_col: str = "cum_cost",
     num_partitions: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Select the prefix of ``df`` under (score DESC, key ASC) whose
     running ``cost_col`` sum stays <= ``budget``.
@@ -70,9 +71,13 @@ def token_budget_select(
     total INCLUDING the row) — the same frame
     ``SUM(cost) OVER (ORDER BY score DESC, key) <= budget`` yields, but
     with no single-partition window stage.  The returned frame reads
-    from a cached copy of the range exchange; it is materialization-
-    ready (the caller's first action consumes the cache Spark then
-    LRU-manages).
+    from a cached copy of the range exchange; for one-shot batch calls
+    Spark LRU-manages it, but a REPEATED caller (the per-epoch streaming
+    admission) must pass ``cache_registry``: the cached intermediate is
+    appended to it, and the caller unpersists after its consuming action
+    (otherwise a long-running stream accumulates one cached DataFrame
+    per epoch, and evicted-to-disk blocks are never freed until the
+    session ends).
     """
     if budget < 0:
         raise ConfigError(f"budget must be >= 0, got {budget}")
@@ -84,15 +89,24 @@ def token_budget_select(
     order = [F.col(score_col).desc(), F.col(key_col).asc()]
     ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
 
     totals_rows = (
         with_pid.groupBy("_pid")
         .agg(
             F.sum(F.col(cost_col).cast("long")).alias("t"),
             F.min(F.col(cost_col).cast("long")).alias("mn"),
+            F.sum(F.col(cost_col).isNull().cast("long")).alias("nulls"),
         )
         .collect()
     )
+    if any(r["nulls"] for r in totals_rows):
+        with_pid.unpersist()
+        raise ConfigError(
+            f"{cost_col} must be non-null for budget selection "
+            "(NULL costs make the running sum undefined)"
+        )
     if any(r["mn"] is not None and r["mn"] < 0 for r in totals_rows):
         with_pid.unpersist()
         raise ConfigError(f"{cost_col} must be non-negative for budget selection")
@@ -145,6 +159,7 @@ def stratified_budget_select(
     default_budget: int = 0,
     cum_col: str = "cum_cost",
     num_partitions: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-stratum budget selection: within every stratum (domain,
     language, source), keep the (score DESC, key ASC) prefix whose
@@ -192,15 +207,24 @@ def stratified_budget_select(
     ]
     ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+    if cache_registry is not None:
+        cache_registry.append(with_pid)
 
     totals_rows = (
         with_pid.groupBy("_pid", strata_col)
         .agg(
             F.sum(F.col(cost_col).cast("long")).alias("t"),
             F.min(F.col(cost_col).cast("long")).alias("mn"),
+            F.sum(F.col(cost_col).isNull().cast("long")).alias("nulls"),
         )
         .collect()
     )
+    if any(r["nulls"] for r in totals_rows):
+        with_pid.unpersist()
+        raise ConfigError(
+            f"{cost_col} must be non-null for budget selection "
+            "(NULL costs make the running sum undefined)"
+        )
     if any(r["mn"] is not None and r["mn"] < 0 for r in totals_rows):
         with_pid.unpersist()
         raise ConfigError(f"{cost_col} must be non-negative for budget selection")

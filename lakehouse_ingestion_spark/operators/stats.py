@@ -121,6 +121,7 @@ def quantile_buckets(
     partition_by: list[str] | None = None,
     tiebreak: list[str] | None = None,
     bucket_col: str = "q_bucket",
+    max_global_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Assign every row an equal-frequency (quantile) bucket via
     ``ntile(nbuckets)`` ordered by ``value_col``. ``tiebreak`` columns
@@ -128,13 +129,33 @@ def quantile_buckets(
     checkable) when values tie — always pass a unique key.
 
     ntile sorts every partition's rows; with no ``partition_by`` that is
-    a single range-sort of the full table. Fine for Gold-sized frames;
-    for raw-fact scale prefer t-digest edges + ``equi_width_histogram``.
+    a partitionless window — Spark moves EVERY row through ONE task
+    (``WindowExec: No Partition Defined``). Fine for Gold-sized frames;
+    a silent scale-killer on a fact table. So the partitionless path is
+    size-gated by ``max_global_rows`` (same posture as
+    ``semantic_decon``'s ``max_eval`` and ``graph.py``'s broadcast
+    gate): crossing it raises ``ConfigError`` pointing at the scale
+    path — t-digest edges (``operators/sketches.py``) +
+    ``equi_width_histogram`` — instead of letting the single-task sort
+    run. The gating ``count()`` is a scan+agg, cheap relative to the
+    sort it guards; ``max_global_rows=None`` disables the gate for
+    callers that have sized the frame themselves.
     """
     if nbuckets < 1:
         raise ConfigError(f"nbuckets must be >= 1, got {nbuckets}")
     order = [F.col(value_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
-    w = Window.orderBy(*order)
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order)
+    else:
+        if max_global_rows is not None:
+            n = df.count()
+            if n > max_global_rows:
+                raise ConfigError(
+                    f"quantile_buckets without partition_by sorts all {n} "
+                    f"rows in ONE task (> max_global_rows={max_global_rows}). "
+                    "Use t-digest quantile edges (operators/sketches.py) + "
+                    "equi_width_histogram for fact-table scale, pass "
+                    "partition_by, or raise max_global_rows explicitly."
+                )
+        w = Window.orderBy(*order)
     return df.withColumn(bucket_col, F.ntile(nbuckets).over(w))

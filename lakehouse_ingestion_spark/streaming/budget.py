@@ -42,10 +42,23 @@ EPOCH_COL = "_epoch"
 
 
 def _read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
+    """None ONLY when the ledger does not exist yet (first run).
+
+    Any other read failure (object-store hiccup, permissions) must
+    propagate so the micro-batch retries: swallowing it would make the
+    epoch recompute with ``already=0`` — re-admitting up to the full
+    budget and appending a duplicate ledger row for an already-ledgered
+    epoch, silently overrunning the quota.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(ledger_path)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 def spent(spark: SparkSession, ledger_path: str) -> int:
@@ -88,31 +101,45 @@ def admit_epoch(
     n_rows = 0
     batch_cost = 0
     if remaining > 0:
-        admitted = token_budget_select(
-            batch_df, score_col, cost_col, remaining, key_col, cum_col=cum_col
-        )
-        # make the audit column the GLOBAL running total, not batch-local
-        admitted = admitted.withColumn(
-            cum_col, F.col(cum_col) + F.lit(already)
-        ).withColumn(EPOCH_COL, F.lit(epoch_id))
-        from pyspark.sql import Observation
+        # cache_registry: the per-epoch cache must be released after the
+        # write, or a long-running stream leaks one cached DataFrame per
+        # epoch (evicted-to-disk blocks are never freed mid-session)
+        caches: list[DataFrame] = []
+        try:
+            admitted = token_budget_select(
+                batch_df,
+                score_col,
+                cost_col,
+                remaining,
+                key_col,
+                cum_col=cum_col,
+                cache_registry=caches,
+            )
+            # make the audit column the GLOBAL running total, not batch-local
+            admitted = admitted.withColumn(
+                cum_col, F.col(cum_col) + F.lit(already)
+            ).withColumn(EPOCH_COL, F.lit(epoch_id))
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        counted = admitted.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.coalesce(F.sum(F.col(cost_col).cast("long")), F.lit(0)).alias(
-                "cost"
-            ),
-        )
-        (
-            counted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(EPOCH_COL)
-            .parquet(out_path)
-        )
-        n_rows = int(obs.get["rows"])
-        batch_cost = int(obs.get["cost"])
+            obs = Observation()
+            counted = admitted.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum(F.col(cost_col).cast("long")), F.lit(0)).alias(
+                    "cost"
+                ),
+            )
+            (
+                counted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(EPOCH_COL)
+                .parquet(out_path)
+            )
+            n_rows = int(obs.get["rows"])
+            batch_cost = int(obs.get["cost"])
+        finally:
+            for c in caches:
+                c.unpersist()
     spark.createDataFrame(
         [(epoch_id, n_rows, batch_cost, already + batch_cost)],
         "epoch long, rows long, batch_cost long, spent_after long",
