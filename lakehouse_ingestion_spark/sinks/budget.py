@@ -17,6 +17,26 @@ remains (``streaming/budget.admit_epoch`` — ledger-replay-safe).
 Batch: the whole frame is one epoch (``run_epoch`` option, default 0),
 so backfills and streams share the same ledger and the budget holds
 across both.
+
+Per-stratum quotas: add ``strata_col`` plus either a ``budgets``
+mapping (stratum -> budget; ``default_budget`` for missing strata,
+0 = drop) or a uniform ``budget`` int — each stratum then fills its
+OWN quota across batches via a (epoch, stratum) ledger
+(``streaming/budget.admit_epoch_stratified``):
+
+```yaml
+target:
+  format: budget_admit
+  options:
+    path: /data/budget/admitted
+    ledger_path: /data/budget/ledger
+    strata_col: domain
+    budgets: {wiki: 500000000, web: 300000000}
+    default_budget: 0
+    score_col: quality
+    cost_col: n_tokens
+    key_col: doc_id
+```
 """
 
 from __future__ import annotations
@@ -33,18 +53,50 @@ from lakehouse_ingestion_spark.sinks.base import (
 
 def _params(opts: WriteOptions):
     o = opts.options
-    for req in ("ledger_path", "score_col", "cost_col", "budget"):
+    budget_key = "budgets" if "budgets" in o else "budget"
+    for req in ("ledger_path", "score_col", "cost_col", budget_key):
         if req not in o:
             raise ConfigError(f"budget_admit target needs options.{req}")
-    return dict(
+    common = dict(
         out_path=opts.target,
         ledger_path=o["ledger_path"],
         score_col=o["score_col"],
         cost_col=o["cost_col"],
-        budget=int(o["budget"]),
         key_col=o.get("key_col", "doc_id"),
         cum_col=o.get("cum_col", "cum_cost"),
     )
+    if "strata_col" in o:
+        # per-stratum quotas: options.budgets mapping (or a uniform
+        # options.budget int) routed through admit_epoch_stratified
+        raw = o.get("budgets", o.get("budget"))
+        budgets = (
+            {k: int(v) for k, v in raw.items()}
+            if isinstance(raw, dict)
+            else int(raw)
+        )
+        return dict(
+            common,
+            strata_col=o["strata_col"],
+            budgets=budgets,
+            default_budget=int(o.get("default_budget", 0)),
+        )
+    if "budgets" in o:
+        raise ConfigError(
+            "budget_admit options.budgets (per-stratum mapping) requires "
+            "options.strata_col"
+        )
+    return dict(common, budget=int(o["budget"]))
+
+
+def _admit(df: DataFrame, epoch_id: int, opts: WriteOptions) -> None:
+    from lakehouse_ingestion_spark.streaming.budget import (
+        admit_epoch,
+        admit_epoch_stratified,
+    )
+
+    params = _params(opts)
+    fn = admit_epoch_stratified if "strata_col" in params else admit_epoch
+    fn(df, epoch_id, **params)
 
 
 @register_writer("budget_admit")
@@ -52,16 +104,10 @@ class BudgetAdmitWriter(BaseWriter):
     aliases = ["token_budget"]
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
-        from lakehouse_ingestion_spark.streaming.budget import admit_epoch
-
-        admit_epoch(
-            df, int(opts.options.get("run_epoch", 0)), **_params(opts)
-        )
+        _admit(df, int(opts.options.get("run_epoch", 0)), opts)
 
     def write_epoch_batch(
         self, df: DataFrame, opts: WriteOptions, epoch_id: int
     ) -> None:
         """Per-micro-batch entry used by the streaming pipeline."""
-        from lakehouse_ingestion_spark.streaming.budget import admit_epoch
-
-        admit_epoch(df, epoch_id, **_params(opts))
+        _admit(df, epoch_id, opts)

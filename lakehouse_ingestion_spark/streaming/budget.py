@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_ingestion_spark.errors import ConfigError
@@ -169,6 +169,208 @@ def budget_admit_foreach_batch(
             cost_col,
             budget,
             key_col,
+            cum_col=cum_col,
+        )
+
+    return _fn
+
+
+# --------------------------------------------------------------------------
+# Stratified admission: per-stratum (domain / language / source) quotas
+# across micro-batches — the streaming counterpart of
+# ``operators/selection.stratified_budget_select``, batch/stream parity
+# for the green ``domain_budget`` oracle query.
+# --------------------------------------------------------------------------
+
+STRATIFIED_LEDGER_SCHEMA = (
+    "epoch long, stratum string, rows long, batch_cost long, spent_after long"
+)
+
+
+def spent_by_stratum(
+    spark: SparkSession, ledger_path: str
+) -> dict[str | None, int]:
+    """Cost admitted so far PER STRATUM ({} when nothing committed).
+
+    The ledger holds one row per (epoch, stratum touched) — the
+    O(#epochs x #strata-per-batch) shape keeps per-trigger state I/O
+    batch-sized, never corpus-sized, exactly like the global ledger.
+    """
+    led = _read_ledger(spark, ledger_path)
+    if led is None:
+        return {}
+    rows = (
+        led.groupBy("stratum").agg(F.sum("batch_cost").alias("s")).collect()
+    )
+    return {r["stratum"]: int(r["s"] or 0) for r in rows}
+
+
+def admit_epoch_stratified(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    ledger_path: str,
+    strata_col: str,
+    score_col: str,
+    cost_col: str,
+    budgets: dict | int,
+    key_col: str,
+    default_budget: int = 0,
+    cum_col: str = "cum_cost",
+) -> None:
+    """One micro-batch through per-stratum admission: each stratum's
+    best rows fill whatever remains of THAT stratum's budget.
+
+    ``budgets``/``default_budget`` follow
+    :func:`~lakehouse_ingestion_spark.operators.selection.stratified_budget_select`:
+    a dict ``stratum -> budget`` (missing strata get ``default_budget``)
+    or one int applied to every stratum.  NULL strata form their own
+    stratum keyed ``None`` in both the selection and the ledger; the
+    strata column should be string-typed (domains / languages / sources
+    are) — non-string values are ledgered by their string form.
+
+    Replay contract matches :func:`admit_epoch`: data first
+    (epoch-partitioned dynamic overwrite), ledger append after; a
+    ledgered epoch is skipped; a crash between the two recomputes the
+    identical admission (the selection is a pure function of batch
+    content + the ledger-excluded spent map) and overwrites its own
+    partition — convergent.  An epoch that admits nothing still ledgers
+    one ``(epoch, NULL, 0, 0, 0)`` marker row so redelivery skips it.
+    """
+    from lakehouse_ingestion_spark.operators.selection import (
+        stratified_budget_select,
+    )
+
+    spark = batch_df.sparkSession
+    led = _read_ledger(spark, ledger_path)
+    spent_map: dict[str | None, int] = {}
+    if led is not None:
+        if led.filter(F.col("epoch") == epoch_id).count():
+            return  # ledgered epoch: output is committed, skip outright
+        spent_map = {
+            r["stratum"]: int(r["s"] or 0)
+            for r in led.groupBy("stratum")
+            .agg(F.sum("batch_cost").alias("s"))
+            .collect()
+        }
+
+    flat = dict(budgets) if isinstance(budgets, dict) else None
+
+    def budget_of(stratum) -> int:
+        if flat is None:
+            return int(budgets)
+        return int(flat.get(stratum, default_budget))
+
+    # Remaining budget for every stratum named in config OR history;
+    # never-seen strata keep their configured budget via the default.
+    known = set(spent_map) | (set(flat) if flat is not None else set())
+    remaining = {s: max(0, budget_of(s) - spent_map.get(s, 0)) for s in known}
+    eff_default = int(budgets) if flat is None else int(default_budget)
+
+    caches: list[DataFrame] = []
+    try:
+        admitted = stratified_budget_select(
+            batch_df,
+            strata_col,
+            score_col,
+            cost_col,
+            remaining,
+            key_col,
+            default_budget=eff_default,
+            cum_col=cum_col,
+            cache_registry=caches,
+        )
+        # audit column: GLOBAL per-stratum running total, not batch-local
+        adj: Column = F.lit(0).cast("long")
+        for s, v in spent_map.items():
+            if not v:
+                continue
+            cond = (
+                F.col(strata_col).isNull()
+                if s is None
+                else F.col(strata_col).cast("string") == s
+            )
+            adj = F.when(cond, F.lit(int(v)).cast("long")).otherwise(adj)
+        admitted = admitted.withColumn(
+            cum_col, F.col(cum_col) + adj
+        ).withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+        out_schema = admitted.schema
+        (
+            admitted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(out_path)
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
+
+    # Per-stratum ledger stats from the just-written epoch partition —
+    # partition-pruned, so this read is batch-sized.  The explicit schema
+    # keeps the read well-defined when the epoch admitted zero rows.
+    stats = (
+        spark.read.schema(out_schema)
+        .parquet(out_path)
+        .filter(F.col(EPOCH_COL) == epoch_id)
+        .groupBy(F.col(strata_col).cast("string").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.col(cost_col).cast("long")), F.lit(0)).alias(
+                "cost"
+            ),
+        )
+        .collect()
+    )
+    if stats:
+        ledger_rows = [
+            (
+                int(epoch_id),
+                r["stratum"],
+                int(r["rows"]),
+                int(r["cost"]),
+                spent_map.get(r["stratum"], 0) + int(r["cost"]),
+            )
+            for r in stats
+        ]
+    else:
+        ledger_rows = [(int(epoch_id), None, 0, 0, 0)]
+    spark.createDataFrame(ledger_rows, STRATIFIED_LEDGER_SCHEMA).write.mode(
+        "append"
+    ).parquet(ledger_path)
+
+
+def stratified_budget_admit_foreach_batch(
+    out_path: str,
+    ledger_path: str,
+    strata_col: str,
+    score_col: str,
+    cost_col: str,
+    budgets: dict | int,
+    key_col: str,
+    default_budget: int = 0,
+    cum_col: str = "cum_cost",
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function for a stratified admission sink."""
+    if isinstance(budgets, dict):
+        if any(int(b) < 0 for b in budgets.values()):
+            raise ConfigError("all stratum budgets must be >= 0")
+    elif int(budgets) < 0:
+        raise ConfigError(f"budget must be >= 0, got {budgets}")
+    if default_budget < 0:
+        raise ConfigError(f"default_budget must be >= 0, got {default_budget}")
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_epoch_stratified(
+            batch_df,
+            int(epoch_id),
+            out_path,
+            ledger_path,
+            strata_col,
+            score_col,
+            cost_col,
+            budgets,
+            key_col,
+            default_budget=default_budget,
             cum_col=cum_col,
         )
 

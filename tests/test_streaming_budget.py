@@ -206,3 +206,159 @@ def test_streaming_budget_pipeline(spark, tmp_path):
     # batch 1 spends 60; batch 2's best doc takes the last 30
     assert got == {1: 30, 2: 60, 3: 90}
     assert spent(spark, ledger) == 90
+
+
+# ---------------------------------------------------------- stratified
+
+
+def _sbatch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, dom string, score long, n_tokens long"
+    )
+
+
+def _sadmit(spark, tmp, rows, epoch, budgets, default_budget=0):
+    from lakehouse_ingestion_spark.streaming.budget import (
+        admit_epoch_stratified,
+    )
+
+    admit_epoch_stratified(
+        _sbatch(spark, rows), epoch, str(tmp / "out"), str(tmp / "ledger"),
+        "dom", "score", "n_tokens", budgets, "doc_id",
+        default_budget=default_budget,
+    )
+
+
+def test_strata_hit_quotas_at_different_epochs(spark, tmp_path):
+    """Two sources with separate quotas: wiki exhausts in epoch 0, web
+    keeps admitting until epoch 1; epoch 2 is a no-op for both."""
+    from lakehouse_ingestion_spark.streaming.budget import spent_by_stratum
+
+    budgets = {"wiki": 60, "web": 90}
+    _sadmit(spark, tmp_path, [
+        (1, "wiki", 9, 30), (2, "wiki", 8, 30), (3, "wiki", 7, 30),
+        (4, "web", 9, 30),
+    ], 0, budgets)
+    # epoch 0: wiki admits 1+2 (60 = quota), web admits 4 (30 of 90)
+    got0 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got0 == {1, 2, 4}
+    _sadmit(spark, tmp_path, [
+        (5, "wiki", 9, 10),                      # wiki full -> rejected
+        (6, "web", 9, 30), (7, "web", 8, 30),    # web: 60 remain, admits 6
+        (8, "web", 7, 31),                       # then 7; 8 would overflow
+    ], 1, budgets)
+    got1 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got1 == {1, 2, 4, 6, 7}
+    assert spent_by_stratum(spark, str(tmp_path / "ledger")) == {
+        "wiki": 60, "web": 90,
+    }
+    # both quotas full: epoch 2 ledgers a marker, admits nothing
+    _sadmit(spark, tmp_path, [(9, "wiki", 9, 1), (10, "web", 9, 1)], 2, budgets)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
+    led = spark.read.parquet(str(tmp_path / "ledger"))
+    marker = led.filter(F.col("epoch") == 2).collect()
+    assert len(marker) == 1 and marker[0]["rows"] == 0
+
+
+def test_stratified_cum_col_is_global_per_stratum(spark, tmp_path):
+    _sadmit(spark, tmp_path, [(1, "web", 9, 30)], 0, {"web": 100})
+    _sadmit(spark, tmp_path, [(2, "web", 9, 40)], 1, {"web": 100})
+    got = {
+        r["doc_id"]: r["cum_cost"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {1: 30, 2: 70}
+
+
+def test_stratified_redelivery_and_crash_replay_converge(spark, tmp_path):
+    """Ledgered epoch redelivered -> skipped; epoch whose data landed but
+    ledger did not -> recomputed identically and overwritten."""
+    from lakehouse_ingestion_spark.streaming.budget import (
+        admit_epoch_stratified,
+    )
+
+    budgets = {"wiki": 60, "web": 60}
+    rows0 = [(1, "wiki", 9, 40), (2, "web", 9, 40)]
+    _sadmit(spark, tmp_path, rows0, 0, budgets)
+    before = sorted(tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    _sadmit(spark, tmp_path, rows0, 0, budgets)  # redelivery: skipped
+    after = sorted(tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert before == after
+    led = spark.read.parquet(str(tmp_path / "ledger"))
+    assert led.filter(F.col("epoch") == 0).count() == 2  # one row per stratum
+
+    # crash window: epoch 1 data written, ledger row missing -> replay
+    # recomputes the identical admission from the ledger-excluded state
+    rows1 = [(3, "wiki", 9, 20), (4, "web", 9, 20)]
+    _sadmit(spark, tmp_path, rows1, 1, budgets)
+    epoch1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("_epoch") == 1)
+        .collect()
+    )
+    # drop epoch 1's ledger rows to simulate the crash, then replay
+    led_rows = spark.read.parquet(str(tmp_path / "ledger")).filter(
+        F.col("epoch") != 1
+    )
+    led_tmp = str(tmp_path / "ledger2")
+    led_rows.write.parquet(led_tmp)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ledger"))
+    shutil.move(led_tmp, str(tmp_path / "ledger"))
+    _sadmit(spark, tmp_path, rows1, 1, budgets)
+    replay = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("_epoch") == 1)
+        .collect()
+    )
+    assert replay == epoch1
+    assert (
+        spark.read.parquet(str(tmp_path / "ledger"))
+        .filter(F.col("epoch") == 1)
+        .count()
+        == 2
+    )
+
+
+def test_stratified_null_stratum_and_default_budget(spark, tmp_path):
+    rows = [(1, None, 9, 20), (2, "other", 9, 20)]
+    _sadmit(spark, tmp_path, rows, 0, {"wiki": 100}, default_budget=25)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1, 2}  # both fit their 25-token default quotas
+    _sadmit(spark, tmp_path, [(3, None, 9, 10), (4, "other", 9, 4)], 1,
+            {"wiki": 100}, default_budget=25)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1, 2, 4}  # null stratum full (20+10>25); other 20+4<=25
+
+
+def test_stratified_sink_batch_mode(spark, tmp_path):
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions, get_writer
+
+    out = str(tmp_path / "s_out")
+    ledger = str(tmp_path / "s_ledger")
+    w = get_writer("budget_admit")
+    opts = WriteOptions(
+        path=out,
+        options={"ledger_path": ledger, "strata_col": "dom",
+                 "score_col": "score", "cost_col": "n_tokens",
+                 "budgets": {"wiki": 30, "web": 30}, "key_col": "doc_id"},
+    )
+    w.write_batch(
+        _sbatch(spark, [(1, "wiki", 9, 30), (2, "wiki", 8, 30),
+                        (3, "web", 9, 30)]),
+        opts,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="strata_col"):
+        w.write_batch(
+            _sbatch(spark, [(1, "w", 1, 1)]),
+            WriteOptions(path=out, options={
+                "ledger_path": ledger, "score_col": "score",
+                "cost_col": "n_tokens", "budgets": {"w": 5}}),
+        )
