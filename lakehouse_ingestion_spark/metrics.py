@@ -42,8 +42,25 @@ class ObservedMetrics:
         return cls(observation=obs, df=observed)
 
     def get(self) -> dict[str, float]:
-        """Blocks until an action has run on the observed DataFrame."""
-        return dict(self.observation.get)
+        """Blocks until an action has run on the observed DataFrame.
+
+        Returns {} when the observation completed with no metrics: AQE's
+        empty-relation propagation can prove the observed frame empty and
+        eliminate the CollectMetricsExec node from the physical plan
+        entirely (e.g. an empty frame through a shuffle-backed sink), in
+        which case the ObservationManager completes the observation with
+        a schema-less ``Row.empty`` that py4j's toPyRow cannot convert —
+        an empty write must report "no metrics", not crash the job.
+        """
+        try:
+            return dict(self.observation.get)
+        except Exception:
+            jo = getattr(self.observation, "_jo", None)
+            if jo is not None:
+                ropt = jo.getRowOrEmpty()
+                if ropt.isDefined() and ropt.get().length() == 0:
+                    return {}
+            raise
 
 
 def row_count_metrics(df: DataFrame, name: str = "ingest") -> ObservedMetrics:

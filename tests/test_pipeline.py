@@ -1279,3 +1279,72 @@ def test_export_train_chain_end_to_end(spark, registry, tmp_path):
     assert set(rows) == {2, 3, 4}
     assert {r["shard"] is not None for r in rows.values()} == {True}
     assert glob.glob(os.path.join(out, "shard=*"))
+
+
+def test_shipped_curate_split_export_config_runs_end_to_end(
+    spark, registry, tmp_path
+):
+    """configs/curate-split-export.yaml: the composed chain quality ->
+    sticky leakage-safe split (quarantine_eval) -> per-split budget ->
+    shards, config-only.  Seeds a legacy state that split a near-dup
+    pair across train/test so the run hits a real cluster conflict, then
+    asserts the quarantined cluster NEVER reaches val/test shards."""
+    import glob
+    import os
+
+    import yaml
+
+    with open("configs/curate-split-export.yaml") as f:
+        raw = yaml.safe_load(f)
+
+    # stopword-bearing text: the quality gate's stopword rule must pass
+    base = " ".join(f"the token{i} of filler{i}" for i in range(15))
+    docs = [(1, base + " same"), (2, base + " tail")]  # near-dup pair
+    docs += [
+        (i, " ".join(f"the unique{i}w{j} of body{i}x{j}" for j in range(12)))
+        for i in range(3, 9)
+    ]
+    src = tmp_path / "raw.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "source": "crawl"})
+            for i, t in docs
+        )
+    )
+    state = str(tmp_path / "state")
+    audit_p = str(tmp_path / "audit")
+    out = str(tmp_path / "shards")
+    # legacy assigner split the near-dup pair across train/test
+    spark.createDataFrame(
+        [(1, "train"), (2, "test")], "doc_id long, split string"
+    ).write.parquet(f"{state}/assignments")
+
+    job = raw["jobs"][0]
+    job["source"]["options"]["path"] = str(src)
+    job["target"]["options"]["path"] = out
+    job["target"]["options"]["n_shards"] = 4
+    for t in job["transforms"]:
+        if t["op"] == "leakage_safe_split":
+            t["assignments_path"] = f"{state}/assignments"
+            t["audit_path"] = audit_p
+    cfg = parse_config(raw, registry)
+    Pipeline(spark, cfg, registry=registry).run()
+
+    back = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert set(rows) == set(range(1, 9))  # budgets fit everything
+    assert glob.glob(os.path.join(out, "shard=*"))
+    # the conflicted cluster was audited and quarantined into train
+    audit = spark.read.parquet(audit_p)
+    conflicted = {
+        r["doc_id"]
+        for r in audit.filter(audit.reason == "cluster_conflict").collect()
+    }
+    assert conflicted == {1, 2}
+    eval_docs = {
+        i for i, r in rows.items() if r["split"] in ("val", "test")
+    }
+    assert not (conflicted & eval_docs), "quarantined docs leaked into eval"
+    assert rows[1]["split"] == rows[2]["split"] == "train"
+    # each survivor carries its per-split running budget total
+    assert all(r["cum_cost"] >= r["n_tokens"] for r in rows.values())

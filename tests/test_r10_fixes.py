@@ -23,6 +23,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_ingestion_spark.errors import ConfigError
+from lakehouse_ingestion_spark.schema_registry import SchemaRegistry
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    return SchemaRegistry(tmp_path / "schemas")
 
 
 # ---------------------------------------------------------------- stats gate
@@ -222,3 +228,65 @@ def test_vertical_tab_cross_engine_parity(spark):
         f"SELECT {_duck_html_chain(_duck_lit(page))}"
     ).fetchone()[0]
     assert spark_out == duck_out == "lead ing"
+
+
+# ------------------------------------------------- empty-write metrics
+
+
+def test_observed_metrics_survive_aqe_empty_elimination(spark, tmp_path):
+    """AQE's empty-relation propagation can eliminate CollectMetricsExec
+    when the observed frame is provably empty and rides a shuffle-backed
+    sink — the observation then completes with a schema-less Row.empty.
+    ObservedMetrics.get must report {} (rows unknown/none), not crash."""
+    from lakehouse_ingestion_spark.metrics import ObservedMetrics
+    from lakehouse_ingestion_spark.operators.export import export_shards
+
+    empty = spark.createDataFrame([], "doc_id long, text string").filter(
+        "doc_id > 0"
+    )
+    obs = ObservedMetrics.attach(empty, "r10:empty", {"rows": F.count(F.lit(1))})
+    export_shards(obs.df, str(tmp_path / "s"), "doc_id", 4)
+    import time
+
+    time.sleep(1)  # observation completes on the async listener bus
+    assert obs.get() == {}
+
+
+def test_pipeline_empty_write_reports_zero_rows(spark, registry, tmp_path):
+    """A pipeline job whose transforms drop every row must complete with
+    rows_written=0 through the shards sink, not die in metrics.get."""
+    import json as _json
+
+    from lakehouse_ingestion_spark.config import parse_config
+    from lakehouse_ingestion_spark.pipeline import Pipeline
+
+    src = tmp_path / "raw.jsonl"
+    src.write_text(_json.dumps({"doc_id": 1, "text": "too short"}))
+    cfg = parse_config(
+        {
+            "env": "test",
+            "jobs": [
+                {
+                    "name": "drops-everything",
+                    "source_system": "t",
+                    "source": {
+                        "type": "json",
+                        "options": {"path": str(src), "format": "json"},
+                    },
+                    "transforms": [
+                        {"op": "quality_filter", "min_tokens": 30,
+                         "keep_only": True},
+                    ],
+                    "target": {
+                        "format": "shards",
+                        "options": {"path": str(tmp_path / "s"),
+                                    "mode": "overwrite",
+                                    "key_col": "doc_id", "n_shards": 2},
+                    },
+                }
+            ],
+        },
+        registry,
+    )
+    results = Pipeline(spark, cfg, registry=registry).run()
+    assert results[0].rows_written == 0
