@@ -1600,6 +1600,68 @@ def bench_setups() -> dict[str, Callable[[SparkSession, str], None]]:
     }
 
 
+# --------------------------------------------------------------------------
+# round-10 additions: multi-query BM25 retrieval, per-eval-example
+# contamination audit, time-window event dedup
+# --------------------------------------------------------------------------
+
+#: config-sized retrieval query set for q_bm25_topk (terms drawn from the
+#: synthetic corpus vocabulary; shared with the oracle VALUES list)
+BM25_QUERY_SET = [
+    (1, "spark table"),
+    (2, "hash join merge"),
+    (3, "stream window batch"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-10 retrieval (operators/retrieval.py): ONE
+    corpus pass scores the whole query set — query terms collected once
+    (size-gated), corpus tokens pruned to the query vocabulary inside
+    the explode generator, (query_id, term) broadcast-joined, per-query
+    rank window. Scores round to 6dp BEFORE ranking so the rank order
+    is cross-engine stable (same tolerance the bm25 query proves)."""
+    from lakehouse_ingestion_spark.operators.retrieval import bm25_search
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    q = spark.createDataFrame(BM25_QUERY_SET, "query_id long, query string")
+    return bm25_search(d, q, k=10)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-example contamination audit (operators/decontaminate.py
+    contamination_report): the GPT-3-style report from the BENCHMARK
+    side — for every eval example (doc_id % 53 = 0, the decontaminate
+    query's split), how many training docs collide, how many cross the
+    dirty threshold, and the worst single-doc overlap. Broadcast
+    eval-side n-grams, ONE corpus explode, collision-bounded aggregate."""
+    from lakehouse_ingestion_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    ev = d.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    train = d.filter("doc_id % 53 <> 0")
+    return contamination_report(train, ev)
+
+
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window event dedup (operators/dedup.py event_window_dedup):
+    drop events repeating their (user, type) key within 600 s of the
+    previous occurrence — retry/double-fire suppression. Lag-based
+    (predecessor in (ts, event_id) order), ONE hash exchange on the key,
+    no global window."""
+    from lakehouse_ingestion_spark.operators.dedup import event_window_dedup
+
+    e = ensure_parallelism(_t(spark, sf_dir, "events"))
+    out = event_window_dedup(
+        e, ["user_id", "event_type"], "ts", 600, tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is mechanized: tools/rotate_registry.py orders entries
     # by last-driver-hashed round (CORRECTNESS_r*.json) so the driver's
@@ -1610,6 +1672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (text/ann/TPC-H tail families) + the oldest 16 of the r08 cohort;
     # the r09-hashed set (all 50 green last round) rides at the tail.
     return {
+        # --- never hashed (new r10) ---
+        "bm25_topk": q_bm25_topk,
+        "contamination": q_contamination,
+        "event_dedup": q_event_dedup,
         # --- last hashed: green r07 ---
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
@@ -6527,6 +6593,72 @@ SELECT d.doc_id,
        coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
        per.novel::DOUBLE / per.n_shingles AS novelty
 FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+    qs["bm25_topk"] = r"""
+WITH q(query_id, term) AS (VALUES (1,'spark'),(1,'table'),(2,'hash'),(2,'join'),(2,'merge'),(3,'stream'),(3,'window'),(3,'batch')),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark','table','hash','join','merge','stream','window','batch') GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+),
+st AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+               6) AS score
+  FROM tf JOIN dfq USING (term) JOIN q USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN st CROSS JOIN ad
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk
+FROM sc
+QUALIFY rk <= 10
+"""
+
+    qs["contamination"] = (
+        "WITH "
+        + _duck_shingles_cte()
+        + """,
+ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM sh_t WHERE doc_id % 53 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t WHERE doc_id % 53 <> 0),
+pd AS (SELECT ev.eval_id, tr.doc_id, count(*) AS n_overlap
+       FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+rl AS (SELECT eval_id,
+              sum(CASE WHEN n_overlap >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dirty_docs,
+              count(*)::BIGINT AS n_hit_docs,
+              max(n_overlap)::BIGINT AS max_overlap
+       FROM pd GROUP BY 1)
+SELECT d.doc_id AS eval_id,
+       coalesce(rl.n_dirty_docs, 0)::BIGINT AS n_dirty_docs,
+       coalesce(rl.n_hit_docs, 0)::BIGINT AS n_hit_docs,
+       coalesce(rl.max_overlap, 0)::BIGINT AS max_overlap
+FROM documents d LEFT JOIN rl ON d.doc_id = rl.eval_id
+WHERE d.doc_id % 53 = 0
+"""
+    )
+
+    qs["event_dedup"] = r"""
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM w WHERE gap IS NULL OR gap >= 600
 """
 
     return qs

@@ -72,3 +72,75 @@ def decontaminate(
             ),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 3,
+    threshold: int = 2,
+) -> DataFrame:
+    """Per EVAL EXAMPLE contamination audit — the other direction of
+    :func:`decontaminate` (GPT-3 appendix C reports contamination per
+    benchmark, not per training doc): for each eval example, how many
+    training documents collide with it and how badly.
+
+    Returns one row per eval example:
+
+    - ``n_dirty_docs``: training docs sharing >= ``threshold`` distinct
+      n-grams with THIS example (the docs a clean-eval rerun would drop);
+    - ``n_hit_docs``: training docs sharing >= 1 n-gram (the loose
+      upper bound reviewers ask about);
+    - ``max_overlap``: the worst single document's distinct-n-gram
+      overlap with this example — "is this a verbatim copy or a stock
+      phrase?".
+
+    Every eval example appears (zeros when clean): a hygiene report that
+    silently drops clean rows cannot certify the benchmark.
+
+    Scale: identical asymmetry to :func:`decontaminate` — the
+    per-example n-gram frame is eval-sized and broadcasts; the corpus is
+    exploded ONCE and hash-joined map-side; the (eval_id, doc) overlap
+    aggregate is bounded by actual collisions, and the final per-example
+    rollup is eval-sized.  Nothing scales with |eval| x |train|.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    ev = F.broadcast(
+        eval_df.select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode(shingles(text_col, n)).alias("shingle"),
+        ).distinct()
+    )
+    per_doc = (
+        train.select(id_col, F.explode(shingles(text_col, n)).alias("shingle"))
+        .join(ev, "shingle")
+        .groupBy("eval_id", id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rolled = per_doc.groupBy("eval_id").agg(
+        F.sum((F.col("n_overlap") >= threshold).cast("long")).alias(
+            "n_dirty_docs"
+        ),
+        F.count(F.lit(1)).alias("n_hit_docs"),
+        F.max("n_overlap").alias("max_overlap"),
+    )
+    return (
+        eval_df.select(F.col(eval_id_col).alias("eval_id"))
+        .join(rolled, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_dirty_docs", F.lit(0).cast("long")).alias(
+                "n_dirty_docs"
+            ),
+            F.coalesce("n_hit_docs", F.lit(0).cast("long")).alias(
+                "n_hit_docs"
+            ),
+            F.coalesce("max_overlap", F.lit(0).cast("long")).alias(
+                "max_overlap"
+            ),
+        )
+    )

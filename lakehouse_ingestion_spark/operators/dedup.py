@@ -187,3 +187,48 @@ def dedup_by_priority(
     if provenance:
         cols += [F.col("n_copies"), F.col("n_sources")]
     return out.select(*cols)
+
+
+def event_window_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Drop events that repeat their key within ``min_gap_seconds`` of
+    the PREVIOUS same-key event — double-click suppression, retry
+    collapse, at-least-once delivery cleanup over event streams landed
+    in batch.
+
+    Semantics are lag-based (each event compares to its immediate
+    predecessor in (ts, tiebreak) order), not debounce-chained (compare
+    to the last KEPT event): lag is a pure window expression both Spark
+    and a SQL oracle evaluate identically, while the chained form is
+    inherently sequential state.  A burst of N rapid-fire duplicates
+    keeps only the first when gaps are all short, same as debounce; the
+    two differ only when gaps straddle the threshold — document the
+    choice, don't hide it.
+
+    Scale: ONE hash exchange on ``key_cols`` + per-key sort — the same
+    shape as ``dedup_latest_by_key``; no global window, no self-join.
+    ``tiebreak`` columns make the within-key order total (pass an event
+    id) so results are deterministic under equal timestamps.
+    """
+    if min_gap_seconds <= 0:
+        raise ValueError(
+            f"min_gap_seconds must be positive, got {min_gap_seconds}"
+        )
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_ok = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev_ts.cast("double")
+            >= F.lit(float(min_gap_seconds))
+        )
+    )
+    return df.withColumn("__keep", gap_ok).filter("__keep").drop("__keep")

@@ -1,0 +1,182 @@
+"""Round-10 additions: bm25_search (multi-query top-k retrieval),
+contamination_report (per-eval-example audit), event_window_dedup
+(time-window event dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+
+
+# ------------------------------------------------------------ bm25_search
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark joins tables with spark sql"),
+            (2, "duckdb runs sql on parquet tables"),
+            (3, "spark spark spark streaming"),
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(10, "spark sql"), (20, "parquet tables"), (30, "zebra")],
+        "query_id long, query string",
+    )
+
+
+def test_bm25_search_topk_per_query(spark):
+    from lakehouse_ingestion_spark.operators.retrieval import bm25_search
+
+    out = bm25_search(_corpus(spark), _queries(spark), k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # every query returns <= k ranked rows; ranks are 1..n
+    for q, rows in by_q.items():
+        assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= 2
+    # "spark sql": doc 1 hits both terms -> rank 1
+    top10 = min(by_q[10], key=lambda r: r["rk"])
+    assert top10["doc_id"] == 1
+    # "parquet tables": doc 2 hits both -> rank 1
+    top20 = min(by_q[20], key=lambda r: r["rk"])
+    assert top20["doc_id"] == 2
+    # "zebra" matches nothing -> absent
+    assert 30 not in by_q
+
+
+def test_bm25_search_matches_single_query_bm25(spark):
+    """For one query, bm25_search must score identically to the
+    single-query text_ranking.bm25 (same idf/norm algebra)."""
+    from lakehouse_ingestion_spark.operators.retrieval import bm25_search
+    from lakehouse_ingestion_spark.operators.text_ranking import bm25
+
+    docs = _corpus(spark)
+    single = {
+        r["doc_id"]: r["score"]
+        for r in bm25(docs, ["spark", "sql"]).collect()
+    }
+    q = spark.createDataFrame([(1, "spark sql")], "query_id long, query string")
+    multi = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(docs, q, k=10).collect()
+    }
+    assert multi == pytest.approx(single)
+
+
+def test_bm25_search_gates_and_empty(spark):
+    from lakehouse_ingestion_spark.operators.retrieval import bm25_search
+
+    with pytest.raises(ConfigError, match="k must"):
+        bm25_search(_corpus(spark), _queries(spark), k=0)
+    with pytest.raises(ConfigError, match="max_query_terms"):
+        bm25_search(
+            _corpus(spark), _queries(spark), k=2, max_query_terms=2
+        )
+    empty_q = spark.createDataFrame([], "query_id long, query string")
+    assert bm25_search(_corpus(spark), empty_q).count() == 0
+
+
+# ---------------------------------------------------- contamination_report
+
+
+def test_contamination_report_per_eval_example(spark):
+    from lakehouse_ingestion_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat still"),
+            (3, "completely unrelated content lives here today"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),
+            (200, "no overlap with anything whatsoever"),
+        ],
+        "eval_id long, text string",
+    )
+    out = {r["eval_id"]: r for r in contamination_report(train, ev).collect()}
+    # eval 100: docs 1 and 2 share its 3-grams; doc 1 shares 3 of them
+    # ("the quick brown", "quick brown fox", "brown fox jumps"), doc 2
+    # shares 2 -> both dirty at threshold 2
+    assert out[100]["n_dirty_docs"] == 2
+    assert out[100]["n_hit_docs"] == 2
+    assert out[100]["max_overlap"] == 3
+    # clean eval example still reported, all zeros
+    assert out[200]["n_dirty_docs"] == 0
+    assert out[200]["n_hit_docs"] == 0
+    assert out[200]["max_overlap"] == 0
+
+
+def test_contamination_report_threshold(spark):
+    from lakehouse_ingestion_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox sat still")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "eval_id long, text string"
+    )
+    strict = {
+        r["eval_id"]: r
+        for r in contamination_report(train, ev, threshold=3).collect()
+    }
+    # doc 1 shares exactly 2 shingles -> hit but not dirty at threshold 3
+    assert strict[100]["n_hit_docs"] == 1
+    assert strict[100]["n_dirty_docs"] == 0
+    with pytest.raises(ValueError, match="threshold"):
+        contamination_report(train, ev, threshold=0)
+
+
+# ----------------------------------------------------- event_window_dedup
+
+
+def test_event_window_dedup_drops_rapid_repeats(spark):
+    from lakehouse_ingestion_spark.operators.dedup import event_window_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 100.0, 1),
+            (1, "click", 102.0, 2),   # 2s after prev -> dropped
+            (1, "click", 109.0, 3),   # 7s after prev -> kept
+            (1, "view", 101.0, 4),    # different key -> kept
+            (2, "click", 100.5, 5),   # different user -> kept
+        ],
+        "user_id long, event_type string, ts double, event_id long",
+    )
+    out = event_window_dedup(
+        df, ["user_id", "event_type"], "ts", 5, tiebreak=["event_id"]
+    )
+    assert {r["event_id"] for r in out.collect()} == {1, 3, 4, 5}
+
+
+def test_event_window_dedup_burst_keeps_first_only(spark):
+    from lakehouse_ingestion_spark.operators.dedup import event_window_dedup
+
+    rows = [(1, "c", 100.0 + i, i) for i in range(5)]  # 1s apart burst
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts double, event_id long"
+    )
+    out = event_window_dedup(
+        df, ["user_id", "event_type"], "ts", 5, tiebreak=["event_id"]
+    )
+    assert {r["event_id"] for r in out.collect()} == {0}
+    with pytest.raises(ValueError, match="min_gap_seconds"):
+        event_window_dedup(df, ["user_id"], "ts", 0)
