@@ -128,9 +128,12 @@ def contamination_report(
         F.count(F.lit(1)).alias("n_hit_docs"),
         F.max("n_overlap").alias("max_overlap"),
     )
+    # both sides of the presentation join are eval-sized; broadcasting
+    # the rollup keeps the join shuffle-free (the statistics are opaque
+    # to Catalyst behind the aggregate, so hint it)
     return (
         eval_df.select(F.col(eval_id_col).alias("eval_id"))
-        .join(rolled, "eval_id", "left")
+        .join(F.broadcast(rolled), "eval_id", "left")
         .select(
             "eval_id",
             F.coalesce("n_dirty_docs", F.lit(0).cast("long")).alias(
