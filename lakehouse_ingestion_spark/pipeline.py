@@ -671,6 +671,56 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
         if o.get("drop_contaminated", False):
             return out.filter(~F.col("contaminated"))
         return out
+    if op == "bm25_search":
+        # multi-query BM25 top-k retrieval; `queries` is a config-sized
+        # mapping query_id -> query text (one corpus pass for the set)
+        from lakehouse_ingestion_spark.operators.retrieval import bm25_search
+
+        qmap = o["queries"]
+        q_df = df.sparkSession.createDataFrame(
+            [(int(k), str(v)) for k, v in dict(qmap).items()],
+            "query_id long, query string",
+        )
+        return bm25_search(
+            df,
+            q_df,
+            k=int(o.get("k", 10)),
+            id_col=o.get("id_col", "doc_id"),
+            text_col=o.get("text_col", "text"),
+            k1=float(o.get("k1", 1.2)),
+            b=float(o.get("b", 0.75)),
+            max_query_terms=int(o.get("max_query_terms", 100_000)),
+        )
+    if op == "contamination_report":
+        # per-eval-example contamination audit; eval set read from
+        # parquet (small by contract — the n-gram frame broadcasts)
+        from lakehouse_ingestion_spark.operators.decontaminate import (
+            contamination_report,
+        )
+
+        ev = df.sparkSession.read.parquet(o["eval_path"])
+        return contamination_report(
+            df,
+            ev,
+            text_col=o.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
+            eval_id_col=o.get("eval_id_col", "eval_id"),
+            n=int(o.get("n", 3)),
+            threshold=int(o.get("threshold", 2)),
+        )
+    if op == "event_window_dedup":
+        # time-window event dedup: drop same-key repeats within the gap
+        from lakehouse_ingestion_spark.operators.dedup import (
+            event_window_dedup,
+        )
+
+        return event_window_dedup(
+            df,
+            list(o["keys"]),
+            o.get("ts_col", "ts"),
+            int(o["min_gap_seconds"]),
+            tiebreak=list(o.get("tiebreak", []) or []) or None,
+        )
     if op == "stratified_budget_select":
         # per-stratum budgets ("fill each domain's token quota") —
         # `budgets` is a config mapping stratum -> budget, or one int

@@ -180,3 +180,37 @@ def test_event_window_dedup_burst_keeps_first_only(spark):
     assert {r["event_id"] for r in out.collect()} == {0}
     with pytest.raises(ValueError, match="min_gap_seconds"):
         event_window_dedup(df, ["user_id"], "ts", 0)
+
+
+# --------------------------------------------------------- pipeline ops
+
+
+def test_pipeline_ops_for_r10_operators(spark, tmp_path):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    docs = _corpus(spark)
+    out = apply_transform(
+        docs, "bm25_search", {"queries": {10: "spark sql"}, "k": 2}
+    )
+    assert {r["query_id"] for r in out.collect()} == {10}
+
+    ev = spark.createDataFrame(
+        [(100, "spark joins tables")], "eval_id long, text string"
+    )
+    ev.write.parquet(str(tmp_path / "ev"))
+    rep = apply_transform(
+        docs, "contamination_report", {"eval_path": str(tmp_path / "ev")}
+    )
+    assert rep.count() == 1
+
+    events = spark.createDataFrame(
+        [(1, "c", 100.0, 1), (1, "c", 101.0, 2)],
+        "user_id long, event_type string, ts double, event_id long",
+    )
+    kept = apply_transform(
+        events,
+        "event_window_dedup",
+        {"keys": ["user_id", "event_type"], "ts_col": "ts",
+         "min_gap_seconds": 5, "tiebreak": ["event_id"]},
+    )
+    assert {r["event_id"] for r in kept.collect()} == {1}
