@@ -1662,6 +1662,22 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing via the AGGREGATION path
+    (operators/stats.py quantile_buckets_agg) — the scale companion the
+    quantile_buckets gate routes to: per-lang quartile edges from ONE
+    exact-percentile aggregate (sort-based partials, distributed),
+    broadcast back, bucket assignment as a comparison projection. No
+    partitionless window anywhere; n_chars is integer-valued so the
+    interpolated edges agree bit-for-bit with the oracle's
+    quantile_cont."""
+    from lakehouse_ingestion_spark.operators.stats import quantile_buckets_agg
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    out = quantile_buckets_agg(d, "n_chars", 4, partition_by=["lang"])
+    return out.select("doc_id", "lang", "n_chars", "q_bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is mechanized: tools/rotate_registry.py orders entries
     # by last-driver-hashed round (CORRECTNESS_r*.json) so the driver's
@@ -1676,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "contamination": q_contamination,
         "event_dedup": q_event_dedup,
+        "quantile_agg": q_quantile_agg,
         # --- last hashed: green r07 ---
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
@@ -6659,6 +6676,21 @@ WITH w AS (
 )
 SELECT event_id, user_id, event_type
 FROM w WHERE gap IS NULL OR gap >= 600
+"""
+
+    qs["quantile_agg"] = r"""
+WITH e AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, 0.25), 6) AS e0,
+         round(quantile_cont(n_chars, 0.50), 6) AS e1,
+         round(quantile_cont(n_chars, 0.75), 6) AS e2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN d.n_chars IS NULL THEN NULL
+            ELSE 1 + (d.n_chars > e0)::INT + (d.n_chars > e1)::INT
+                   + (d.n_chars > e2)::INT END::INT AS q_bucket
+FROM documents d JOIN e USING (lang)
 """
 
     return qs

@@ -153,9 +153,72 @@ def quantile_buckets(
                 raise ConfigError(
                     f"quantile_buckets without partition_by sorts all {n} "
                     f"rows in ONE task (> max_global_rows={max_global_rows}). "
-                    "Use t-digest quantile edges (operators/sketches.py) + "
-                    "equi_width_histogram for fact-table scale, pass "
-                    "partition_by, or raise max_global_rows explicitly."
+                    "Use quantile_buckets_agg (exact percentile edges + "
+                    "broadcast assignment — no global sort) or t-digest "
+                    "edges (operators/sketches.py) for fact-table scale, "
+                    "pass partition_by, or raise max_global_rows explicitly."
                 )
         w = Window.orderBy(*order)
     return df.withColumn(bucket_col, F.ntile(nbuckets).over(w))
+
+
+def quantile_buckets_agg(
+    df: DataFrame,
+    value_col: str,
+    nbuckets: int,
+    partition_by: list[str] | None = None,
+    bucket_col: str = "q_bucket",
+    edge_round: int | None = 6,
+) -> DataFrame:
+    """Equal-frequency bucketing at fact-table scale: the bucket edges
+    come from ONE exact-``percentile`` aggregation (sort-based partials
+    — distributed, combinable), broadcast back, and every row's bucket
+    is a pure comparison projection.  This is the scale path the
+    :func:`quantile_buckets` gate points at — no partitionless window,
+    no single-task sort; the only exchange is the (tiny) per-group edge
+    aggregate.
+
+    Semantics are VALUE-based: bucket k holds rows with
+    ``edge[k-1] < value <= edge[k]`` (edge[0] = -inf).  Equal values
+    always land in the same bucket — unlike ``ntile``, which splits ties
+    across buckets by row position to force exactly equal counts.  On
+    tie-free data the two agree; on heavy ties value-based is usually
+    what analysis wants (a value should not straddle buckets).
+
+    ``edge_round`` rounds interpolated edges (6dp default) so the
+    assignment comparisons are stable across engines — exact linear
+    interpolation agrees bit-for-bit on integer-valued columns, and
+    rounding absorbs last-ulp drift on float columns.  NULL values get
+    a NULL bucket (they are excluded from the edges, as percentile
+    ignores nulls in both engines).
+    """
+    if nbuckets < 1:
+        raise ConfigError(f"nbuckets must be >= 1, got {nbuckets}")
+    probs = [i / nbuckets for i in range(1, nbuckets)]  # internal edges
+    if not probs:  # nbuckets == 1
+        return df.withColumn(
+            bucket_col,
+            F.when(F.col(value_col).isNotNull(), F.lit(1)).cast("int"),
+        )
+    def edge(p: float, i: int) -> Column:
+        e = F.percentile(F.col(value_col), F.lit(p))
+        if edge_round is not None:
+            e = F.round(e, edge_round)
+        return e.alias(f"__e{i}")
+
+    edge_exprs = [edge(p, i) for i, p in enumerate(probs)]
+    if partition_by:
+        edges = df.groupBy(*partition_by).agg(*edge_exprs)
+        joined = df.join(F.broadcast(edges), partition_by, "left")
+    else:
+        edges = df.agg(*edge_exprs)
+        joined = df.crossJoin(F.broadcast(edges))  # 1-row scalar attach
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + (
+            F.col(value_col).cast("double") > F.col(f"__e{i}")
+        ).cast("int")
+    return joined.withColumn(
+        bucket_col,
+        F.when(F.col(value_col).isNotNull(), bucket).cast("int"),
+    ).drop(*[f"__e{i}" for i in range(len(probs))])

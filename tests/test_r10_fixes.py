@@ -290,3 +290,57 @@ def test_pipeline_empty_write_reports_zero_rows(spark, registry, tmp_path):
     )
     results = Pipeline(spark, cfg, registry=registry).run()
     assert results[0].rows_written == 0
+
+
+# ------------------------------------------------- quantile_buckets_agg
+
+
+def test_quantile_buckets_agg_matches_ntile_on_tie_free_data(spark):
+    """On tie-free values the aggregation path and ntile agree."""
+    from lakehouse_ingestion_spark.operators.stats import (
+        quantile_buckets,
+        quantile_buckets_agg,
+    )
+
+    df = _val_frame(spark, 80)  # v = id*7 % 97 over 80 ids: tie-free
+    a = {
+        r["k"]: r["q_bucket"]
+        for r in quantile_buckets(df, "v", 4, tiebreak=["k"]).collect()
+    }
+    b = {
+        r["k"]: r["q_bucket"]
+        for r in quantile_buckets_agg(df, "v", 4).collect()
+    }
+    assert a == b
+
+
+def test_quantile_buckets_agg_no_window_in_plan(spark):
+    from lakehouse_ingestion_spark.operators.stats import quantile_buckets_agg
+    from lakehouse_ingestion_spark.plans import audit
+
+    df = _val_frame(spark, 1000).withColumn("g", F.col("k") % 3)
+    a = audit(quantile_buckets_agg(df, "v", 4, partition_by=["g"]))
+    plan = a.summary() if hasattr(a, "summary") else ""
+    # the whole point: broadcast edge join, no Window/ntile stage
+    assert a.broadcast_exchanges >= 1
+    assert "Window" not in (plan or "")
+
+
+def test_quantile_buckets_agg_ties_and_nulls(spark):
+    from lakehouse_ingestion_spark.operators.stats import quantile_buckets_agg
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 9), (5, None)],
+        "k long, v long",
+    )
+    out = {r["k"]: r["q_bucket"] for r in quantile_buckets_agg(df, "v", 2).collect()}
+    # equal values never straddle buckets; NULL -> NULL bucket
+    assert out[1] == out[2] == out[3]
+    assert out[5] is None
+
+
+def test_quantile_buckets_agg_single_bucket(spark):
+    from lakehouse_ingestion_spark.operators.stats import quantile_buckets_agg
+
+    out = quantile_buckets_agg(_val_frame(spark, 10), "v", 1)
+    assert {r["q_bucket"] for r in out.collect()} == {1}
