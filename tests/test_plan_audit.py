@@ -645,3 +645,49 @@ def test_random_proj_map_only_single_arrow_stage(spark, entrymod):
     a = audit(df)
     assert a.joins == {}
     assert sum(a.python_stages.values()) == 1
+
+
+def test_bm25_topk_broadcast_fanout_no_sortmerge(spark, entrymod):
+    """Multi-query retrieval: the (query_id, term) fan-out and the 1-row
+    corpus stats both broadcast — no sort-merge join keyed wider than
+    (doc, term) anywhere; the BroadcastNestedLoop is the 1-row
+    scalar-attach idiom."""
+    df = entrymod.queries()["bm25_topk"](spark, SF_DIR)
+    a = audit(df)
+    assert "SortMergeJoin" not in a.joins
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert sum(a.python_stages.values()) == 0
+
+
+def test_contamination_broadcast_both_joins(spark, entrymod):
+    """Per-eval-example audit: the eval shingle join AND the eval-sized
+    rollup presentation join are both BroadcastHash (the rollup hides
+    its stats behind an aggregate, so the explicit hint matters)."""
+    df = entrymod.queries()["contamination"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins.get("BroadcastHashJoin", 0) == 2
+    assert "SortMergeJoin" not in a.joins
+    assert "CartesianProduct" not in a.joins
+
+
+def test_event_dedup_keyed_window_only(spark, entrymod):
+    """Time-window dedup: ONE keyed lag window, no joins, no
+    partitionless window (the WindowExec warning class the
+    quantile_buckets gate exists for)."""
+    df = entrymod.queries()["event_dedup"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(user_id" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "user_id" in plan  # keyed, not global
+
+
+def test_quantile_agg_no_window_broadcast_edges(spark, entrymod):
+    """Aggregation-path bucketing: zero Window nodes, edges attach via
+    BroadcastHash."""
+    df = entrymod.queries()["quantile_agg"](spark, SF_DIR)
+    a = audit(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert a.joins.get("BroadcastHashJoin", 0) == 1
