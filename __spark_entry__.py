@@ -1680,6 +1680,19 @@ def q_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "q_bucket")
 
 
+def q_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum nucleus (top-p) selection (operators/selection.py
+    top_p_select): keep each lang's largest docs until they cover half
+    the lang's total n_chars mass — the share-based sibling of
+    domain_budget. ONE hash exchange on lang; both window frames share
+    the per-stratum sort; integer scores keep the mass boundary exact
+    cross-engine."""
+    from lakehouse_ingestion_spark.operators.selection import top_p_select
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return top_p_select(d, "lang", "n_chars", 0.5, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is mechanized: tools/rotate_registry.py orders entries
     # by last-driver-hashed round (CORRECTNESS_r*.json) so the driver's
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "event_dedup": q_event_dedup,
         "quantile_agg": q_quantile_agg,
+        "top_p": q_top_p,
         # --- last hashed: green r07 ---
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,
@@ -6693,6 +6707,21 @@ SELECT d.doc_id, d.lang, d.n_chars,
             ELSE 1 + (d.n_chars > e0)::INT + (d.n_chars > e1)::INT
                    + (d.n_chars > e2)::INT END::INT AS q_bucket
 FROM documents d JOIN e USING (lang)
+"""
+
+    qs["top_p"] = r"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY lang
+                  ORDER BY n_chars DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS prev,
+         sum(n_chars) OVER (PARTITION BY lang)::BIGINT AS total
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, (prev + n_chars)::BIGINT AS cum_score
+FROM w
+WHERE prev::DOUBLE < 0.5 * total::DOUBLE
 """
 
     return qs

@@ -48,7 +48,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_ingestion_spark.errors import ConfigError
@@ -287,4 +287,65 @@ def stratified_budget_select(
 
     return with_pid.filter(F.col("_pid").isin(sorted(keep_pids))).mapInPandas(
         cumsum_batches, schema=result_schema
+    )
+
+
+def top_p_select(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    p: float,
+    key_col: str,
+    cum_col: str = "cum_score",
+) -> DataFrame:
+    """Nucleus (top-p) selection per stratum: keep each stratum's best
+    rows under (score DESC, key ASC) until they cover fraction ``p`` of
+    the stratum's TOTAL score mass — the share-based sibling of
+    :func:`stratified_budget_select` ("keep the documents carrying 90%
+    of each domain's quality mass" instead of a fixed token quota).
+
+    A row is kept iff the mass strictly BEFORE it is < ``p * total`` —
+    the crossing row is included, so the kept set always covers >= p of
+    the mass and is never empty for a non-empty stratum with positive
+    mass. Ties break by ``key_col`` ASC; rows with NULL score are
+    dropped (they carry no mass and have no defined position).
+
+    Scale: ONE hash exchange on ``strata_col`` + per-stratum sort (two
+    window frames share it). A single giant stratum serializes its own
+    sort — that is inherent to ranking within the stratum; for a GLOBAL
+    top-p over an unstratified corpus, compute ``budget = p * total``
+    with a 1-row aggregate and use :func:`token_budget_select` with the
+    score as the cost (windowless prefix sum) instead.
+
+    Scores must be non-negative (mass must be monotone); integer-valued
+    scores keep the boundary comparison exact cross-engine (long sums,
+    one IEEE multiply both sides).
+    """
+    if not 0 < p <= 1:
+        raise ConfigError(f"p must be in (0, 1], got {p}")
+    neg = df.agg(
+        F.sum((F.col(score_col) < 0).cast("long")).alias("n")
+    ).collect()[0]["n"]
+    if neg:
+        raise ConfigError(f"{score_col} must be non-negative for top-p mass")
+    order = [F.col(score_col).desc(), F.col(key_col).asc()]
+    w_prev = (
+        Window.partitionBy(strata_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(strata_col)
+    s = F.col(score_col).cast("long")
+    cum_prev = F.coalesce(F.sum(s).over(w_prev), F.lit(0).cast("long"))
+    total = F.sum(s).over(w_all)
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn("__prev", cum_prev)
+        .withColumn("__total", total)
+        .filter(
+            F.col("__prev").cast("double")
+            < F.lit(float(p)) * F.col("__total").cast("double")
+        )
+        .withColumn(cum_col, F.col("__prev") + s)
+        .drop("__prev", "__total")
     )

@@ -721,6 +721,21 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             int(o["min_gap_seconds"]),
             tiebreak=list(o.get("tiebreak", []) or []) or None,
         )
+    if op == "top_p_select":
+        # nucleus selection: keep each stratum's best rows covering
+        # fraction p of its score mass (share-based budget sibling)
+        from lakehouse_ingestion_spark.operators.selection import (
+            top_p_select,
+        )
+
+        return top_p_select(
+            df,
+            strata_col=o["strata_col"],
+            score_col=o["score_col"],
+            p=float(o["p"]),
+            key_col=o.get("key_col", "doc_id"),
+            cum_col=o.get("cum_col", "cum_score"),
+        )
     if op == "stratified_budget_select":
         # per-stratum budgets ("fill each domain's token quota") —
         # `budgets` is a config mapping stratum -> budget, or one int

@@ -691,3 +691,15 @@ def test_quantile_agg_no_window_broadcast_edges(spark, entrymod):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert a.joins.get("BroadcastHashJoin", 0) == 1
+
+
+def test_top_p_keyed_window_no_join(spark, entrymod):
+    """Per-stratum top-p: both window frames ride ONE keyed exchange;
+    no join, no partitionless window."""
+    df = entrymod.queries()["top_p"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(lang" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "lang" in plan

@@ -185,3 +185,77 @@ def test_stratified_no_global_window(spark, strat_corpus):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# -------------------------------------------------------------- top-p
+
+
+def test_top_p_select_per_stratum_mass(spark):
+    from lakehouse_ingestion_spark.operators.selection import top_p_select
+
+    df = spark.createDataFrame(
+        [
+            # stratum a: scores 50, 30, 15, 5 (total 100)
+            (1, "a", 50), (2, "a", 30), (3, "a", 15), (4, "a", 5),
+            # stratum b: 10, 10 (total 20)
+            (5, "b", 10), (6, "b", 10),
+        ],
+        "doc_id long, dom string, score long",
+    )
+    out = {r["doc_id"]: r["cum_score"]
+           for r in top_p_select(df, "dom", "score", 0.8, "doc_id").collect()}
+    # a: 50 (prev 0) kept, 30 (prev 50) kept, 15 (prev 80 = 0.8*100,
+    # NOT < 80) dropped; b at p=0.8 of 20 = 16: 10 (prev 0) kept,
+    # 10 (prev 10 < 16) kept — crossing row included
+    assert out == {1: 50, 2: 80, 5: 10, 6: 20}
+
+
+def test_top_p_select_crossing_row_and_validation(spark):
+    import pytest
+
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.operators.selection import top_p_select
+
+    df = spark.createDataFrame(
+        [(1, "a", 7), (2, "a", 2), (3, "a", 1)], "doc_id long, dom string, score long"
+    )
+    # p=0.5 of 10 = 5: row 1 (prev 0 < 5) kept and already covers 70%
+    out = top_p_select(df, "dom", "score", 0.5, "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {1}
+    with pytest.raises(ConfigError, match="p must"):
+        top_p_select(df, "dom", "score", 0.0, "doc_id")
+    neg = spark.createDataFrame(
+        [(1, "a", -1)], "doc_id long, dom string, score long"
+    )
+    with pytest.raises(ConfigError, match="non-negative"):
+        top_p_select(neg, "dom", "score", 0.5, "doc_id")
+
+
+def test_top_p_select_ties_and_nulls(spark):
+    from lakehouse_ingestion_spark.operators.selection import top_p_select
+
+    df = spark.createDataFrame(
+        [(2, "a", 5), (1, "a", 5), (3, "a", None)],
+        "doc_id long, dom string, score long",
+    )
+    out = [r["doc_id"] for r in
+           top_p_select(df, "a".join([]) or "dom", "score", 0.5, "doc_id")
+           .orderBy("doc_id").collect()]
+    # tie broken by doc_id ASC: doc 1 first (prev 0 < 5), doc 2 prev 5
+    # NOT < 5 -> dropped; NULL-score row dropped
+    assert out == [1]
+
+
+def test_top_p_pipeline_op(spark):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 30), (3, "a", 15), (4, "a", 5)],
+        "doc_id long, dom string, score long",
+    )
+    out = apply_transform(
+        df, "top_p_select",
+        {"strata_col": "dom", "score_col": "score", "p": 0.8,
+         "key_col": "doc_id"},
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
