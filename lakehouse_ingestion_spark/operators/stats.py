@@ -18,9 +18,12 @@ team runs before modelling, expressed as single-pass JVM aggregates.
   (corr/covar/stddev are all streaming-combinable partials in Spark);
   nothing here is a window or a join.
 - ``quantile_buckets`` uses ``ntile`` — a full sort of each partition
-  key's rows. Unbounded-key ntile at 100 TB means one giant range sort;
-  keep the partition column selective or use the t-digest sketch path
-  (``operators/sketches.py``) when approximate bucket edges suffice.
+  key's rows, and the partitionless path is size-gated
+  (``max_global_rows``). At fact-table scale use
+  ``quantile_buckets_agg`` (exact percentile edges in ONE aggregate +
+  broadcast comparison assignment — no row-wise sort anywhere) or the
+  t-digest sketch path (``operators/sketches.py``) when approximate
+  edges suffice.
 """
 
 from __future__ import annotations
