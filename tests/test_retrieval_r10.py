@@ -308,3 +308,37 @@ def test_streaming_event_dedup_validates(spark):
     df = spark.createDataFrame([], "user_id long, ts double")
     with _pytest.raises(ValueError, match="min_gap_seconds"):
         streaming_event_dedup(df, ["user_id"], "ts", 0)
+
+
+def test_shipped_corpus_audit_config_runs(spark, tmp_path):
+    """configs/corpus-audit.yaml: both audit jobs run end-to-end with
+    repointed paths."""
+    import yaml
+
+    from lakehouse_ingestion_spark.config import parse_config
+    from lakehouse_ingestion_spark.pipeline import Pipeline
+    from lakehouse_ingestion_spark.schema_registry import SchemaRegistry
+
+    with open("configs/corpus-audit.yaml") as f:
+        raw = yaml.safe_load(f)
+    docs = _corpus(spark)
+    docs.write.parquet(str(tmp_path / "docs"))
+    spark.createDataFrame(
+        [(100, "spark joins tables")], "eval_id long, text string"
+    ).write.parquet(str(tmp_path / "ev"))
+
+    contam, probe = raw["jobs"]
+    contam["source"]["options"]["path"] = str(tmp_path / "docs")
+    contam["transforms"][0]["eval_path"] = str(tmp_path / "ev")
+    contam["target"]["options"]["path"] = str(tmp_path / "a1")
+    probe["source"]["options"]["path"] = str(tmp_path / "docs")
+    probe["transforms"][0]["queries"] = {1: "spark sql"}
+    probe["target"]["options"]["path"] = str(tmp_path / "a2")
+
+    registry = SchemaRegistry(str(tmp_path / "reg"))
+    cfg = parse_config(raw, registry)
+    results = Pipeline(spark, cfg, registry=registry).run()
+    assert [r.rows_written for r in results] == [1, 3]
+    assert spark.read.parquet(str(tmp_path / "a1")).count() == 1
+    got = spark.read.parquet(str(tmp_path / "a2"))
+    assert {r["query_id"] for r in got.collect()} == {1}
