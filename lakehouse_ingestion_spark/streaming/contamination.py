@@ -1,0 +1,151 @@
+"""Streaming eval-contamination audit: keep the per-eval-example report
+(``operators/decontaminate.contamination_report``) current as crawl
+batches arrive, without ever rescanning the corpus.
+
+Per micro-batch the batch's own report is computed (eval-sized — the
+eval n-gram frame broadcasts, the BATCH is the only corpus-sized input)
+and landed as an epoch-partitioned DELTA; the current report is the
+fold of the deltas (per-example counts are additive across batches and
+``max_overlap`` is a max, because every doc arrives in exactly one
+epoch).  Nothing merged in place — an in-place read-merge-overwrite
+would double-count on redelivery, the exact hazard the epoch-delta
+layout exists to avoid (same contract as ``streaming/curation``'s
+label/assignment logs):
+
+- delta FIRST (dynamic overwrite of the epoch's own partition —
+  idempotent under replay), ledger append AFTER;
+- a ledgered epoch is skipped outright;
+- a crash between the two recomputes the identical delta (pure function
+  of batch content) and overwrites its own partition — convergent.
+
+Read amplification grows with epoch count; ``compact_report`` folds the
+delta log into one snapshot partition on whatever cadence the caller
+runs maintenance (the r8 lesson: cadence compaction, never per-trigger
+rewrites).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.streaming.budget import _read_ledger
+
+EPOCH_COL = "_epoch"
+COMPACT_EPOCH = -1
+
+
+def current_report(spark: SparkSession, report_path: str) -> DataFrame | None:
+    """Fold the delta log into the current per-eval-example report
+    (None before the first committed epoch). Eval-sized aggregation —
+    the frame under it is #epochs x |eval| rows, never corpus-sized."""
+    raw = _read_ledger(spark, report_path)
+    if raw is None:
+        return None
+    return raw.groupBy("eval_id").agg(
+        F.sum("n_dirty_docs").alias("n_dirty_docs"),
+        F.sum("n_hit_docs").alias("n_hit_docs"),
+        F.max("max_overlap").alias("max_overlap"),
+    )
+
+
+def compact_report(spark: SparkSession, report_path: str) -> None:
+    """Fold all delta partitions into ONE snapshot partition
+    (``_epoch = -1``); superseded partitions go. Cadence maintenance,
+    not a per-trigger step."""
+    cur = current_report(spark, report_path)
+    if cur is None:
+        return
+    snap = cur.withColumn(EPOCH_COL, F.lit(COMPACT_EPOCH).cast("long"))
+    snap = snap.localCheckpoint(eager=True)  # pin: plan reads report_path
+    (
+        snap.write.mode("overwrite")
+        .partitionBy(EPOCH_COL)
+        .parquet(report_path)
+    )
+
+
+def contamination_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    eval_df: DataFrame,
+    report_path: str,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 3,
+    threshold: int = 2,
+) -> None:
+    """One micro-batch through the audit: delta, then ledger."""
+    from lakehouse_ingestion_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    spark = batch_df.sparkSession
+    led = _read_ledger(spark, ledger_path)
+    if led is not None and led.filter(F.col("epoch") == epoch_id).count():
+        return  # ledgered epoch: delta is committed, skip outright
+
+    delta = contamination_report(
+        batch_df,
+        eval_df,
+        text_col=text_col,
+        id_col=id_col,
+        eval_id_col=eval_id_col,
+        n=n,
+        threshold=threshold,
+    ).withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    counted = delta.observe(
+        obs,
+        F.coalesce(F.sum("n_dirty_docs"), F.lit(0)).alias("dirty"),
+        F.coalesce(F.sum("n_hit_docs"), F.lit(0)).alias("hits"),
+    )
+    (
+        counted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(EPOCH_COL)
+        .parquet(report_path)
+    )
+    metrics = dict(obs.get)
+    spark.createDataFrame(
+        [(int(epoch_id), int(metrics["dirty"]), int(metrics["hits"]))],
+        "epoch long, batch_dirty long, batch_hits long",
+    ).write.mode("append").parquet(ledger_path)
+
+
+def contamination_foreach_batch(
+    eval_path: str,
+    report_path: str,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 3,
+    threshold: int = 2,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function for a contamination-audit sink.
+    The eval set re-reads per trigger (small by contract) so eval
+    updates land without a stream restart."""
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ev = batch_df.sparkSession.read.parquet(eval_path)
+        contamination_epoch(
+            batch_df,
+            int(epoch_id),
+            ev,
+            report_path,
+            ledger_path,
+            text_col=text_col,
+            id_col=id_col,
+            eval_id_col=eval_id_col,
+            n=n,
+            threshold=threshold,
+        )
+
+    return _fn

@@ -342,3 +342,91 @@ def test_shipped_corpus_audit_config_runs(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "a1")).count() == 1
     got = spark.read.parquet(str(tmp_path / "a2"))
     assert {r["query_id"] for r in got.collect()} == {1}
+
+
+# ------------------------------------------- streaming contamination
+
+
+def _contam_fixture(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"),
+         (200, "no overlap with anything whatsoever")],
+        "eval_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "the quick brown fox sat still")],
+        "doc_id long, text string",
+    )
+    return ev, b1, b2
+
+
+def test_streaming_contamination_accumulates_and_replays(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.contamination import (
+        contamination_epoch,
+        current_report,
+    )
+
+    ev, b1, b2 = _contam_fixture(spark)
+    rp, lp = str(tmp_path / "report"), str(tmp_path / "ledger")
+    contamination_epoch(b1, 0, ev, rp, lp)
+    r0 = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
+    assert (r0[100]["n_dirty_docs"], r0[100]["max_overlap"]) == (1, 3)
+    assert r0[200]["n_hit_docs"] == 0
+
+    contamination_epoch(b2, 1, ev, rp, lp)
+    r1 = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
+    # doc 2 shares 2 shingles with eval 100 -> second dirty doc,
+    # max_overlap stays at doc 1's 3
+    assert (r1[100]["n_dirty_docs"], r1[100]["n_hit_docs"],
+            r1[100]["max_overlap"]) == (2, 2, 3)
+
+    # ledgered epoch redelivered: skipped, report unchanged
+    contamination_epoch(b2, 1, ev, rp, lp)
+    r2 = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
+    assert (r2[100]["n_dirty_docs"], r2[100]["n_hit_docs"]) == (2, 2)
+
+    # crash window: epoch 2's delta landed, ledger row missing -> replay
+    # overwrites its own partition, no double count
+    from lakehouse_ingestion_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from pyspark.sql import functions as F
+
+    b3 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps today")], "doc_id long, text string"
+    )
+    pre = contamination_report(b3, ev).withColumn("_epoch", F.lit(2).cast("long"))
+    (pre.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch").parquet(rp))
+    contamination_epoch(b3, 2, ev, rp, lp)  # no epoch-2 ledger row yet
+    r3 = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
+    assert r3[100]["n_dirty_docs"] == 3  # exactly once despite the crash
+
+
+def test_streaming_contamination_compact_preserves_report(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.contamination import (
+        compact_report,
+        contamination_epoch,
+        current_report,
+    )
+
+    ev, b1, b2 = _contam_fixture(spark)
+    rp, lp = str(tmp_path / "report"), str(tmp_path / "ledger")
+    contamination_epoch(b1, 0, ev, rp, lp)
+    contamination_epoch(b2, 1, ev, rp, lp)
+    before = sorted(
+        tuple(r) for r in current_report(spark, rp).collect()
+    )
+    compact_report(spark, rp)
+    after = sorted(tuple(r) for r in current_report(spark, rp).collect())
+    assert before == after
+    # folded to the single snapshot partition
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(rp, "_epoch=*"))
+    assert [os.path.basename(p) for p in parts] == ["_epoch=-1"]
