@@ -7,3 +7,4 @@ from lakehouse_ingestion_spark.sinks.curation import StickySplitWriter  # noqa: 
 from lakehouse_ingestion_spark.sinks.ann_index import AnnIndexWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.export import ShardExportWriter  # noqa: F401
 from lakehouse_ingestion_spark.sinks.budget import BudgetAdmitWriter  # noqa: F401
+from lakehouse_ingestion_spark.sinks.contamination import ContaminationAuditWriter  # noqa: F401

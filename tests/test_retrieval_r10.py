@@ -430,3 +430,29 @@ def test_streaming_contamination_compact_preserves_report(spark, tmp_path):
 
     parts = glob.glob(os.path.join(rp, "_epoch=*"))
     assert [os.path.basename(p) for p in parts] == ["_epoch=-1"]
+
+
+def test_contamination_audit_sink_batch_mode(spark, tmp_path):
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions, get_writer
+    from lakehouse_ingestion_spark.streaming.contamination import (
+        current_report,
+    )
+
+    ev, b1, _ = _contam_fixture(spark)
+    ev.write.parquet(str(tmp_path / "ev"))
+    w = get_writer("contamination_audit")
+    opts = WriteOptions(
+        path=str(tmp_path / "report"),
+        options={"ledger_path": str(tmp_path / "ledger"),
+                 "eval_path": str(tmp_path / "ev")},
+    )
+    w.write_batch(b1, opts)
+    rep = {r["eval_id"]: r for r in
+           current_report(spark, str(tmp_path / "report")).collect()}
+    assert rep[100]["n_dirty_docs"] == 1
+
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="eval_path"):
+        w.write_batch(b1, WriteOptions(path=str(tmp_path / "r2"),
+                                       options={"ledger_path": "x"}))
