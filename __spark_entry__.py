@@ -1693,6 +1693,26 @@ def q_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_p_select(d, "lang", "n_chars", 0.5, "doc_id")
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + encoding (operators/bpe.py): merges are
+    learned from the word-frequency HISTOGRAM (one distributed agg —
+    the only corpus-sized pass; the driver never sees the corpus), then
+    applied in an Arrow-batched encode with a per-batch word cache.
+    Iterative algorithm — genuinely non-SQL-expressible, so no oracle
+    entry (rows-only driver check); determinism and reference
+    equivalence are pinned by tests/test_bpe.py instead."""
+    from lakehouse_ingestion_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = bpe_train(d, num_merges=30, min_freq=2)
+    out = bpe_encode(d, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_bpe_tokens"),
+        F.element_at("bpe_tokens", 1).alias("first_token"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is mechanized: tools/rotate_registry.py orders entries
     # by last-driver-hashed round (CORRECTNESS_r*.json) so the driver's
@@ -1711,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dedup": q_event_dedup,
         "quantile_agg": q_quantile_agg,
         "top_p": q_top_p,
+        "bpe_tokenize": q_bpe_tokenize,
         # --- last hashed: green r07 ---
         "text_tokenize": q_text_tokenize,
         "range_join": q_range_join,

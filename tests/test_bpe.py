@@ -1,0 +1,117 @@
+"""BPE training/encoding: reference equivalence, determinism, gates,
+and the classic Sennrich worked example."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_ingestion_spark.errors import ConfigError
+from lakehouse_ingestion_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_train,
+    encode_word,
+    learn_merges,
+)
+
+
+def _reference_bpe(histogram, num_merges):
+    """Independent reference: dict-of-tuples formulation (Sennrich
+    pseudo-code), deliberately different data layout from learn_merges."""
+    vocab = {tuple(list(w) + [EOW]): f for w, f in histogram if w}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_sennrich_worked_example():
+    """The ACL'16 toy corpus: low/lower/newest/widest."""
+    hist = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_merges(hist, 4)
+    assert merges == _reference_bpe(hist, 4)
+    # 'es' (freq 9) is the first merge; 'est' family follows
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hist=st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=6),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 8),
+)
+def test_learn_merges_matches_reference(hist, k):
+    assert learn_merges(sorted(hist), k) == _reference_bpe(sorted(hist), k)
+
+
+def test_encode_word_applies_ranks_lowest_first():
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert encode_word("lowest", ranks) == ["low", "est", EOW]
+    assert encode_word("", ranks) == [EOW]
+    assert encode_word("zzz", ranks) == ["z", "z", "z", EOW]
+
+
+def test_bpe_train_and_encode_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest"),
+         (3, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, num_merges=4)
+    assert merges == learn_merges(
+        sorted([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]), 4
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert out[2]["n_bpe_tokens"] == 6 * len(
+        encode_word("newest", {tuple(m): i for i, m in enumerate(merges)})
+    )
+    # determinism: same corpus, different partitioning -> same merges
+    assert bpe_train(df.repartition(7), num_merges=4) == merges
+
+
+def test_bpe_train_gates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ConfigError, match="num_merges"):
+        bpe_train(df, 0)
+    with pytest.raises(ConfigError, match="max_words"):
+        bpe_train(df, 2, max_words=3)
+    # min_freq prunes below the gate
+    merges = bpe_train(df, 1, max_words=3, min_freq=2)
+    assert merges == []  # nothing survives pruning -> no pairs to merge
