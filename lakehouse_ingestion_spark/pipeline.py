@@ -721,6 +721,29 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             int(o["min_gap_seconds"]),
             tiebreak=list(o.get("tiebreak", []) or []) or None,
         )
+    if op == "bpe_tokenize":
+        # train-then-encode in one declarative stage: merges come from
+        # the corpus word histogram (one agg), encoding is map-only
+        from lakehouse_ingestion_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        merges = bpe_train(
+            df,
+            num_merges=int(o["num_merges"]),
+            text_col=o.get("text_col", "text"),
+            lowercase=bool(o.get("lowercase", True)),
+            min_freq=int(o.get("min_freq", 1)),
+            max_words=int(o.get("max_words", 1_000_000)),
+        )
+        return bpe_encode(
+            df,
+            merges,
+            text_col=o.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
+            lowercase=bool(o.get("lowercase", True)),
+        )
     if op == "top_p_select":
         # nucleus selection: keep each stratum's best rows covering
         # fraction p of its score mass (share-based budget sibling)

@@ -115,3 +115,16 @@ def test_bpe_train_gates(spark):
     # min_freq prunes below the gate
     merges = bpe_train(df, 1, max_words=3, min_freq=2)
     assert merges == []  # nothing survives pruning -> no pairs to merge
+
+
+def test_bpe_pipeline_op(spark):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    out = apply_transform(df, "bpe_tokenize", {"num_merges": 3})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert all(r["n_bpe_tokens"] > 0 for r in rows.values())
