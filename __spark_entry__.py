@@ -1719,11 +1719,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r10 window: the 5 never-hashed r10 additions (bm25_topk,
-    # contamination, event_dedup, quantile_agg, top_p) + the 34 queries
-    # whose freshest hash is r07 (text/ann/TPC-H tail families) + the
-    # oldest 11 of the r08 cohort; the r09-hashed set (all 50 green
-    # last round) rides at the tail.
+    # query.  r10 window: the 6 never-hashed r10 additions (bm25_topk,
+    # contamination, event_dedup, quantile_agg, top_p, bpe_tokenize) +
+    # the 34 queries whose freshest hash is r07 (text/ann/TPC-H tail
+    # families) + the oldest 10 of the r08 cohort; the r09-hashed set
+    # (all 50 green last round) rides at the tail.
     return {
         # --- never hashed (new r10) ---
         "bm25_topk": q_bm25_topk,
