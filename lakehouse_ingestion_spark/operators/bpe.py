@@ -186,8 +186,6 @@ def bpe_encode(
                 }
             ).rename(columns={"bpe_tokens": out_col})
 
-    schema = (
-        f"`{icol}` {dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[icol]}, "
-        f"`{out_col}` array<string>, `n_bpe_tokens` bigint"
-    )
+    id_type = df.schema[icol].dataType.simpleString()
+    schema = f"`{icol}` {id_type}, `{out_col}` array<string>, `n_bpe_tokens` bigint"
     return df.select(icol, tcol).mapInPandas(run, schema=schema)
