@@ -67,6 +67,12 @@ def bm25_search(
     """
     if k < 1:
         raise ConfigError(f"k must be >= 1, got {k}")
+    # id types follow the INPUT frames (r10 ADVICE fix): string doc ids
+    # used to get a long-typed empty-path schema and string query ids
+    # died inside createDataFrame despite no documented long-only
+    # contract — derive both from the schemas, as bpe_encode does.
+    id_type = docs.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     q_pairs = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -83,7 +89,7 @@ def bm25_search(
         )
     if not q_pairs:
         return docs.sparkSession.createDataFrame(
-            [], f"query_id long, {id_col} long, score double, rk int"
+            [], f"query_id {qid_type}, `{id_col}` {id_type}, score double, rk int"
         )
     vocab = sorted({r["term"] for r in q_pairs})
     spark = docs.sparkSession
@@ -116,7 +122,7 @@ def bm25_search(
     qmap = F.broadcast(
         spark.createDataFrame(
             [(r["query_id"], r["term"]) for r in q_pairs],
-            "query_id long, term string",
+            f"query_id {qid_type}, term string",
         )
     )
     scored = (

@@ -211,8 +211,21 @@ def quantile_buckets_agg(
 
     edge_exprs = [edge(p, i) for i, p in enumerate(probs)]
     if partition_by:
+        # null-SAFE equi-join (r10 ADVICE fix): groupBy computes edges
+        # for the NULL-key group, and a plain USING join would never
+        # match them back — null-key rows got NULL buckets despite
+        # non-null values.  eqNullSafe keeps the broadcast hash join
+        # (null-safe equality is still an equi-key to the planner).
         edges = df.groupBy(*partition_by).agg(*edge_exprs)
-        joined = df.join(F.broadcast(edges), partition_by, "left")
+        for c in partition_by:
+            edges = edges.withColumnRenamed(c, f"__k_{c}")
+        cond = None
+        for c in partition_by:
+            this = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = this if cond is None else cond & this
+        joined = df.join(F.broadcast(edges), cond, "left").drop(
+            *[f"__k_{c}" for c in partition_by]
+        )
     else:
         edges = df.agg(*edge_exprs)
         joined = df.crossJoin(F.broadcast(edges))  # 1-row scalar attach

@@ -37,6 +37,22 @@ target:
     cost_col: n_tokens
     key_col: doc_id
 ```
+
+Mass-share (top-p) mode: give ``p`` instead of a budget — each epoch
+admits its best rows until the admitted mass covers fraction ``p`` of
+ALL score mass seen so far (``streaming/budget.admit_epoch_share``, the
+streaming sibling of ``operators/selection.top_p_select``):
+
+```yaml
+target:
+  format: budget_admit
+  options:
+    path: /data/share/admitted
+    ledger_path: /data/share/ledger
+    score_col: quality
+    p: 0.9
+    key_col: doc_id
+```
 """
 
 from __future__ import annotations
@@ -53,6 +69,27 @@ from lakehouse_ingestion_spark.sinks.base import (
 
 def _params(opts: WriteOptions):
     o = opts.options
+    if "p" in o:
+        # mass-share admission ("keep the docs carrying p of the quality
+        # mass seen so far") — no cost column, the score IS the mass
+        for req in ("ledger_path", "score_col"):
+            if req not in o:
+                raise ConfigError(f"budget_admit target needs options.{req}")
+        for clash in ("budget", "budgets", "cost_col", "strata_col"):
+            if clash in o:
+                raise ConfigError(
+                    f"budget_admit options.p (mass-share mode) conflicts "
+                    f"with options.{clash} — share admission has no quota "
+                    "or strata surface"
+                )
+        return dict(
+            out_path=opts.target,
+            ledger_path=o["ledger_path"],
+            score_col=o["score_col"],
+            p=float(o["p"]),
+            key_col=o.get("key_col", "doc_id"),
+            cum_col=o.get("cum_col", "cum_score"),
+        )
     budget_key = "budgets" if "budgets" in o else "budget"
     for req in ("ledger_path", "score_col", "cost_col", budget_key):
         if req not in o:
@@ -91,11 +128,17 @@ def _params(opts: WriteOptions):
 def _admit(df: DataFrame, epoch_id: int, opts: WriteOptions) -> None:
     from lakehouse_ingestion_spark.streaming.budget import (
         admit_epoch,
+        admit_epoch_share,
         admit_epoch_stratified,
     )
 
     params = _params(opts)
-    fn = admit_epoch_stratified if "strata_col" in params else admit_epoch
+    if "p" in params:
+        fn = admit_epoch_share
+    elif "strata_col" in params:
+        fn = admit_epoch_stratified
+    else:
+        fn = admit_epoch
     fn(df, epoch_id, **params)
 
 

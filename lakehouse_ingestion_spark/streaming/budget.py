@@ -375,3 +375,179 @@ def stratified_budget_admit_foreach_batch(
         )
 
     return _fn
+
+
+# --------------------------------------------------------------------------
+# Share-based (mass-share / top-p) admission: the streaming counterpart
+# of ``operators/selection.top_p_select`` — "keep the documents carrying
+# fraction p of the quality mass SEEN SO FAR" instead of a fixed quota.
+# Completes the budget family: global + stratified + streaming-global +
+# streaming-stratified + streaming-share (r10 verdict task #7).
+# --------------------------------------------------------------------------
+
+SHARE_LEDGER_SCHEMA = (
+    "epoch long, rows long, batch_mass double, admitted_mass double, "
+    "seen_after double, admitted_after double"
+)
+
+
+def _mass_totals(spark: SparkSession, ledger_path: str) -> tuple[float, float]:
+    """(seen_mass, admitted_mass) committed so far, 6dp-rounded."""
+    led = _read_ledger(spark, ledger_path)
+    if led is None:
+        return 0.0, 0.0
+    row = led.agg(
+        F.sum("batch_mass").alias("s"), F.sum("admitted_mass").alias("a")
+    ).collect()[0]
+    return round(float(row["s"] or 0.0), 6), round(float(row["a"] or 0.0), 6)
+
+
+def admit_epoch_share(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    ledger_path: str,
+    score_col: str,
+    p: float,
+    key_col: str,
+    cum_col: str = "cum_score",
+) -> None:
+    """One micro-batch through mass-share admission.
+
+    Cross-batch semantics: the ledger carries ``seen`` (total score mass
+    ARRIVED, admitted or not) and ``admitted`` (mass admitted).  Each
+    epoch may admit up to ``allowed = p * (seen + batch_mass) -
+    admitted`` of new mass, filled best-first within the batch under
+    (score DESC, key ASC) with the crossing row included — so after
+    every epoch ``admitted >= p * seen`` (coverage holds continuously;
+    a stream cannot re-rank what it already admitted, so per-epoch
+    accrual is the strongest share guarantee available online).  An
+    epoch whose mass is all below the bar still ACCRUES ``seen`` mass,
+    raising later epochs' allowance — mass-share is relative, unlike
+    the absolute quotas of :func:`admit_epoch`.
+
+    Scores must be non-negative (mass monotone); NULL scores carry no
+    mass and are never admitted.  All masses are rounded to 6dp at the
+    ledger boundary and the admission comparison rounds both sides to
+    6dp, so replay after a crash (which re-derives ``allowed`` from the
+    same ledger rows) re-selects the identical set — the same
+    determinism posture as ``top_p_select``'s 9dp boundary.
+
+    Within-epoch selection sorts the BATCH (one window over the
+    micro-batch): per-trigger batches are trigger-sized by construction,
+    not corpus-sized — the stream's scale axis is epochs, and per-epoch
+    state I/O stays O(#epochs) ledger rows, exactly like the quota
+    ledgers above.
+
+    Replay contract matches :func:`admit_epoch`: data first
+    (epoch-partitioned dynamic overwrite), ledger append after; a
+    ledgered epoch is skipped outright; a crash between the two
+    recomputes the identical admission and overwrites its own partition.
+    """
+    from pyspark.sql import Observation, Window
+
+    if not 0 < p <= 1:
+        raise ConfigError(f"p must be in (0, 1], got {p}")
+    spark = batch_df.sparkSession
+    led = _read_ledger(spark, ledger_path)
+    seen, admitted = 0.0, 0.0
+    if led is not None:
+        if led.filter(F.col("epoch") == epoch_id).count():
+            return  # ledgered epoch: output is committed, skip outright
+        row = led.agg(
+            F.sum("batch_mass").alias("s"),
+            F.sum("admitted_mass").alias("a"),
+        ).collect()[0]
+        seen = round(float(row["s"] or 0.0), 6)
+        admitted = round(float(row["a"] or 0.0), 6)
+
+    guard = batch_df.agg(
+        F.sum((F.col(score_col) < 0).cast("long")).alias("neg"),
+        F.round(
+            F.coalesce(F.sum(F.col(score_col).cast("double")), F.lit(0.0)), 6
+        ).alias("mass"),
+    ).collect()[0]
+    if guard["neg"]:
+        raise ConfigError(f"{score_col} must be non-negative for share admission")
+    batch_mass = round(float(guard["mass"]), 6)
+    allowed = round(p * (seen + batch_mass) - admitted, 6)
+
+    n_rows, adm_mass = 0, 0.0
+    if allowed > 0 and batch_mass > 0:
+        w_prev = Window.orderBy(
+            F.col(score_col).desc(), F.col(key_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        sel = (
+            batch_df.filter(F.col(score_col).isNotNull())
+            .withColumn(
+                "__prev",
+                F.coalesce(
+                    F.sum(F.col(score_col).cast("double")).over(w_prev),
+                    F.lit(0.0),
+                ),
+            )
+            .filter(F.round(F.col("__prev"), 6) < F.lit(allowed))
+            .withColumn(
+                cum_col,
+                F.col("__prev") + F.col(score_col).cast("double") + F.lit(admitted),
+            )
+            .drop("__prev")
+            .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+        )
+        obs = Observation()
+        counted = sel.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.col(score_col).cast("double")), F.lit(0.0)).alias(
+                "mass"
+            ),
+        )
+        (
+            counted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(out_path)
+        )
+        metrics = dict(obs.get)
+        n_rows = int(metrics["rows"])
+        adm_mass = round(float(metrics["mass"]), 6)
+    spark.createDataFrame(
+        [
+            (
+                int(epoch_id),
+                n_rows,
+                batch_mass,
+                adm_mass,
+                round(seen + batch_mass, 6),
+                round(admitted + adm_mass, 6),
+            )
+        ],
+        SHARE_LEDGER_SCHEMA,
+    ).write.mode("append").parquet(ledger_path)
+
+
+def share_admit_foreach_batch(
+    out_path: str,
+    ledger_path: str,
+    score_col: str,
+    p: float,
+    key_col: str,
+    cum_col: str = "cum_score",
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function for a mass-share admission sink."""
+    if not 0 < p <= 1:
+        raise ConfigError(f"p must be in (0, 1], got {p}")
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_epoch_share(
+            batch_df,
+            int(epoch_id),
+            out_path,
+            ledger_path,
+            score_col,
+            p,
+            key_col,
+            cum_col=cum_col,
+        )
+
+    return _fn

@@ -51,17 +51,49 @@ def current_report(spark: SparkSession, report_path: str) -> DataFrame | None:
     )
 
 
-def compact_report(spark: SparkSession, report_path: str) -> None:
-    """Fold all delta partitions into ONE snapshot partition
+def compact_report(
+    spark: SparkSession, report_path: str, ledger_path: str | None = None
+) -> None:
+    """Fold delta partitions into ONE snapshot partition
     (``_epoch = -1``); superseded partitions go. Cadence maintenance,
-    not a per-trigger step."""
-    cur = current_report(spark, report_path)
-    if cur is None:
+    not a per-trigger step.
+
+    Two replay-safety rules (r10 ADVICE fix):
+
+    - The write forces ``partitionOverwriteMode=static`` so the WHOLE
+      report path is replaced regardless of the session default — under
+      a session-wide ``dynamic`` default only the snapshot's own
+      partition would be replaced and every superseded delta would
+      survive, double-counting in ``current_report`` from then on.
+    - With ``ledger_path``, only LEDGERED epochs (plus a prior snapshot)
+      are folded.  An unledgered crash-pending delta must stay OUT of
+      the snapshot: its epoch retries after restart and rewrites the
+      delta, which would then count twice.  The pending partition is
+      dropped by the static overwrite and recomputed by the retry
+      (deltas are pure functions of batch content — convergent).
+      Without ``ledger_path`` the caller must quiesce the stream first.
+    """
+    raw = _read_ledger(spark, report_path)
+    if raw is None:
         return
+    if ledger_path is not None:
+        led = _read_ledger(spark, ledger_path)
+        committed = (
+            [int(r["epoch"]) for r in led.select("epoch").distinct().collect()]
+            if led is not None
+            else []
+        )
+        raw = raw.filter(F.col(EPOCH_COL).isin([COMPACT_EPOCH, *committed]))
+    cur = raw.groupBy("eval_id").agg(
+        F.sum("n_dirty_docs").alias("n_dirty_docs"),
+        F.sum("n_hit_docs").alias("n_hit_docs"),
+        F.max("max_overlap").alias("max_overlap"),
+    )
     snap = cur.withColumn(EPOCH_COL, F.lit(COMPACT_EPOCH).cast("long"))
     snap = snap.localCheckpoint(eager=True)  # pin: plan reads report_path
     (
         snap.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy(EPOCH_COL)
         .parquet(report_path)
     )

@@ -362,3 +362,113 @@ def test_stratified_sink_batch_mode(spark, tmp_path):
                 "ledger_path": ledger, "score_col": "score",
                 "cost_col": "n_tokens", "budgets": {"w": 5}}),
         )
+
+
+# --------------------------------------------------------------------------
+# Mass-share (top-p) admission — streaming/budget.admit_epoch_share
+# --------------------------------------------------------------------------
+
+
+def _shbatch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, quality double")
+
+
+def _share(spark, tmp_path, rows, epoch, p=0.5):
+    from lakehouse_ingestion_spark.streaming.budget import admit_epoch_share
+
+    out, ledger = str(tmp_path / "sh_out"), str(tmp_path / "sh_ledger")
+    admit_epoch_share(
+        _shbatch(spark, rows), epoch, out, ledger, "quality", p, "doc_id"
+    )
+    return out, ledger
+
+
+def test_share_admission_covers_p_of_seen_mass(spark, tmp_path):
+    """After every epoch: admitted mass >= p * seen mass; within each
+    epoch the batch's best rows fill first (crossing row included)."""
+    out, ledger = _share(spark, tmp_path, [(1, 10.0), (2, 6.0), (3, 4.0)], 0)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    # seen 20, admitted 10 -> exactly p
+    _share(spark, tmp_path, [(4, 2.0), (5, 8.0)], 1)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 5}
+    # epoch with all-below-the-bar mass: nothing admitted, seen ACCRUES
+    _share(spark, tmp_path, [(6, 1.0)], 2)
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {1, 5}
+    led = {r["epoch"]: r for r in spark.read.parquet(ledger).collect()}
+    assert led[2]["rows"] == 0 and led[2]["seen_after"] == 31.0
+    assert led[2]["admitted_after"] == 18.0
+    # the accrued mass raises a later epoch's allowance
+    _share(spark, tmp_path, [(7, 100.0)], 3)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 5, 7}
+    led = {r["epoch"]: r for r in spark.read.parquet(ledger).collect()}
+    for e in led.values():  # coverage invariant at every committed epoch
+        assert e["admitted_after"] >= 0.5 * e["seen_after"] - 1e-6
+
+
+def test_share_redelivery_and_crash_replay_converge(spark, tmp_path):
+    from lakehouse_ingestion_spark.streaming.budget import admit_epoch_share
+
+    out, ledger = _share(spark, tmp_path, [(1, 10.0), (2, 6.0)], 0)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # ledgered epoch redelivered: skipped outright
+    _share(spark, tmp_path, [(1, 10.0), (2, 6.0)], 0)
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+    assert spark.read.parquet(ledger).filter(F.col("epoch") == 0).count() == 1
+
+    # crash window: epoch 1's data landed, ledger row missing -> replay
+    # recomputes the identical admission and overwrites its own partition
+    pend = (
+        _shbatch(spark, [(3, 100.0)])
+        .withColumn("cum_score", F.col("quality"))
+        .withColumn("_epoch", F.lit(1).cast("long"))
+    )
+    (pend.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch").parquet(out))
+    admit_epoch_share(
+        _shbatch(spark, [(3, 100.0), (4, 1.0)]), 1, out, ledger,
+        "quality", 0.5, "doc_id",
+    )
+    led = {r["epoch"]: r for r in spark.read.parquet(ledger).collect()}
+    assert led[1]["rows"] == 1 and led[1]["admitted_mass"] == 100.0
+    assert spark.read.parquet(out).filter("doc_id = 3").count() == 1
+
+
+def test_share_admission_validates(spark, tmp_path):
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.streaming.budget import (
+        share_admit_foreach_batch,
+    )
+
+    with pytest.raises(ConfigError, match="p must be"):
+        share_admit_foreach_batch("o", "l", "quality", 0.0, "doc_id")
+    with pytest.raises(ConfigError, match="p must be"):
+        _share(spark, tmp_path, [(1, 1.0)], 0, p=1.5)
+    with pytest.raises(ConfigError, match="non-negative"):
+        _share(spark, tmp_path, [(1, -1.0)], 0)
+
+
+def test_share_sink_batch_mode(spark, tmp_path):
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions, get_writer
+
+    out = str(tmp_path / "p_out")
+    ledger = str(tmp_path / "p_ledger")
+    w = get_writer("budget_admit")
+    opts = WriteOptions(
+        path=out,
+        options={"ledger_path": ledger, "score_col": "quality",
+                 "p": 0.5, "key_col": "doc_id"},
+    )
+    w.write_batch(_shbatch(spark, [(1, 10.0), (2, 6.0), (3, 4.0)]), opts)
+    got = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    assert got[0]["cum_score"] == 10.0
+    # p conflicts with quota/strata options — loud, not silently ignored
+    with pytest.raises(ConfigError, match="conflicts"):
+        w.write_batch(
+            _shbatch(spark, [(1, 1.0)]),
+            WriteOptions(path=out, options={
+                "ledger_path": ledger, "score_col": "quality",
+                "p": 0.5, "budget": 10}),
+        )
