@@ -703,3 +703,26 @@ def test_top_p_keyed_window_no_join(spark, entrymod):
     assert "windowspecdefinition(lang" in plan.replace("#", "").replace(
         "L", ""
     ) or "lang" in plan
+
+
+def test_top_p_frac_same_shape_as_top_p(spark, entrymod):
+    """Fractional-score top-p keeps the integral path's plan: ONE keyed
+    exchange, zero joins — the dtype branch changes arithmetic, not the
+    physical shape."""
+    df = entrymod.queries()["top_p_frac"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    assert a.python_stages == {}
+
+
+def test_bpe_histogram_map_side_combined_agg(spark, entrymod):
+    """The corpus-sized half of BPE training is ONE hash aggregate:
+    zero joins, zero Python stages, no window — partial (map-side)
+    combine below the single word-keyed exchange."""
+    df = entrymod.queries()["bpe_histogram"](spark, SF_DIR)
+    a = audit(df)
+    assert a.joins == {}
+    assert a.python_stages == {}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

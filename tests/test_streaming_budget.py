@@ -472,3 +472,46 @@ def test_share_sink_batch_mode(spark, tmp_path):
                 "ledger_path": ledger, "score_col": "quality",
                 "p": 0.5, "budget": 10}),
         )
+
+
+def test_share_admission_matches_sequential_reference(spark, tmp_path):
+    """Pin the accrual semantics against an independent sequential
+    reference: for every epoch, allowed = p*seen_new - admitted_old and
+    the batch's (score DESC, key ASC) prefix with mass-before < allowed
+    is admitted.  Three uneven epochs, mixed magnitudes."""
+    from lakehouse_ingestion_spark.streaming.budget import admit_epoch_share
+
+    p = 0.7
+    epochs = [
+        [(1, 3.25), (2, 1.5), (3, 0.25)],
+        [(4, 10.0)],
+        [(5, 0.5), (6, 2.75), (7, 0.5), (8, 4.0)],
+    ]
+
+    # sequential reference (pure python, same rounding rule)
+    seen = admitted = 0.0
+    expect: set[int] = set()
+    for batch in epochs:
+        bm = round(sum(s for _, s in batch), 6)
+        allowed = round(p * (seen + bm) - admitted, 6)
+        prev = 0.0
+        if allowed > 0:
+            for doc, s in sorted(batch, key=lambda t: (-t[1], t[0])):
+                if round(prev, 6) < allowed:
+                    expect.add(doc)
+                    admitted = round(admitted + s, 6)
+                prev += s
+        seen = round(seen + bm, 6)
+
+    out, ledger = str(tmp_path / "ref_out"), str(tmp_path / "ref_ledger")
+    for e, batch in enumerate(epochs):
+        admit_epoch_share(
+            _shbatch(spark, [(d, float(s)) for d, s in batch]),
+            e, out, ledger, "quality", p, "doc_id",
+        )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == expect
+    led = spark.read.parquet(ledger)
+    final = led.orderBy(F.col("epoch").desc()).collect()[0]
+    assert abs(final["admitted_after"] - admitted) < 1e-6
+    assert final["admitted_after"] >= p * final["seen_after"] - 1e-6
