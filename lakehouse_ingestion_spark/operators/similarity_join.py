@@ -49,6 +49,16 @@ def cosine_allpairs_blocked(
     Returns columns ``id_a, id_b, cos_sim``.
     """
     nb = num_blocks
+    # integral-id guard (same contract as semdedup): a lossy
+    # cast("long") on string/float ids yields NULL vids/bids — rows
+    # silently vanish from every block instead of erroring
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"cosine_allpairs_blocked needs an integral id column; "
+            f"{id_col!r} is {id_type!r} — map string/hash ids to a "
+            "surrogate long first"
+        )
 
     src = df.select(
         F.col(id_col).cast("long").alias("vid"),

@@ -229,3 +229,18 @@ def test_compact_report_skips_unledgered_pending_epoch(spark, tmp_path):
     contamination_epoch(b2, 1, ev, rp, lp)
     final = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
     assert final[100]["n_dirty_docs"] == 2
+
+
+def test_cosine_allpairs_rejects_non_integral_ids(spark):
+    """Same-family sweep as the top_p fix: cosine_allpairs_blocked's
+    id cast('long') would NULL string ids and silently drop every row
+    from every block — raise instead (the semdedup contract)."""
+    from lakehouse_ingestion_spark.operators.similarity_join import (
+        cosine_allpairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])], "doc_id string, v array<double>"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        cosine_allpairs_blocked(df, "doc_id", "v", 0.9)
