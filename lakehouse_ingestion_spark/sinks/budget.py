@@ -53,6 +53,23 @@ target:
     p: 0.9
     key_col: doc_id
 ```
+
+Per-stratum shares: add ``strata_col``; ``p`` may then be a mapping
+(missing strata get ``default_p``, 0.0 = drop) —
+``streaming/budget.admit_epoch_share_stratified``:
+
+```yaml
+target:
+  format: budget_admit
+  options:
+    path: /data/share/admitted
+    ledger_path: /data/share/ledger
+    strata_col: lang
+    score_col: quality
+    p: {en: 0.9, de: 0.5}
+    default_p: 0.0
+    key_col: doc_id
+```
 """
 
 from __future__ import annotations
@@ -67,29 +84,63 @@ from lakehouse_ingestion_spark.sinks.base import (
 )
 
 
+def _mapping_option(o: dict, key: str):
+    """Return o[key], reconstituting a mapping that config-file loading
+    flattened to dotted keys (``budgets: {wiki: 5}`` arrives as
+    ``budgets.wiki: 5`` — config.py runs hocon.flatten_keys over target
+    options so Kafka-style dotted scalars stay flat).  Returns None when
+    neither form is present."""
+    if key in o:
+        return o[key]
+    pref = key + "."
+    sub = {k[len(pref):]: v for k, v in o.items() if k.startswith(pref)}
+    return sub or None
+
+
 def _params(opts: WriteOptions):
-    o = opts.options
+    o = dict(opts.options)
+    for key in ("p", "budgets"):
+        val = _mapping_option(o, key)
+        if val is not None:
+            o = {k: v for k, v in o.items() if not k.startswith(key + ".")}
+            o[key] = val
     if "p" in o:
         # mass-share admission ("keep the docs carrying p of the quality
-        # mass seen so far") — no cost column, the score IS the mass
+        # mass seen so far") — no cost column, the score IS the mass;
+        # add strata_col for per-stratum shares (p may then be a mapping)
         for req in ("ledger_path", "score_col"):
             if req not in o:
                 raise ConfigError(f"budget_admit target needs options.{req}")
-        for clash in ("budget", "budgets", "cost_col", "strata_col"):
+        for clash in ("budget", "budgets", "cost_col"):
             if clash in o:
                 raise ConfigError(
                     f"budget_admit options.p (mass-share mode) conflicts "
                     f"with options.{clash} — share admission has no quota "
-                    "or strata surface"
+                    "surface"
                 )
-        return dict(
+        raw_p = o["p"]
+        common = dict(
             out_path=opts.target,
             ledger_path=o["ledger_path"],
             score_col=o["score_col"],
-            p=float(o["p"]),
             key_col=o.get("key_col", "doc_id"),
             cum_col=o.get("cum_col", "cum_score"),
         )
+        if "strata_col" in o:
+            return dict(
+                common,
+                strata_col=o["strata_col"],
+                p={k: float(v) for k, v in raw_p.items()}
+                if isinstance(raw_p, dict)
+                else float(raw_p),
+                default_p=float(o.get("default_p", 0.0)),
+            )
+        if isinstance(raw_p, dict):
+            raise ConfigError(
+                "budget_admit options.p as a per-stratum mapping requires "
+                "options.strata_col"
+            )
+        return dict(common, p=float(raw_p))
     budget_key = "budgets" if "budgets" in o else "budget"
     for req in ("ledger_path", "score_col", "cost_col", budget_key):
         if req not in o:
@@ -129,12 +180,17 @@ def _admit(df: DataFrame, epoch_id: int, opts: WriteOptions) -> None:
     from lakehouse_ingestion_spark.streaming.budget import (
         admit_epoch,
         admit_epoch_share,
+        admit_epoch_share_stratified,
         admit_epoch_stratified,
     )
 
     params = _params(opts)
     if "p" in params:
-        fn = admit_epoch_share
+        fn = (
+            admit_epoch_share_stratified
+            if "strata_col" in params
+            else admit_epoch_share
+        )
     elif "strata_col" in params:
         fn = admit_epoch_stratified
     else:

@@ -551,3 +551,203 @@ def share_admit_foreach_batch(
         )
 
     return _fn
+
+
+SHARE_STRAT_LEDGER_SCHEMA = (
+    "epoch long, stratum string, rows long, batch_mass double, "
+    "admitted_mass double, seen_after double, admitted_after double"
+)
+
+
+def admit_epoch_share_stratified(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    ledger_path: str,
+    strata_col: str,
+    score_col: str,
+    p: float | dict,
+    key_col: str,
+    default_p: float = 0.0,
+    cum_col: str = "cum_score",
+) -> None:
+    """Per-stratum mass-share admission: each stratum independently
+    keeps the documents carrying fraction ``p(stratum)`` of ITS mass
+    seen so far — the last cell of the budget-family matrix
+    (quota/share x global/stratified x batch/stream; the batch
+    stratified-share case is :func:`top_p_select` itself).
+
+    ``p``: one float for every stratum, or a dict ``stratum -> p``
+    (missing strata get ``default_p``; 0.0 = admit nothing from them —
+    loud beats silent inclusion, same posture as
+    ``stratified_budget_select``'s ``default_budget``).  NULL strata
+    form their own stratum keyed ``None``; strata are ledgered by their
+    string form.  Per-stratum accrual follows :func:`admit_epoch_share`:
+    ``allowed(s) = p(s) * seen_new(s) - admitted_old(s)``, filled
+    best-first within the batch's stratum partition with the crossing
+    row included, 6dp-rounded boundaries for replay determinism.
+
+    Ledger: one row per (epoch, stratum touched) — per-trigger I/O is
+    batch-sized + O(#epochs x #strata-per-batch), never corpus-sized.
+    Replay contract identical to the other admissions: data first
+    (epoch-partitioned dynamic overwrite), ledger append after;
+    ledgered epochs skip; crash recompute is a pure function of batch
+    content + the ledger-excluded maps.  An epoch admitting nothing
+    still ledgers a marker row (possibly with positive ``batch_mass``
+    accrual rows) so redelivery skips it.
+    """
+    flat = dict(p) if isinstance(p, dict) else None
+    if flat is None and not 0 < float(p) <= 1:
+        raise ConfigError(f"p must be in (0, 1], got {p}")
+    if flat is not None and any(not 0 < float(v) <= 1 for v in flat.values()):
+        raise ConfigError("all stratum p values must be in (0, 1]")
+    if not 0 <= float(default_p) <= 1:
+        raise ConfigError(f"default_p must be in [0, 1], got {default_p}")
+
+    def p_of(stratum) -> float:
+        if flat is None:
+            return float(p)
+        return float(flat.get(stratum, default_p))
+
+    spark = batch_df.sparkSession
+    led = _read_ledger(spark, ledger_path)
+    seen_map: dict[str | None, float] = {}
+    adm_map: dict[str | None, float] = {}
+    if led is not None:
+        if led.filter(F.col("epoch") == epoch_id).count():
+            return  # ledgered epoch: output is committed, skip outright
+        for r in (
+            led.groupBy("stratum")
+            .agg(F.sum("batch_mass").alias("s"), F.sum("admitted_mass").alias("a"))
+            .collect()
+        ):
+            seen_map[r["stratum"]] = round(float(r["s"] or 0.0), 6)
+            adm_map[r["stratum"]] = round(float(r["a"] or 0.0), 6)
+
+    skey = F.col(strata_col).cast("string")
+    stats = batch_df.groupBy(skey.alias("stratum")).agg(
+        F.sum((F.col(score_col) < 0).cast("long")).alias("neg"),
+        F.round(
+            F.coalesce(F.sum(F.col(score_col).cast("double")), F.lit(0.0)), 6
+        ).alias("mass"),
+    ).collect()
+    if any(r["neg"] for r in stats):
+        raise ConfigError(f"{score_col} must be non-negative for share admission")
+    batch_mass = {r["stratum"]: round(float(r["mass"]), 6) for r in stats}
+
+    allowed: dict[str | None, float] = {}
+    for s, bm in batch_mass.items():
+        seen_new = round(seen_map.get(s, 0.0) + bm, 6)
+        allowed[s] = round(p_of(s) * seen_new - adm_map.get(s, 0.0), 6)
+
+    # per-row allowed threshold via a when-chain over the (bounded)
+    # batch strata — same idiom as admit_epoch_stratified's spent map
+    allowed_expr: Column = F.lit(0.0)
+    adj_expr: Column = F.lit(0.0)
+    for s, a in allowed.items():
+        cond = F.col(strata_col).isNull() if s is None else (skey == s)
+        allowed_expr = F.when(cond, F.lit(a)).otherwise(allowed_expr)
+        prior = adm_map.get(s, 0.0)
+        adj_expr = F.when(cond, F.lit(prior)).otherwise(adj_expr)
+
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = (
+        batch_df.filter(F.col(score_col).isNotNull())
+        .withColumn(
+            "__prev",
+            F.coalesce(
+                F.sum(F.col(score_col).cast("double")).over(w_prev), F.lit(0.0)
+            ),
+        )
+        .filter(F.round(F.col("__prev"), 6) < allowed_expr)
+        .withColumn(
+            cum_col, F.col("__prev") + F.col(score_col).cast("double") + adj_expr
+        )
+        .drop("__prev")
+        .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+    )
+    out_schema = sel.schema
+    (
+        sel.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(EPOCH_COL)
+        .parquet(out_path)
+    )
+
+    # per-stratum admitted stats from the just-written epoch partition
+    # (partition-pruned, batch-sized read — the stratified-quota idiom)
+    adm_stats = {
+        r["stratum"]: (int(r["rows"]), round(float(r["mass"]), 6))
+        for r in (
+            spark.read.schema(out_schema)
+            .parquet(out_path)
+            .filter(F.col(EPOCH_COL) == epoch_id)
+            .groupBy(F.col(strata_col).cast("string").alias("stratum"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.col(score_col).cast("double")), F.lit(0.0)
+                ).alias("mass"),
+            )
+            .collect()
+        )
+    }
+    ledger_rows = []
+    for s, bm in batch_mass.items():
+        n, am = adm_stats.get(s, (0, 0.0))
+        ledger_rows.append(
+            (
+                int(epoch_id),
+                s,
+                n,
+                bm,
+                am,
+                round(seen_map.get(s, 0.0) + bm, 6),
+                round(adm_map.get(s, 0.0) + am, 6),
+            )
+        )
+    if not ledger_rows:
+        ledger_rows = [(int(epoch_id), None, 0, 0.0, 0.0, 0.0, 0.0)]
+    spark.createDataFrame(ledger_rows, SHARE_STRAT_LEDGER_SCHEMA).write.mode(
+        "append"
+    ).parquet(ledger_path)
+
+
+def share_admit_stratified_foreach_batch(
+    out_path: str,
+    ledger_path: str,
+    strata_col: str,
+    score_col: str,
+    p: float | dict,
+    key_col: str,
+    default_p: float = 0.0,
+    cum_col: str = "cum_score",
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function for per-stratum share admission."""
+    if isinstance(p, dict):
+        if any(not 0 < float(v) <= 1 for v in p.values()):
+            raise ConfigError("all stratum p values must be in (0, 1]")
+    elif not 0 < float(p) <= 1:
+        raise ConfigError(f"p must be in (0, 1], got {p}")
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_epoch_share_stratified(
+            batch_df,
+            int(epoch_id),
+            out_path,
+            ledger_path,
+            strata_col,
+            score_col,
+            p,
+            key_col,
+            default_p=default_p,
+            cum_col=cum_col,
+        )
+
+    return _fn

@@ -515,3 +515,170 @@ def test_share_admission_matches_sequential_reference(spark, tmp_path):
     final = led.orderBy(F.col("epoch").desc()).collect()[0]
     assert abs(final["admitted_after"] - admitted) < 1e-6
     assert final["admitted_after"] >= p * final["seen_after"] - 1e-6
+
+
+# --------------------------------------------------------------------------
+# Per-stratum mass-share admission — admit_epoch_share_stratified
+# --------------------------------------------------------------------------
+
+
+def _ssbatch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+
+
+def _sshare(spark, tmp_path, rows, epoch, p=0.5, default_p=0.0):
+    from lakehouse_ingestion_spark.streaming.budget import (
+        admit_epoch_share_stratified,
+    )
+
+    out, ledger = str(tmp_path / "ss_out"), str(tmp_path / "ss_ledger")
+    admit_epoch_share_stratified(
+        _ssbatch(spark, rows), epoch, out, ledger, "lang", "quality", p,
+        "doc_id", default_p=default_p,
+    )
+    return out, ledger
+
+
+def test_stratified_share_independent_per_stratum(spark, tmp_path):
+    """Each stratum covers p of ITS OWN mass; one stratum's surplus
+    never subsidizes another."""
+    out, ledger = _sshare(
+        spark, tmp_path,
+        [(1, "en", 10.0), (2, "en", 6.0), (3, "en", 4.0),
+         (4, "de", 8.0), (5, "de", 2.0)],
+        0,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # en: total 20, allowed 10 -> doc1; de: total 10, allowed 5 -> doc4
+    assert got == {1, 4}
+    led = {(r["epoch"], r["stratum"]): r
+           for r in spark.read.parquet(ledger).collect()}
+    assert led[(0, "en")]["admitted_after"] == 10.0
+    assert led[(0, "de")]["admitted_after"] == 8.0
+    # second epoch: en accrues, de already over-covered admits nothing
+    _sshare(spark, tmp_path, [(6, "en", 20.0), (7, "de", 1.0)], 1)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 4, 6}
+    led = {(r["epoch"], r["stratum"]): r
+           for r in spark.read.parquet(ledger).collect()}
+    for (e, s), r in led.items():  # per-stratum coverage invariant
+        assert r["admitted_after"] >= 0.5 * r["seen_after"] - 1e-6
+
+
+def test_stratified_share_p_mapping_and_default(spark, tmp_path):
+    """Per-stratum p mapping; strata missing from the mapping get
+    default_p (0.0 = nothing admitted, mass still accrues)."""
+    out, ledger = _sshare(
+        spark, tmp_path,
+        [(1, "en", 10.0), (2, "en", 10.0), (3, "xx", 50.0)],
+        0, p={"en": 0.9},
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}  # en needs 18 of 20 -> both (crossing row)
+    led = {r["stratum"]: r for r in spark.read.parquet(ledger).collect()}
+    assert led["xx"]["rows"] == 0 and led["xx"]["batch_mass"] == 50.0
+
+
+def test_stratified_share_redelivery_and_null_stratum(spark, tmp_path):
+    out, ledger = _sshare(
+        spark, tmp_path, [(1, None, 4.0), (2, "en", 4.0)], 0
+    )
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+    before = sorted(tuple(r) for r in got.collect())
+    _sshare(spark, tmp_path, [(1, None, 4.0), (2, "en", 4.0)], 0)  # replay
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+    led = spark.read.parquet(ledger)
+    assert led.filter(F.col("epoch") == 0).count() == 2  # en + NULL strata
+    assert led.filter(F.col("stratum").isNull()).count() == 1
+
+
+def test_stratified_share_sink_surface(spark, tmp_path):
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.sinks.base import WriteOptions, get_writer
+
+    out = str(tmp_path / "sp_out")
+    ledger = str(tmp_path / "sp_ledger")
+    w = get_writer("budget_admit")
+    opts = WriteOptions(
+        path=out,
+        options={"ledger_path": ledger, "strata_col": "lang",
+                 "score_col": "quality", "p": {"en": 0.5},
+                 "key_col": "doc_id"},
+    )
+    w.write_batch(_ssbatch(spark, [(1, "en", 9.0), (2, "en", 1.0),
+                                   (3, "de", 9.0)]), opts)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    # p mapping without strata_col is loud
+    with pytest.raises(ConfigError, match="strata_col"):
+        w.write_batch(
+            _ssbatch(spark, [(1, "en", 1.0)]),
+            WriteOptions(path=out, options={
+                "ledger_path": ledger, "score_col": "quality",
+                "p": {"en": 0.5}}),
+        )
+
+
+def test_mapping_options_survive_config_flattening(spark, tmp_path):
+    """config.py flattens target options to dotted keys (the Kafka
+    bootstrap.servers idiom) — per-stratum mappings (budgets / p) must
+    be reconstituted by the sink, or the documented YAML surface
+    silently falls through to the wrong admission mode."""
+    import os
+
+    import yaml
+
+    from lakehouse_ingestion_spark.config import load_config
+    from lakehouse_ingestion_spark.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "en", 9.0), (2, "en", 1.0), (3, "de", 9.0)],
+        "doc_id long, lang string, quality double",
+    ).write.parquet(src)
+
+    def run_job(options, out_name):
+        out = str(tmp_path / out_name)
+        cfg = {"env": "test", "jobs": [{
+            "name": out_name, "layer": "silver", "source_system": "t",
+            "source": {"type": "file",
+                       "options": {"path": src, "format": "parquet"}},
+            "target": {"format": "budget_admit",
+                       "options": dict(options, path=out)},
+        }]}
+        cp = str(tmp_path / f"{out_name}.yaml")
+        with open(cp, "w") as f:
+            yaml.safe_dump(cfg, f)
+        Pipeline(spark, load_config(cp)).run()
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # per-stratum p mapping through a real YAML file
+    got = run_job({"ledger_path": str(tmp_path / "l1"),
+                   "strata_col": "lang", "score_col": "quality",
+                   "p": {"en": 0.5}, "key_col": "doc_id"}, "p_map")
+    assert got == {1}  # en covers 0.5 of 10 -> doc 1; de has no p -> dropped
+
+    # per-stratum budgets mapping through a real YAML file (the quota
+    # path had the same latent flattening bug)
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(1, "wiki", 9, 30), (2, "wiki", 8, 30), (3, "web", 9, 30)],
+        "doc_id long, dom string, score long, n_tokens long",
+    ).write.parquet(src2)
+    out = str(tmp_path / "b_map")
+    cfg = {"env": "test", "jobs": [{
+        "name": "b_map", "layer": "silver", "source_system": "t",
+        "source": {"type": "file",
+                   "options": {"path": src2, "format": "parquet"}},
+        "target": {"format": "budget_admit", "options": {
+            "path": out, "ledger_path": str(tmp_path / "l2"),
+            "strata_col": "dom", "score_col": "score",
+            "cost_col": "n_tokens", "budgets": {"wiki": 30, "web": 30},
+            "key_col": "doc_id"}},
+    }]}
+    cp = str(tmp_path / "b_map.yaml")
+    with open(cp, "w") as f:
+        yaml.safe_dump(cfg, f)
+    Pipeline(spark, load_config(cp)).run()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}
