@@ -1762,65 +1762,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r11 window: the 2 never-hashed r11 additions (bpe_histogram
-    # replacing the rows-only bpe_tokenize — now a bench_extra_queries
-    # row — and top_p_frac pinning the fractional-score fix) + the 39
-    # queries whose freshest hash is r08 + the oldest 9 of the r09
-    # cohort; the r09/r10-hashed sets ride at the tail.
+    # query.  r12 window: the never-hashed r12 addition
+    # (share_admission, oracle-hashing the streaming mass-share ledger
+    # accrual) + the 42-query r09-hashed cohort (cdc_apply through
+    # approx_distinct, the stalest green hashes) + the oldest 7 of the
+    # r10 cohort; the r10/r11-hashed sets ride at the tail.
     return {
-        # --- never hashed (new r11) ---
-        "bpe_histogram": q_bpe_histogram,
-        "top_p_frac": q_top_p_frac,
-        # --- last hashed: green r08 ---
-        "cluster_rep": q_cluster_rep,
-        "anomaly": q_anomaly,
-        "unpivot": q_unpivot,
-        "incr_gold": q_incr_gold,
-        "sketch_rollup": q_sketch_rollup,
-        "pit_join": q_pit_join,
-        "edit_join": q_edit_join,
-        "rolling_window": q_rolling_window,
-        "decontaminate": q_decontaminate,
-        "chunk_docs": q_chunk_docs,
-        "vocab_build": q_vocab_build,
-        "token_ids": q_token_ids,
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_sketch_merge": q_quantile_sketch_merge,
-        "star_clusters": q_star_clusters,
-        "topk_sketch": q_topk_sketch,
-        "weighted_sample": q_weighted_sample,
-        "pii_scrub": q_pii_scrub,
-        "line_dedup": q_line_dedup,
-        "lm_perplexity": q_lm_perplexity,
-        "semantic_dedup": q_semantic_dedup,
-        "exact_substr": q_exact_substr,
-        "ngram_novelty": q_ngram_novelty,
-        "incr_near_dup": q_incr_near_dup,
-        "resample": q_resample,
-        "resample_interp": q_resample_interp,
-        "snapshot_diff": q_snapshot_diff,
-        "histogram": q_histogram,
-        "quantile_buckets": q_quantile_buckets,
-        "table_profile": q_table_profile,
-        "bloom_dedup": q_bloom_dedup,
-        "bloom_dedup_sharded": q_bloom_dedup_sharded,
-        "dedup_content": q_dedup_content,
-        "strip_spans": q_strip_spans,
-        "blocklist_filter": q_blocklist_filter,
-        "random_proj": q_random_proj,
-        "source_report": q_source_report,
-        "pricing_summary": q_pricing_summary,
-        "dedup_exact": q_dedup_exact,
-        "dedup_latest": q_dedup_latest,
+        # --- never hashed (new r12) ---
+        "share_admission": q_share_admission,
         # --- last hashed: green r09 ---
-        "split_conflicts": q_split_conflicts,
-        "incr_ann": q_incr_ann,
-        "token_budget": q_token_budget,
-        "domain_budget": q_domain_budget,
-        "shard_export": q_shard_export,
-        "html_extract": q_html_extract,
-        "semantic_decon": q_semantic_decon,
-        "source_canonical": q_source_canonical,
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
         "scd2": q_scd2,
@@ -1913,6 +1863,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "domain_cap": q_domain_cap,
+        # --- last hashed: green r11 ---
+        "bpe_histogram": q_bpe_histogram,
+        "top_p_frac": q_top_p_frac,
+        "cluster_rep": q_cluster_rep,
+        "anomaly": q_anomaly,
+        "unpivot": q_unpivot,
+        "incr_gold": q_incr_gold,
+        "sketch_rollup": q_sketch_rollup,
+        "pit_join": q_pit_join,
+        "edit_join": q_edit_join,
+        "rolling_window": q_rolling_window,
+        "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
+        "vocab_build": q_vocab_build,
+        "token_ids": q_token_ids,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merge": q_quantile_sketch_merge,
+        "star_clusters": q_star_clusters,
+        "topk_sketch": q_topk_sketch,
+        "weighted_sample": q_weighted_sample,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
+        "exact_substr": q_exact_substr,
+        "ngram_novelty": q_ngram_novelty,
+        "incr_near_dup": q_incr_near_dup,
+        "resample": q_resample,
+        "resample_interp": q_resample_interp,
+        "snapshot_diff": q_snapshot_diff,
+        "histogram": q_histogram,
+        "quantile_buckets": q_quantile_buckets,
+        "table_profile": q_table_profile,
+        "bloom_dedup": q_bloom_dedup,
+        "bloom_dedup_sharded": q_bloom_dedup_sharded,
+        "dedup_content": q_dedup_content,
+        "strip_spans": q_strip_spans,
+        "blocklist_filter": q_blocklist_filter,
+        "random_proj": q_random_proj,
+        "source_report": q_source_report,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_latest": q_dedup_latest,
+        "split_conflicts": q_split_conflicts,
+        "incr_ann": q_incr_ann,
+        "token_budget": q_token_budget,
+        "domain_budget": q_domain_budget,
+        "shard_export": q_shard_export,
+        "html_extract": q_html_extract,
+        "semantic_decon": q_semantic_decon,
+        "source_canonical": q_source_canonical,
     }
 
 
@@ -3266,6 +3267,48 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = int(total) // TOKEN_BUDGET_DENOM
     return token_budget_select(
         scored, "score", "n_tokens", budget, "doc_id", cum_col="cum_tokens"
+    )
+
+
+def q_share_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mass-share admission LEDGER replay (streaming/budget.py
+    admit_epoch_share — r11 verdict task #6): a fixed 3-epoch sequence
+    of document batches (epoch = doc_id % 3, score = n_chars) through
+    the real foreachBatch body on batch frames, the same replay-oracle
+    pattern as cdc_apply.  This oracle-hashes the cross-epoch accrual
+    algebra itself — ``allowed_e = round(p·seen_e, 6) − admitted_{e−1}``
+    with best-first fill and the crossing row included — which until
+    r12 had pytest-only evidence.  p = 0.5 so every boundary value is
+    exact in binary and both engines compare identical doubles.  The
+    returned frame is the union of the three epochs' admitted rows with
+    their running cum_score (prev-in-epoch + score + admitted mass of
+    all prior epochs) — the full sink surface, not just membership."""
+    import shutil
+
+    from lakehouse_ingestion_spark.streaming.budget import admit_epoch_share
+
+    base = "/tmp/spark_graft_share_admit"
+    shutil.rmtree(base, ignore_errors=True)
+    out_path, ledger_path = f"{base}/out", f"{base}/ledger"
+    d = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    for e in range(3):
+        admit_epoch_share(
+            d.filter(F.col("doc_id") % 3 == e),
+            e,
+            out_path,
+            ledger_path,
+            score_col="score",
+            p=0.5,
+            key_col="doc_id",
+        )
+    res = spark.read.parquet(out_path)
+    return res.select(
+        "doc_id",
+        F.col("_epoch").cast("long").alias("epoch"),
+        "score",
+        "cum_score",
     )
 
 
@@ -6811,12 +6854,74 @@ SELECT doc_id, lang, score FROM w
 WHERE prev < 0.5 * total OR (prev = 0.0 AND total > 0.0)
 """
 
-    # the corpus-sized half of BPE training: word histogram, min_freq 2
-    # (operators/bpe.py word_histogram — same JVM \s+ tokenization as
-    # vocab_build's oracle)
+    # streaming mass-share admission replay (r12): the 3-epoch ledger
+    # accrual unrolled — allowed_e = round(0.5*seen_e, 6) - admitted_{e-1},
+    # best-first within epoch (score DESC, doc_id ASC), crossing row
+    # included.  p = 0.5 and integral scores keep every boundary exact in
+    # double, so DuckDB's round-half-away vs Python's banker's rounding
+    # never sees a half-way case.
+    qs["share_admission"] = r"""
+WITH s AS (
+  SELECT doc_id, doc_id % 3 AS epoch, n_chars::DOUBLE AS score FROM documents
+),
+w AS (
+  SELECT doc_id, epoch, score,
+         coalesce(sum(score) OVER (PARTITION BY epoch
+                  ORDER BY score DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS prev
+  FROM s
+),
+m AS (SELECT epoch, round(sum(score), 6) AS mass FROM s GROUP BY epoch),
+seen AS (
+  SELECT epoch, round(sum(mass) OVER (ORDER BY epoch), 6) AS seen_after FROM m
+),
+a0 AS (
+  SELECT w.* FROM w
+  WHERE epoch = 0
+    AND round(prev, 6) <
+        round(0.5 * (SELECT seen_after FROM seen WHERE epoch = 0), 6)
+),
+adm0 AS (SELECT round(coalesce(sum(score), 0.0), 6) AS v FROM a0),
+a1 AS (
+  SELECT w.* FROM w
+  WHERE epoch = 1
+    AND round(prev, 6) <
+        round(0.5 * (SELECT seen_after FROM seen WHERE epoch = 1)
+              - (SELECT v FROM adm0), 6)
+),
+adm1 AS (
+  SELECT round((SELECT v FROM adm0)
+               + round(coalesce(sum(score), 0.0), 6), 6) AS v
+  FROM a1
+),
+a2 AS (
+  SELECT w.* FROM w
+  WHERE epoch = 2
+    AND round(prev, 6) <
+        round(0.5 * (SELECT seen_after FROM seen WHERE epoch = 2)
+              - (SELECT v FROM adm1), 6)
+)
+SELECT doc_id, epoch::BIGINT AS epoch, score, prev + score + 0.0 AS cum_score
+FROM a0
+UNION ALL
+SELECT doc_id, epoch::BIGINT, score, prev + score + (SELECT v FROM adm0)
+FROM a1
+UNION ALL
+SELECT doc_id, epoch::BIGINT, score, prev + score + (SELECT v FROM adm1)
+FROM a2
+"""
+
+    # the corpus-sized half of BPE training: word histogram, min_freq 2.
+    # Explicit Java-\s class [ \t\n\x0b\f\r]+ — DuckDB/RE2 \s lacks \x0B
+    # — and a non-empty filter (string_split_regex('') yields ['']),
+    # matching functions/text.tokens exactly on dirty data too (r11
+    # ADVICE fix; engine side filters '' tokens since r12).
     qs["bpe_histogram"] = r"""
 WITH terms AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+           w -> w <> '')) AS word
   FROM documents
 )
 SELECT word, count(*) AS freq FROM terms GROUP BY word HAVING count(*) >= 2

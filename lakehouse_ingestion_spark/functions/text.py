@@ -27,11 +27,15 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization; empty string -> empty array."""
-    t = F.trim(_col(text))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, _WS)
-    )
+    """Whitespace tokenization (Java ``\\s+`` = ``[ \\t\\n\\x0b\\f\\r]+``);
+    never emits empty tokens.  Splitting on ``\\s+`` leaves '' elements
+    at leading/trailing whitespace boundaries (and F.trim strips only
+    SPACES, so a leading tab survived it) — the filter removes them, so
+    empty / whitespace-only / padded text all yield exactly the real
+    words, matching the oracle-side explicit-class + non-empty-filter
+    pattern (r12 parity fix at source; was a latent '' word in the
+    histogram for non-space-padded text)."""
+    return F.filter(F.split(_col(text), _WS), lambda t: F.length(t) > 0)
 
 
 def token_count(text: Column | str) -> Column:

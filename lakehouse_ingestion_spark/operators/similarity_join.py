@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_ingestion_spark.errors import ConfigError
+
 
 def cosine_allpairs_blocked(
     df: DataFrame,
@@ -54,7 +56,7 @@ def cosine_allpairs_blocked(
     # silently vanish from every block instead of erroring
     id_type = dict(df.dtypes).get(id_col)
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise ValueError(
+        raise ConfigError(
             f"cosine_allpairs_blocked needs an integral id column; "
             f"{id_col!r} is {id_type!r} — map string/hash ids to a "
             "surrogate long first"

@@ -391,17 +391,6 @@ SHARE_LEDGER_SCHEMA = (
 )
 
 
-def _mass_totals(spark: SparkSession, ledger_path: str) -> tuple[float, float]:
-    """(seen_mass, admitted_mass) committed so far, 6dp-rounded."""
-    led = _read_ledger(spark, ledger_path)
-    if led is None:
-        return 0.0, 0.0
-    row = led.agg(
-        F.sum("batch_mass").alias("s"), F.sum("admitted_mass").alias("a")
-    ).collect()[0]
-    return round(float(row["s"] or 0.0), 6), round(float(row["a"] or 0.0), 6)
-
-
 def admit_epoch_share(
     batch_df: DataFrame,
     epoch_id: int,

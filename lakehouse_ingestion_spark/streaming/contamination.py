@@ -51,14 +51,24 @@ def current_report(spark: SparkSession, report_path: str) -> DataFrame | None:
     )
 
 
+def _ledger_epochs(spark: SparkSession, ledger_path: str) -> set[int]:
+    led = _read_ledger(spark, ledger_path)
+    if led is None:
+        return set()
+    return {int(r["epoch"]) for r in led.select("epoch").distinct().collect()}
+
+
 def compact_report(
-    spark: SparkSession, report_path: str, ledger_path: str | None = None
+    spark: SparkSession,
+    report_path: str,
+    ledger_path: str | None = None,
+    max_retries: int = 3,
 ) -> None:
     """Fold delta partitions into ONE snapshot partition
     (``_epoch = -1``); superseded partitions go. Cadence maintenance,
     not a per-trigger step.
 
-    Two replay-safety rules (r10 ADVICE fix):
+    Replay-safety rules (r10 + r11 ADVICE fixes):
 
     - The write forces ``partitionOverwriteMode=static`` so the WHOLE
       report path is replaced regardless of the session default — under
@@ -66,36 +76,96 @@ def compact_report(
       partition would be replaced and every superseded delta would
       survive, double-counting in ``current_report`` from then on.
     - With ``ledger_path``, only LEDGERED epochs (plus a prior snapshot)
-      are folded.  An unledgered crash-pending delta must stay OUT of
-      the snapshot: its epoch retries after restart and rewrites the
-      delta, which would then count twice.  The pending partition is
-      dropped by the static overwrite and recomputed by the retry
-      (deltas are pure functions of batch content — convergent).
-      Without ``ledger_path`` the caller must quiesce the stream first.
+      are folded into the snapshot.  Unledgered PENDING deltas are
+      carried forward VERBATIM in their own epoch partitions (r11
+      ADVICE fix): dropping them would permanently lose an epoch whose
+      ledger append lands between our ledger read and the overwrite
+      (``contamination_epoch`` skips ledgered epochs, so the delta
+      would never be recomputed).  Carrying them is replay-safe —
+      ``current_report`` folds raw partitions regardless of ledger
+      state, and a crash-pending epoch's retry dynamically overwrites
+      its own partition, replacing the carried copy (no double count).
+    - After the fold is pinned (``localCheckpoint``), the ledger is
+      RE-READ: if epochs were ledgered mid-fold, their deltas may
+      postdate our pinned read — refold from scratch (up to
+      ``max_retries``; a stream committing faster than the fold raises
+      and the caller should quiesce or retry later).
+    - After the overwrite, one final ledger read detects the residual
+      window (a delta landing between our pinned read and the
+      overwrite, ledgered during the overwrite): if such an epoch's
+      partition is gone, RAISE — the counts were destroyed and cannot
+      be recomputed; loud beats silent corruption.
+
+    Without ``ledger_path`` none of this applies and the caller must
+    quiesce the stream first.
     """
-    raw = _read_ledger(spark, report_path)
-    if raw is None:
-        return
-    if ledger_path is not None:
-        led = _read_ledger(spark, ledger_path)
-        committed = (
-            [int(r["epoch"]) for r in led.select("epoch").distinct().collect()]
-            if led is not None
-            else []
+    for _ in range(max_retries):
+        raw = _read_ledger(spark, report_path)
+        if raw is None:
+            return
+        if ledger_path is None:
+            committed: set[int] | None = None
+            snap_src = raw
+        else:
+            committed = _ledger_epochs(spark, ledger_path)
+            snap_src = raw.filter(
+                F.col(EPOCH_COL).isin([COMPACT_EPOCH, *committed])
+            )
+        cur = snap_src.groupBy("eval_id").agg(
+            F.sum("n_dirty_docs").alias("n_dirty_docs"),
+            F.sum("n_hit_docs").alias("n_hit_docs"),
+            F.max("max_overlap").alias("max_overlap"),
         )
-        raw = raw.filter(F.col(EPOCH_COL).isin([COMPACT_EPOCH, *committed]))
-    cur = raw.groupBy("eval_id").agg(
-        F.sum("n_dirty_docs").alias("n_dirty_docs"),
-        F.sum("n_hit_docs").alias("n_hit_docs"),
-        F.max("max_overlap").alias("max_overlap"),
-    )
-    snap = cur.withColumn(EPOCH_COL, F.lit(COMPACT_EPOCH).cast("long"))
-    snap = snap.localCheckpoint(eager=True)  # pin: plan reads report_path
-    (
-        snap.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy(EPOCH_COL)
-        .parquet(report_path)
+        snap = cur.withColumn(EPOCH_COL, F.lit(COMPACT_EPOCH).cast("long"))
+        if committed is not None:
+            pending = raw.filter(
+                ~F.col(EPOCH_COL).isin([COMPACT_EPOCH, *committed])
+            ).select(*snap.columns)
+            snap = snap.unionByName(pending)
+        snap = snap.localCheckpoint(eager=True)  # pin: plan reads report_path
+        if committed is not None:
+            # epochs present in the report files at pin time (cheap:
+            # #epochs x |eval| rows) — needed for post-overwrite loss
+            # detection below
+            seen_epochs = {
+                int(r[EPOCH_COL])
+                for r in snap.select(EPOCH_COL).distinct().collect()
+            } | committed
+            if _ledger_epochs(spark, ledger_path) - committed:
+                continue  # ledgered mid-fold: pinned read may predate it
+        (
+            snap.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy(EPOCH_COL)
+            .parquet(report_path)
+        )
+        if committed is not None:
+            ledgered_now = _ledger_epochs(spark, ledger_path)
+            candidates = ledgered_now - seen_epochs
+            if candidates:
+                after = _read_ledger(spark, report_path)
+                present = (
+                    {
+                        int(r[EPOCH_COL])
+                        for r in after.select(EPOCH_COL).distinct().collect()
+                    }
+                    if after is not None
+                    else set()
+                )
+                lost = sorted(candidates - present)
+                if lost:
+                    raise RuntimeError(
+                        "compact_report raced the stream: epoch(s) "
+                        f"{lost} were ledgered during the overwrite and "
+                        "their delta partitions were destroyed — counts "
+                        "for those epochs are unrecoverable; quiesce the "
+                        "stream before compaction"
+                    )
+        return
+    raise RuntimeError(
+        f"compact_report could not pin a consistent fold in {max_retries} "
+        "attempts (the stream keeps committing epochs mid-fold) — "
+        "quiesce the stream or retry later"
     )
 
 

@@ -197,9 +197,11 @@ def test_compact_report_forces_static_overwrite(spark, tmp_path):
 
 
 def test_compact_report_skips_unledgered_pending_epoch(spark, tmp_path):
-    """With ledger_path, compaction folds only LEDGERED epochs: an
-    unledgered crash-pending delta stays out of the snapshot, its retry
-    rewrites the delta, and the fold counts it exactly once."""
+    """With ledger_path, compaction folds only LEDGERED epochs into the
+    snapshot; an unledgered crash-pending delta is carried forward
+    VERBATIM in its own partition (r12: carried, not dropped — dropping
+    lost the epoch if its ledger append raced the overwrite), its retry
+    rewrites the delta in place, and the fold counts it exactly once."""
     from pyspark.sql import functions as F
 
     from lakehouse_ingestion_spark.operators.decontaminate import (
@@ -221,11 +223,21 @@ def test_compact_report_skips_unledgered_pending_epoch(spark, tmp_path):
     (pend.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("_epoch").parquet(rp))
     compact_report(spark, rp, ledger_path=lp)
-    # snapshot holds only epoch 0's counts
+    # snapshot partition holds only epoch 0's fold; the pending epoch-1
+    # delta survives verbatim in its own partition
+    import glob
+    import os
+
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(rp, "_epoch=*"))
+    )
+    assert parts == ["_epoch=-1", "_epoch=1"]
+    # current_report stays monotone across compaction: both epochs
+    # visible, each exactly once
     snap = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
-    assert snap[100]["n_dirty_docs"] == 1
-    # retry of epoch 1 (still unledgered) rewrites its delta; the fold
-    # now counts both epochs exactly once
+    assert snap[100]["n_dirty_docs"] == 2
+    # retry of epoch 1 (still unledgered) rewrites its own partition in
+    # place — the carried copy is replaced, never double-counted
     contamination_epoch(b2, 1, ev, rp, lp)
     final = {r["eval_id"]: r for r in current_report(spark, rp).collect()}
     assert final[100]["n_dirty_docs"] == 2
@@ -242,5 +254,7 @@ def test_cosine_allpairs_rejects_non_integral_ids(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [1.0, 0.0])], "doc_id string, v array<double>"
     )
-    with pytest.raises(ValueError, match="integral id"):
+    from lakehouse_ingestion_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="integral id"):
         cosine_allpairs_blocked(df, "doc_id", "v", 0.9)
