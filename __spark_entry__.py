@@ -3506,7 +3506,7 @@ def _duck_shingles_cte() -> str:
 toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+              ELSE string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
          END AS tk
   FROM documents
 ),
@@ -3553,11 +3553,11 @@ def _duck_quality_base() -> str:
          lang,
          text,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+              ELSE len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) END AS n_tok,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              ELSE len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> ''),
                                    x -> x IN ({sw}))) END AS sw_hits
   FROM documents
 )"""
@@ -3589,7 +3589,7 @@ def _duck_lang_sql() -> str:
     for lang in langs:
         words = ", ".join(f"'{w.lower()}'" for w in LANG_MARKERS[lang])
         count_exprs.append(
-            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> ''), "
             f"x -> x IN ({words}))) AS c_{lang}"
         )
     best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
@@ -3671,7 +3671,7 @@ def _duck_simhash_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS tok
   FROM documents WHERE trim(text) <> ''
 ),
 h AS (SELECT doc_id, {_H60.format(x='tok')} AS th FROM toks),
@@ -3769,10 +3769,11 @@ def _as_lines(d: DataFrame, ntok: int) -> DataFrame:
     """Regroup each doc's tokens into ntok-token newline-joined lines
     (the fixture is single-line word soup; real corpora arrive with
     newlines already). Mirrored exactly in the DuckDB oracle."""
-    tk = F.split(F.trim(F.col("text")), r"\s+")
-    tk = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
-    ).otherwise(tk)
+    from lakehouse_ingestion_spark.functions.text import tokens
+
+    # tokens() never emits '' (r12 parity posture) — but it LOWERCASES
+    # nothing and the regroup is case-preserving, so use it directly
+    tk = tokens(F.col("text"))
     # sequence(0, -1) DESCENDS in Spark — guard the empty-token case
     nlines = F.ceil(F.size(tk) / ntok).cast("int")
     lines = F.when(
@@ -4293,7 +4294,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
     qs["dedup_exact"] = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+SELECT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -4308,7 +4309,7 @@ WITH scored AS (
   SELECT doc_id,
          (doc_id * 2654435761) % 1000003 AS score,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) END AS n_tokens
   FROM documents
 ),
 b AS (SELECT CAST(SUM(n_tokens) // {TOKEN_BUDGET_DENOM} AS BIGINT) AS budget
@@ -4331,7 +4332,7 @@ WITH scored AS (
   SELECT doc_id, source,
          (doc_id * 2654435761) % 1000003 AS score,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) END AS n_tokens
   FROM documents
 ),
 b AS (SELECT source, CAST(SUM(n_tokens) // {TOKEN_BUDGET_DENOM} AS BIGINT)
@@ -4384,7 +4385,7 @@ WITH un AS (
 ),
 fp AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f,
          CASE WHEN source = 'mirror' THEN 5 ELSE 0 END AS p
   FROM un
 ),
@@ -4865,7 +4866,7 @@ FROM p ASOF LEFT JOIN c
     qs["fingerprint"] = r"""
 WITH fp AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
   FROM documents
 )
 SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same FROM fp
@@ -4974,7 +4975,7 @@ FROM w FULL JOIN n USING (c_mktsegment)
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) END AS n_tokens
   FROM documents
 ),
 mx AS (
@@ -5122,11 +5123,11 @@ GROUP BY er.err_id
     qs["text_tokenize"] = r"""
 SELECT doc_id,
        len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0b\f\rA-Za-z0-9]+'))
          AS bpe_tokens,
        list_reduce(list_prepend(0::BIGINT,
          list_transform(
-           regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '.'),
+           regexp_extract_all(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'), '.'),
            c -> ascii(c)::BIGINT)),
          (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
 FROM documents
@@ -5251,7 +5252,7 @@ WITH qb AS (
   SELECT doc_id,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-         string_split_regex(trim(lower(text)), '\s+') AS l
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS l
   FROM documents
 ),
 rules AS (
@@ -5282,7 +5283,7 @@ FROM rules
 
     qs["ngram_topk"] = r"""
 WITH toks AS (
-  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents
+  SELECT lang, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS l FROM documents
 ),
 bg AS (
   SELECT lang,
@@ -5303,7 +5304,7 @@ SELECT lang, ngram, n_occur, rk::INTEGER AS rk FROM (
 
     qs["tfidf"] = r"""
 WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
@@ -5323,7 +5324,7 @@ SELECT doc_id, term, tf, df, tfidf, rk::INTEGER AS rk FROM (
 
     qs["bm25"] = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS term
   FROM documents
 ),
 tf AS (
@@ -5332,7 +5333,7 @@ tf AS (
 ),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 dl AS (
-  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+  SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS dl
   FROM documents
 ),
 st AS (SELECT count(*) AS n FROM documents),
@@ -5688,7 +5689,7 @@ LIMIT 100
 toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+              ELSE string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')
          END AS tk
   FROM documents WHERE doc_id < 1000
 ),
@@ -5735,7 +5736,7 @@ WHERE len(list_intersect(sa.hs, sb.hs))::DOUBLE
 WITH t AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+              ELSE list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '') END AS tk
   FROM documents
 ), b AS (
   SELECT doc_id, tk,
@@ -6094,7 +6095,7 @@ WHERE d.doc_id % 53 <> 0
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\s+') END AS tk
+              ELSE list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '') END AS tk
   FROM documents
 ),
 st AS (
@@ -6109,7 +6110,7 @@ FROM st
 
     qs["vocab_build"] = rf"""
 WITH terms AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS term
   FROM documents
 ),
 counted AS (SELECT term, count(*) AS n_occur FROM terms GROUP BY 1)
@@ -6122,7 +6123,7 @@ SELECT term, n_occur, vocab_id::INTEGER AS vocab_id FROM (
 
     qs["token_ids"] = rf"""
 WITH terms AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS term
   FROM documents
 ),
 counted AS (SELECT term, count(*) AS n_occur FROM terms GROUP BY 1),
@@ -6133,7 +6134,7 @@ vocab AS (
   ) WHERE vocab_id <= {VOCAB_MAX}
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '') AS l
   FROM documents
 ),
 pos AS (
@@ -6169,7 +6170,7 @@ GROUP BY r_name
 
     qs["topk_sketch"] = rf"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS tok
   FROM documents
 ),
 tt AS (SELECT tok FROM toks WHERE tok <> ''),
@@ -6222,7 +6223,7 @@ FROM d
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+              ELSE list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') END AS tk
   FROM documents
 ),
 ln AS (
@@ -6270,7 +6271,7 @@ WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN ['<s>']
               ELSE list_prepend('<s>',
-                     string_split_regex(trim(lower(text)), '\s+')) END AS p
+                     list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) END AS p
   FROM documents
 ),
 bg AS (
@@ -6512,7 +6513,7 @@ WHERE b.doc_id % 5 = 0
     qs["dedup_content"] = r"""
 WITH fp AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
   FROM documents
 )
 SELECT min(doc_id) AS doc_id, fingerprint
@@ -6527,7 +6528,7 @@ GROUP BY fingerprint
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+              ELSE list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') END AS tk
   FROM documents
 ),
 ln AS (
@@ -6607,9 +6608,9 @@ FROM embeddings
 SELECT source, lang,
        count(*)::BIGINT AS n_docs,
        sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END
+                ELSE len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '')) END
            )::BIGINT AS total_tokens,
-       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))::BIGINT
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')))::BIGINT
          AS n_distinct_contents,
        sum(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
 FROM documents
@@ -6621,7 +6622,7 @@ GROUP BY source, lang
 WITH tk AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+              ELSE list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') END AS tk
   FROM documents
 )
 SELECT doc_id,
@@ -6639,9 +6640,9 @@ FROM tk
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk,
+              ELSE list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') END AS tk,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS tko
+              ELSE list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') END AS tko
   FROM documents
 ),
 ln AS (
@@ -6715,7 +6716,7 @@ LEFT JOIN rebuilt r USING (doc_id)
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+              ELSE list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') END AS tk
   FROM documents
 ),
 sh AS (
@@ -6741,7 +6742,7 @@ FROM documents d LEFT JOIN per USING (doc_id)
     qs["bm25_topk"] = r"""
 WITH q(query_id, term) AS (VALUES (1,'spark'),(1,'table'),(2,'hash'),(2,'join'),(2,'merge'),(3,'stream'),(3,'window'),(3,'batch')),
 toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS term
   FROM documents
 ),
 tf AS (
@@ -6750,7 +6751,7 @@ tf AS (
 ),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 dl AS (
-  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+  SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS dl
   FROM documents
 ),
 st AS (SELECT count(*) AS n FROM documents),

@@ -123,6 +123,20 @@ def parse_config(raw: dict, schema_registry: SchemaRegistry | None = None) -> Pi
         jobs=jobs,
         schema_registry_path=raw.get("schema_registry_path"),
     )
+    # eager option-schema validation (r11 verdict task #5: the budgets:/p:
+    # flattening bug showed unknown options can silently select the WRONG
+    # sink behavior — fail loudly at load, before any Spark work)
+    import lakehouse_ingestion_spark.sinks  # noqa: F401  (registers writers)
+    from lakehouse_ingestion_spark.pipeline import validate_transform_options
+    from lakehouse_ingestion_spark.sinks.base import validate_writer_options
+
+    for job in cfg.jobs:
+        try:
+            validate_writer_options(job.target.format, job.target.options)
+            for t in job.transforms:
+                validate_transform_options(t.op, t.options)
+        except ConfigError as e:
+            raise ConfigError(f"job '{job.name}': {e}") from None
     # eager schema validation (ConfigLoader.scala:69-100 parity)
     registry = schema_registry or (
         SchemaRegistry(cfg.schema_registry_path) if cfg.schema_registry_path else None

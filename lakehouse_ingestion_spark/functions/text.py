@@ -81,8 +81,12 @@ def quality_score(
 
 # BPE-ish pre-tokenizer: contractions, space-prefixed letter runs, digit
 # runs, punctuation runs. Deliberately lookahead-free so the same pattern
-# runs on Java regex (Spark) and RE2 (DuckDB oracle).
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# runs on Java regex (Spark) and RE2 (DuckDB oracle); whitespace is the
+# EXPLICIT Java-\s class (r12 parity sweep: RE2's \s lacks \x0B, so a
+# bare \s would diverge on vertical-tab-adjacent punctuation).
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0b\f\rA-Za-z0-9]+"
+)
 
 ROLLING_P = 2_147_483_647  # 2^31 - 1; keeps h*31 + c inside int64
 

@@ -208,6 +208,137 @@ def _pairs_frame(df: DataFrame, o: dict) -> DataFrame:
     )
 
 
+# Exact option keys each transform op consumes — the load-time schema
+# behind validate_transform_options (r11 verdict task #5).  Every
+# apply_transform branch has a row; a new op MUST add one or its configs
+# are rejected at load.  Keys listed in _TRANSFORM_MAPPING_KEYS may also
+# arrive dotted-flattened ("near_dup.threshold") from HOCON configs.
+_CLUSTER_STAGE_KEYS = {
+    "id_col", "rep_col", "a_col", "b_col", "pairs_path", "near_dup",
+    "labels_path",
+}
+TRANSFORM_OPTION_KEYS: dict[str, frozenset[str]] = {
+    k: frozenset(v)
+    for k, v in {
+        "conform": {"drop_extra"},
+        "dedup": {
+            "priorities", "source_col", "text_col", "id_col", "hash_fn",
+            "default_priority", "provenance", "order_by", "keys",
+        },
+        "cdc_apply": {"keys", "order_by", "op_column"},
+        "scd2": {"keys", "ts_column", "attr_columns", "tiebreakers"},
+        "aggregate": {"aggs", "group_by"},
+        "enrich": {
+            "dim_path", "dim_table", "on", "how", "select", "broadcast",
+            "prefix",
+        },
+        "quality_filter": {
+            "min_tokens", "max_tokens", "min_mean_token_len",
+            "max_mean_token_len", "min_distinct_ratio", "min_alpha_ratio",
+            "stopwords", "text_col", "keep_only",
+        },
+        "repetition_signals": {"text_col"},
+        "hash_sample": {"key", "fraction", "seed"},
+        "hash_split": {"key", "fractions", "seed", "split_col"},
+        "numeric_profile": {"columns"},
+        "cluster_reps": _CLUSTER_STAGE_KEYS,
+        "near_dup_drop": _CLUSTER_STAGE_KEYS,
+        "leakage_safe_split": _CLUSTER_STAGE_KEYS
+        | {
+            "split_col", "seed", "fractions", "assignments_path",
+            "audit_path", "conflict_action",
+        },
+        "stratified_sample": {
+            "strata", "fractions", "key", "seed", "default_fraction",
+        },
+        "group_cap": {"group", "key", "cap", "order_by"},
+        "chunk": {"chunk_size", "stride", "id_col", "text_col", "keep"},
+        "redact_pii": {"text_col", "rules"},
+        "zscore_outliers": {"group_by", "value", "z", "min_group_count"},
+        "funnel": {"user", "ts", "step", "steps"},
+        "retention": {"user", "ts", "period_days"},
+        "weighted_sample": {"key", "weight", "expected_n", "seed"},
+        "frequent_items": {"item", "min_share"},
+        "quantile_sketch": {"group_by", "value", "compression", "quantiles"},
+        "scrub_text": {"text_col", "out_col", "count_cols"},
+        "line_dedup": {"text_col", "id_col", "max_occurrences", "drop_blank"},
+        "lm_perplexity": {"text_col", "id_col", "k"},
+        "semantic_dedup": {
+            "id_col", "vec_col", "threshold", "n_bits", "keep_only",
+        },
+        "dup_stats": {"text_col", "id_col", "k", "min_occurrences"},
+        "compress_filter": {"min_ratio", "text_col", "min_chars", "keep_only"},
+        "ngram_novelty": {"text_col", "id_col", "k"},
+        "html_extract": {
+            "output_col", "html_col", "line_filter", "min_line_chars",
+            "require_punct",
+        },
+        "token_budget_select": {
+            "score_col", "cost_col", "budget", "key_col", "cum_col",
+        },
+        "semantic_decontaminate": {
+            "eval_path", "id_col", "vec_col", "threshold", "max_eval",
+            "drop_contaminated",
+        },
+        "bm25_search": {
+            "queries", "k", "id_col", "text_col", "k1", "b",
+            "max_query_terms",
+        },
+        "contamination_report": {
+            "eval_path", "text_col", "id_col", "eval_id_col", "n",
+            "threshold",
+        },
+        "event_window_dedup": {"keys", "ts_col", "min_gap_seconds", "tiebreak"},
+        "bpe_tokenize": {
+            "num_merges", "text_col", "lowercase", "min_freq", "max_words",
+            "id_col",
+        },
+        "top_p_select": {"strata_col", "score_col", "p", "key_col", "cum_col"},
+        "stratified_budget_select": {
+            "strata_col", "score_col", "cost_col", "budgets", "key_col",
+            "default_budget", "cum_col",
+        },
+        "derive_column": {"name", "expr"},
+        "filter": {"predicate"},
+        "select": {"exprs"},
+        "sql": {"view", "query"},
+    }.items()
+}
+
+# mapping-valued options that HOCON loading may flatten to dotted keys
+_TRANSFORM_MAPPING_KEYS = (
+    "priorities", "fractions", "near_dup", "budgets", "queries",
+)
+
+
+def validate_transform_options(op: str, options: dict) -> None:
+    """Load-time option-schema check for transform stages: unknown op or
+    unknown option key -> ConfigError naming the valid set, BEFORE any
+    Spark work (r11 verdict task #5 — silent option fall-through selected
+    wrong behavior once; never again)."""
+    allowed = TRANSFORM_OPTION_KEYS.get(op)
+    if allowed is None:
+        raise ConfigError(
+            f"unknown transform op: {op!r}; known ops: "
+            f"{sorted(TRANSFORM_OPTION_KEYS)}"
+        )
+    unknown = sorted(
+        k
+        for k in options
+        if k not in allowed
+        and not any(
+            k.startswith(p + ".")
+            for p in _TRANSFORM_MAPPING_KEYS
+            if p in allowed
+        )
+    )
+    if unknown:
+        raise ConfigError(
+            f"unknown option(s) {unknown} for transform '{op}'; valid keys: "
+            f"{sorted(allowed)}"
+        )
+
+
 def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
     """Config-driven transform dispatch (the reference's declared-only
     ``TransformFn`` hook, ``docs/00-architecture-overview.md:344-355``,

@@ -67,6 +67,12 @@ def _build_fn(df: DataFrame, opts: WriteOptions):
 @register_writer("ann_index")
 class AnnIndexWriter(BaseWriter):
     aliases = ["ivf_index"]
+    option_keys = frozenset(
+        {
+            "centroids_path", "id_col", "vec_col", "retrain_every",
+            "dim", "retrain_iterations", "run_epoch",
+        }
+    )
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         _build_fn(df, opts)(df, int(opts.options.get("run_epoch", 0)))

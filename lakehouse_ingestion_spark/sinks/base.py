@@ -15,9 +15,24 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
-from lakehouse_ingestion_spark.errors import UnsupportedFeatureError
+from lakehouse_ingestion_spark.errors import ConfigError, UnsupportedFeatureError
 
 _WRITERS: dict[str, type] = {}
+
+# target.options keys the pipeline itself consumes when building
+# WriteOptions (pipeline.py _write_options pops them before the writer
+# ever sees the dict) — always legal for every sink
+CARRIER_KEYS = frozenset(
+    {
+        "path",
+        "table",
+        "mode",
+        "partition_by",
+        "checkpoint_location",
+        "trigger_interval",
+        "output_mode",
+    }
+)
 
 
 def register_writer(name: str):
@@ -35,6 +50,45 @@ def get_writer(fmt: str) -> "BaseWriter":
     if cls is None:
         raise UnsupportedFeatureError(f"no writer for format '{fmt}'; known: {sorted(_WRITERS)}")
     return cls()
+
+
+def validate_writer_options(fmt: str, options: dict) -> None:
+    """Eager option-schema check for CLOSED-surface sinks (r11 verdict
+    task #5: the budgets:/p: mapping-flattening bug showed that an
+    unrecognized option silently falling through can select the WRONG
+    behavior, not just be ignored).  A sink that declares
+    ``option_keys`` rejects unknown keys with the valid set in the
+    error; ``option_key_prefixes`` admits dotted-flattened mapping
+    options (``budgets.wiki``, ``fractions.train``, ``sinks.a.path``).
+    Open-surface sinks (parquet/delta/iceberg forward arbitrary keys to
+    the Spark writer) declare ``option_keys = None`` and are skipped, as
+    are formats not in the registry (they fail at dispatch time with
+    UnsupportedFeatureError, the established contract)."""
+    cls = _WRITERS.get(fmt.lower())
+    if cls is None:
+        return
+    allowed = cls.option_keys
+    if allowed is None:
+        return
+    prefixes = tuple(cls.option_key_prefixes)
+    unknown = sorted(
+        k
+        for k in options
+        if k not in allowed
+        and k not in CARRIER_KEYS
+        and not any(k.startswith(p + ".") for p in prefixes)
+    )
+    if unknown:
+        raise ConfigError(
+            f"unknown option(s) {unknown} for sink '{fmt}'; valid keys: "
+            f"{sorted(allowed)} (plus {sorted(CARRIER_KEYS)}"
+            + (
+                f"; mapping options {sorted(prefixes)} may be nested or "
+                "dotted-flattened)"
+                if prefixes
+                else ")"
+            )
+        )
 
 
 @dataclass
@@ -58,6 +112,13 @@ class WriteOptions:
 
 class BaseWriter:
     aliases: list[str] = []
+    # exact option keys this sink consumes; None = open surface (keys
+    # are forwarded to the underlying Spark writer verbatim, so any key
+    # is potentially meaningful and none can be rejected)
+    option_keys: frozenset[str] | None = None
+    # mapping-valued options that config loading may have flattened to
+    # dotted keys ("budgets.wiki": 5); "<prefix>.<anything>" is legal
+    option_key_prefixes: tuple[str, ...] = ()
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         raise NotImplementedError

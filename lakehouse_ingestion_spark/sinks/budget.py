@@ -201,6 +201,14 @@ def _admit(df: DataFrame, epoch_id: int, opts: WriteOptions) -> None:
 @register_writer("budget_admit")
 class BudgetAdmitWriter(BaseWriter):
     aliases = ["token_budget"]
+    option_keys = frozenset(
+        {
+            "ledger_path", "score_col", "cost_col", "key_col", "cum_col",
+            "budget", "budgets", "p", "strata_col", "default_p",
+            "default_budget", "run_epoch",
+        }
+    )
+    option_key_prefixes = ("budgets", "p")
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         _admit(df, int(opts.options.get("run_epoch", 0)), opts)

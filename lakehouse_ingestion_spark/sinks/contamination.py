@@ -51,6 +51,12 @@ def _params(opts: WriteOptions) -> dict:
 
 @register_writer("contamination_audit")
 class ContaminationAuditWriter(BaseWriter):
+    option_keys = frozenset(
+        {
+            "ledger_path", "eval_path", "text_col", "id_col",
+            "eval_id_col", "n", "threshold", "run_epoch",
+        }
+    )
     def _run(self, df: DataFrame, opts: WriteOptions, epoch_id: int) -> None:
         from lakehouse_ingestion_spark.streaming.contamination import (
             contamination_epoch,

@@ -128,6 +128,15 @@ def _build_fn(opts: WriteOptions):
 @register_writer("sticky_split")
 class StickySplitWriter(BaseWriter):
     aliases = ["curation_split"]
+    option_keys = frozenset(
+        {
+            "fractions", "state_dir", "threshold", "ledger_path",
+            "audit_path", "id_col", "text_col", "seed", "split_col",
+            "rep_col", "shingle_n", "num_hashes", "num_bands", "lsh_seed",
+            "posting_cap", "conflict_action", "compact_every", "run_epoch",
+        }
+    )
+    option_key_prefixes = ("fractions",)
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         _build_fn(opts)(df, int(opts.options.get("run_epoch", 0)))

@@ -26,6 +26,9 @@ from lakehouse_ingestion_spark.sinks.base import (
 @register_writer("shards")
 class ShardExportWriter(BaseWriter):
     aliases = ["shard_export"]
+    option_keys = frozenset(
+        {"key_col", "n_shards", "seed", "shard_col", "max_records_per_file"}
+    )
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         o = opts.options

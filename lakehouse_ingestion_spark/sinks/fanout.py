@@ -86,6 +86,8 @@ def _specs(opts: WriteOptions):
 @register_writer("fanout")
 class FanoutWriter(BaseWriter):
     aliases = ["multi", "multi_sink"]
+    option_keys = frozenset({"ledger_path", "sinks", "run_epoch"})
+    option_key_prefixes = ("sinks",)
 
     def write_batch(self, df: DataFrame, opts: WriteOptions) -> None:
         from lakehouse_ingestion_spark.streaming.multi_sink import write_epoch

@@ -577,12 +577,13 @@ def test_cluster_reps_incremental_labels_config_driven(spark, registry, tmp_path
 
 
 def test_unknown_transform_still_raises(spark, registry, docs_file, tmp_path):
-    cfg = parse_config(
-        _doc_config(docs_file, str(tmp_path / "x"), [{"op": "not_an_op"}]),
-        registry,
-    )
+    # r12: unknown ops now fail at LOAD (option-schema validation), not
+    # at run — no Spark work happens for a spec that can never run
     with pytest.raises(ConfigError, match="unknown transform"):
-        Pipeline(spark, cfg, registry=registry).run()
+        parse_config(
+            _doc_config(docs_file, str(tmp_path / "x"), [{"op": "not_an_op"}]),
+            registry,
+        )
 
 
 def test_analytics_transforms_config_driven(spark, registry, tmp_path):
