@@ -127,7 +127,10 @@ def parse_config(raw: dict, schema_registry: SchemaRegistry | None = None) -> Pi
     # flattening bug showed unknown options can silently select the WRONG
     # sink behavior — fail loudly at load, before any Spark work)
     import lakehouse_ingestion_spark.sinks  # noqa: F401  (registers writers)
-    from lakehouse_ingestion_spark.pipeline import validate_transform_options
+    from lakehouse_ingestion_spark.pipeline import (
+        validate_check_spec,
+        validate_transform_options,
+    )
     from lakehouse_ingestion_spark.sinks.base import validate_writer_options
 
     for job in cfg.jobs:
@@ -135,6 +138,9 @@ def parse_config(raw: dict, schema_registry: SchemaRegistry | None = None) -> Pi
             validate_writer_options(job.target.format, job.target.options)
             for t in job.transforms:
                 validate_transform_options(t.op, t.options)
+            if job.data_quality is not None:
+                for spec in job.data_quality.checks:
+                    validate_check_spec(spec)
         except ConfigError as e:
             raise ConfigError(f"job '{job.name}': {e}") from None
     # eager schema validation (ConfigLoader.scala:69-100 parity)

@@ -75,6 +75,45 @@ _CHECK_TYPES = {
 }
 
 
+# exact spec keys per DQ check type (r12: same load-time hardening as
+# sink/transform options — a misspelled "colunm" or "mins" must fail at
+# load naming the valid set, not silently no-op the check)
+_CHECK_OPTION_KEYS: dict[str, frozenset[str]] = {
+    k: frozenset(v) | {"type"}
+    for k, v in {
+        "not_null": {"column", "failure_threshold"},
+        "range": {"column", "min", "max", "failure_threshold"},
+        "regex": {"column", "pattern", "failure_threshold"},
+        "unique_key": {"columns", "failure_threshold"},
+        "row_count": {"min_rows", "max_rows"},
+        "in_set": {"column", "values", "failure_threshold"},
+        "freshness": {"column", "max_age_hours", "failure_threshold"},
+        "drift": {
+            "column", "ref_mean", "ref_std", "max_sigmas",
+            "ref_null_fraction", "max_null_fraction_delta",
+            "profile_path", "profile_column",
+        },
+    }.items()
+}
+
+
+def validate_check_spec(spec: dict) -> None:
+    """Load-time schema check for one DQ check spec dict."""
+    kind = spec.get("type")
+    allowed = _CHECK_OPTION_KEYS.get(kind)
+    if allowed is None:
+        raise ConfigError(
+            f"unknown DQ check type: {kind!r}; known types: "
+            f"{sorted(_CHECK_OPTION_KEYS)}"
+        )
+    unknown = sorted(k for k in spec if k not in allowed)
+    if unknown:
+        raise ConfigError(
+            f"unknown key(s) {unknown} for DQ check '{kind}'; valid keys: "
+            f"{sorted(allowed)}"
+        )
+
+
 def _resolve_drift_spec(spec: dict, spark) -> dict:
     """Fill a drift check's reference moments from a STORED profile
     (the ``operators/profile.numeric_profile`` output at

@@ -196,3 +196,35 @@ def test_parse_config_rejects_bad_transform_option_at_load():
     }
     with pytest.raises(ConfigError, match="job 'j'.*fractoin"):
         parse_config(raw)
+
+
+# --- DQ check specs --------------------------------------------------------
+
+
+def test_check_spec_unknown_key_rejected():
+    from lakehouse_ingestion_spark.pipeline import validate_check_spec
+
+    validate_check_spec({"type": "range", "column": "amt", "min": 0})
+    with pytest.raises(ConfigError, match="colunm") as ei:
+        validate_check_spec({"type": "not_null", "colunm": "amt"})
+    assert "column" in str(ei.value)
+    with pytest.raises(ConfigError, match="unknown DQ check type"):
+        validate_check_spec({"type": "nonnull", "column": "amt"})
+
+
+def test_parse_config_rejects_bad_check_spec_at_load():
+    raw = {
+        "jobs": [
+            {
+                "name": "j",
+                "source": {"type": "parquet", "options": {"path": "/tmp/in"}},
+                "target": {"format": "parquet", "options": {"path": "/tmp/o"}},
+                "data_quality": {
+                    "on_fail": "LOG_ONLY",
+                    "checks": [{"type": "range", "column": "amt", "mins": 0}],
+                },
+            }
+        ]
+    }
+    with pytest.raises(ConfigError, match="job 'j'.*mins"):
+        parse_config(raw)
