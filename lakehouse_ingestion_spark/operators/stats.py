@@ -238,3 +238,63 @@ def quantile_buckets_agg(
         bucket_col,
         F.when(F.col(value_col).isNotNull(), bucket).cast("int"),
     ).drop(*[f"__e{i}" for i in range(len(probs))])
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str] | None = None,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    scaled_col: str = "scaled",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Winsorize + min-max scale ``value_col`` per group: clamp to the
+    exact [p_lo, p_hi] percentiles, then map the clamped range to
+    [0, 1] — the outlier-robust feature normalization (quality scores,
+    lengths, perplexities) that plain min-max lacks (one extreme row
+    drags every other value toward 0) and z-scoring lacks robustly
+    (mean/std are themselves outlier-sensitive).
+
+    Shape: ONE exact-percentile aggregate per group (sort-based
+    distributed partials, same as ``quantile_buckets_agg``) + a
+    broadcast join of the tiny per-group edge frame + a pure
+    projection. No window functions, no second scan.
+
+    Determinism across engines: the scale uses only the two
+    interpolated percentile values (single-value linear interpolation
+    — no large summation whose float result depends on reduction
+    order, the hazard a mean/std scaler would carry), so the rounded
+    output is oracle-stable. Degenerate groups (p_lo and p_hi edges
+    equal) scale to 0.5.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ConfigError(
+            f"robust_scale needs 0 <= p_lo < p_hi <= 1, got [{p_lo}, {p_hi}]"
+        )
+    partition_by = list(partition_by or [])
+    v = F.col(value_col).cast("double")
+    edge_exprs = [
+        F.expr(f"percentile({value_col}, {p_lo!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {p_hi!r})").alias("__hi"),
+    ]
+    if partition_by:
+        edges = df.groupBy(*partition_by).agg(*edge_exprs)
+        for c in partition_by:
+            edges = edges.withColumnRenamed(c, f"__k_{c}")
+        cond = None
+        for c in partition_by:
+            this = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = this if cond is None else cond & this
+        joined = df.join(F.broadcast(edges), cond, "left").drop(
+            *[f"__k_{c}" for c in partition_by]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*edge_exprs)))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    clamped = F.least(F.greatest(v, lo), hi)
+    scaled = F.when(hi > lo, (clamped - lo) / (hi - lo)).otherwise(F.lit(0.5))
+    return joined.withColumn(
+        scaled_col,
+        F.when(v.isNotNull(), F.round(scaled, ndigits)),
+    ).drop("__lo", "__hi")

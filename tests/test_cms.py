@@ -1,0 +1,132 @@
+"""Count-min sketch (operators/cms.py): one-sided error, exact-merge
+algebra, weighted builds, and the input-contract guards.
+
+The merge test is the load-bearing one: because the sparse counter
+rows are exact sums, ``cms_merge(build(A), build(B))`` must equal
+``build(A u B)`` BIT-EXACTLY (not just within error bounds) — that is
+what makes daily-sketch -> monthly-sketch rollups lossless.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouse_ingestion_spark.errors import ConfigError
+from lakehouse_ingestion_spark.operators.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+DEPTH, WIDTH = 4, 256
+
+
+def _items(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "item string")
+
+
+def _counter_map(counters):
+    return {
+        (r["seed"], r["bucket"]): r["cnt"] for r in counters.collect()
+    }
+
+
+def test_estimate_never_underestimates(spark):
+    # heavy skew + many singletons in a narrow sketch: collisions certain
+    values = ["hot"] * 50 + ["warm"] * 10 + [f"cold{i}" for i in range(300)]
+    df = _items(spark, values)
+    counters = cms_build(df, "item", depth=DEPTH, width=WIDTH)
+    exact = df.groupBy("item").agg(F.count("*").alias("exact"))
+    est = cms_estimate(counters, exact, "item", depth=DEPTH, width=WIDTH)
+    rows = est.collect()
+    assert len(rows) == 302
+    for r in rows:
+        assert r["cms_est"] >= r["exact"], r
+
+
+def test_wide_sketch_is_exact_on_heavy_items(spark):
+    """With width >> cardinality the min-row estimate equals the true
+    count for every probe (any colliding row is dominated by a clean
+    one only if at least one of the depth rows is collision-free —
+    assert it holds on this fixture rather than assuming)."""
+    values = ["a"] * 7 + ["b"] * 3 + ["c"] * 1
+    df = _items(spark, values)
+    counters = cms_build(df, "item", depth=4, width=4096)
+    exact = df.groupBy("item").agg(F.count("*").alias("exact"))
+    est = cms_estimate(counters, exact, "item", depth=4, width=4096)
+    for r in est.collect():
+        assert r["cms_est"] == r["exact"], r
+
+
+def test_merge_equals_single_build(spark):
+    a = _items(spark, ["x"] * 5 + ["y"] * 2 + ["z"])
+    b = _items(spark, ["x"] * 3 + ["w"] * 4)
+    whole = _items(spark, ["x"] * 8 + ["y"] * 2 + ["z"] + ["w"] * 4)
+    merged = cms_merge(
+        cms_build(a, "item", depth=DEPTH, width=WIDTH),
+        cms_build(b, "item", depth=DEPTH, width=WIDTH),
+    )
+    direct = cms_build(whole, "item", depth=DEPTH, width=WIDTH)
+    assert _counter_map(merged) == _counter_map(direct)
+
+
+def test_merge_is_associative(spark):
+    frames = [
+        cms_build(_items(spark, vs), "item", depth=2, width=64)
+        for vs in (["p"] * 3, ["q", "p"], ["r"] * 5 + ["q"])
+    ]
+    left = cms_merge(cms_merge(frames[0], frames[1]), frames[2])
+    right = cms_merge(frames[0], cms_merge(frames[1], frames[2]))
+    assert _counter_map(left) == _counter_map(right)
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 2)], "item string, w long"
+    )
+    counters = cms_build(df, "item", depth=3, width=128, weight_col="w")
+    probes = spark.createDataFrame([("a",), ("b",)], "item string")
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(
+            counters, probes, "item", depth=3, width=128
+        ).collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 2
+
+
+def test_grouped_sketches_are_independent(spark):
+    df = spark.createDataFrame(
+        [("en", "tok"), ("en", "tok"), ("de", "tok")], "lang string, item string"
+    )
+    counters = cms_build(df, "item", group_cols=["lang"], depth=2, width=64)
+    probes = spark.createDataFrame(
+        [("en", "tok"), ("de", "tok")], "lang string, item string"
+    )
+    est = {
+        r["lang"]: r["cms_est"]
+        for r in cms_estimate(
+            counters, probes, "item", depth=2, width=64, group_cols=["lang"]
+        ).collect()
+    }
+    assert est == {"en": 2, "de": 1}
+
+
+def test_absent_probe_estimates_zero_or_collision(spark):
+    df = _items(spark, ["only"])
+    counters = cms_build(df, "item", depth=4, width=4096)
+    probes = spark.createDataFrame([("missing",)], "item string")
+    (row,) = cms_estimate(counters, probes, "item", depth=4, width=4096).collect()
+    assert row["cms_est"] == 0  # 4 independent collisions at w=4096: no
+
+
+def test_shape_guards(spark):
+    df = _items(spark, ["a"])
+    with pytest.raises(ConfigError):
+        cms_build(df, "item", depth=0, width=64)
+    with pytest.raises(ConfigError):
+        cms_build(df, "item", depth=2, width=1)
+    with pytest.raises(ConfigError):
+        cms_merge()
