@@ -45,6 +45,7 @@ from lakehouse_ingestion_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens,
 )
 from lakehouse_ingestion_spark.functions.timeutil import epoch_micros, epoch_seconds
 from lakehouse_ingestion_spark.operators.cdc import cdc_apply, cdc_apply_incremental
@@ -1762,14 +1763,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r12 window: the never-hashed r12 addition
-    # (share_admission, oracle-hashing the streaming mass-share ledger
-    # accrual) + the 42-query r09-hashed cohort (cdc_apply through
-    # approx_distinct, the stalest green hashes) + the oldest 7 of the
+    # query.  r12 window: the five never-hashed r12 additions
+    # (share_admission — oracle-hashing the streaming mass-share ledger
+    # accrual — plus cms_topk / winnow_overlap / er_clusters /
+    # robust_scale) + the 42-query r09-hashed cohort (cdc_apply through
+    # approx_distinct, the stalest green hashes) + the oldest 3 of the
     # r10 cohort; the r10/r11-hashed sets ride at the tail.
     return {
         # --- never hashed (new r12) ---
         "share_admission": q_share_admission,
+        "cms_topk": q_cms_topk,
+        "winnow_overlap": q_winnow_overlap,
+        "er_clusters": q_er_clusters,
+        "robust_scale": q_robust_scale,
         # --- last hashed: green r09 ---
         "cdc_apply": q_cdc_apply,
         "cdc_incremental": q_cdc_incremental,
@@ -3462,6 +3468,131 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ext.alias("extracted"),
         boilerplate_line_filter(ext, min_chars=20).alias("content"),
         F.length(ext).cast("long").alias("n_chars_extracted"),
+    )
+
+
+# cross-engine CMS shape: the fixture's vocabulary is only ~31 distinct
+# tokens, so the QUERY width is deliberately narrow (32) to force real
+# bucket collisions — the one-sided-error path must be oracle-exercised,
+# not trivially exact (probed: 3 of 31 tokens genuinely overcount at
+# width 32, 0 at 64). The operator default stays 4096; depth 4 is the
+# textbook default
+CMS_DEPTH = 4
+CMS_WIDTH = 32
+# winnowing: k=8 char-grams, window 16 -> guarantee length 23 chars,
+# expected density 2/17 of k-grams; min_shared 8 targets real copied
+# spans on the dup-heavy fixture; cap 50 drops boilerplate fingerprints
+WINNOW_K = 8
+WINNOW_W = 16
+WINNOW_MIN_SHARED = 8
+WINNOW_CAP = 50
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates vs exact counts for the top-100
+    document tokens (operators/cms.py). The oracle rebuilds the SAME
+    md5-bucketed sketch in SQL, so ``cms_est`` compares bit-for-bit —
+    including the collision inflation the deliberately narrow width
+    forces on this small-vocabulary fixture (est >= exact is the CMS
+    one-sided contract, and the emitted ``overcount`` column makes any
+    violation a visible hash break, not a silent one).
+    Build is ONE map-side-combined groupBy over a depth-way posexplode;
+    estimation broadcasts the bounded sketch (<= depth*width rows)."""
+    from lakehouse_ingestion_spark.operators.cms import cms_build, cms_estimate
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    counters = cms_build(toks, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(100)
+    est = cms_estimate(counters, top, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (operators/winnow.py): MOSS
+    local fingerprints (k=8 char-grams, window 16 — any shared span of
+    >= 23 normalized chars is GUARANTEED to share a fingerprint), hot
+    fingerprints capped at 50 postings, pairs sharing >= 8 fingerprints.
+    Fingerprinting is two stacked map-only projections (hash array
+    materialized between them — interpreted HOFs get no CSE); the only
+    exchanges are the fp-keyed cap and pair join — never all-pairs.
+    The REGISTRY query samples doc_id % 5 == 0 (identically on both
+    engines): per-position md5 makes fingerprinting ~10x the per-char
+    cost of the shingle family, and the 1/5 sample keeps the sf10
+    registry sweep in the near-dup siblings' cost class — the operator
+    itself is full-corpus and linear."""
+    from lakehouse_ingestion_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    )
+    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+    ov = winnow_overlap(
+        fps, min_shared=WINNOW_MIN_SHARED, max_postings=WINNOW_CAP
+    )
+    return ov.select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "shared"
+    )
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/er.py): blocking -> Levenshtein
+    match -> connected components. The dirty-name fixture is synthesized
+    deterministically from customer (three spelling variants per entity:
+    canonical 8-hex stem, first-char doubled, 'x' appended — edits at
+    BOTH ends, so only multi-pass prefix+suffix blocking co-buckets all
+    three), the same synthesize-the-mess pattern as source_canonical's
+    mirror copies. cluster = min record id over the transitive closure;
+    the oracle replays blocking+cap+distance in SQL and closes the
+    clusters with a recursive CTE."""
+    from lakehouse_ingestion_spark.operators.er import resolve_entities
+
+    c = _t(spark, sf_dir, "customer")
+    ent = F.substring(
+        F.md5(F.expr("c_custkey div 3").cast("string")), 1, 8
+    )
+    variant = F.col("c_custkey") % 3
+    name = (
+        F.when(variant == 0, ent)
+        .when(variant == 1, F.concat(F.substring(ent, 1, 1), ent))
+        .otherwise(F.concat(ent, F.lit("x")))
+    )
+    nodes = c.select(F.col("c_custkey").alias("rec_id"), name.alias("name"))
+    out = resolve_entities(
+        nodes, "rec_id", "name", max_edit_distance=1, max_block=100
+    )
+    return out.select("rec_id", "name", "cluster")
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized min-max scaling (operators/stats.robust_scale):
+    l_extendedprice clamped to its per-returnflag [p05, p95] and mapped
+    to [0, 1]. ONE exact-percentile aggregate + broadcast edge join +
+    pure projection — no window, no second scan. Raw IEEE quotients are
+    returned un-rounded (both engines divide identical doubles, so the
+    values are bit-identical; in-engine round() semantics differ —
+    Spark HALF_UP on shortest repr vs DuckDB on binary — and would be
+    the only divergence risk)."""
+    from lakehouse_ingestion_spark.operators.stats import robust_scale
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = robust_scale(
+        l, "price", ["l_returnflag"], p_lo=0.05, p_hi=0.95, ndigits=None
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "price", "scaled"
     )
 
 
@@ -6926,6 +7057,131 @@ WITH terms AS (
   FROM documents
 )
 SELECT word, count(*) AS freq FROM terms GROUP BY word HAVING count(*) >= 2
+"""
+
+    # count-min sketch rebuilt bucket-for-bucket (r12): same md5-derived
+    # hash family (token || '#' || seed), same narrow width, so the
+    # min-over-depth estimates — INCLUDING collision overcounts — match
+    # bit-for-bit.  Explicit Java-\s class + '' filter as everywhere.
+    qs["cms_topk"] = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+           w -> w <> '')) AS token
+  FROM documents
+),
+exact AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token),
+top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT 100
+),
+counters AS (
+  SELECT s.seed,
+         {_H60.format(x="token || '#' || s.seed")} % {CMS_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed) s
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT t.token, t.exact_cnt, s.seed,
+         {_H60.format(x="t.token || '#' || s.seed")} % {CMS_WIDTH} AS bucket
+  FROM top t CROSS JOIN (SELECT unnest([0,1,2,3]) AS seed) s
+)
+SELECT p.token, p.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_est,
+       min(coalesce(c.cnt, 0)) - p.exact_cnt AS overcount
+FROM probed p LEFT JOIN counters c ON c.seed = p.seed AND c.bucket = p.bucket
+GROUP BY p.token, p.exact_cnt
+"""
+
+    # winnowing fingerprints (r12): k=8 char-gram md5 hashes, window-min
+    # over w=16, distinct per doc, stop-fingerprint cap 50, pairs with
+    # >= 8 shared.  DuckDB list slice l[s:e] is 1-based inclusive ->
+    # [s : s+w-1] is the w-element window; short docs (0 < m < w) take
+    # the single partial-window min, sub-k docs drop out — both matching
+    # operators/winnow.py exactly.
+    qs["winnow_overlap"] = r"""
+WITH nt AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) - 7 <= 0 THEN []::BIGINT[]
+              ELSE list_transform(generate_series(1, length(t) - 7),
+                     i -> (('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT))
+         END AS hashes
+  FROM nt
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 15, 1)),
+           s -> list_min(hashes[s:s+15])))) AS fp
+  FROM h WHERE len(hashes) > 0
+),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep k USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+"""
+
+    # entity resolution (r12): the dirty-name synthesis, prefix+suffix
+    # blocking with the stop-block cap, Levenshtein <= 1 edges, and the
+    # transitive closure via a recursive CTE (UNION dedups, clusters are
+    # ~3 nodes so reach stays tiny).  cluster = min rec_id.
+    qs["er_clusters"] = r"""
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS rec_id,
+         CASE c_custkey % 3
+           WHEN 0 THEN substr(md5((c_custkey // 3)::VARCHAR), 1, 8)
+           WHEN 1 THEN substr(substr(md5((c_custkey // 3)::VARCHAR), 1, 8), 1, 1)
+                       || substr(md5((c_custkey // 3)::VARCHAR), 1, 8)
+           ELSE substr(md5((c_custkey // 3)::VARCHAR), 1, 8) || 'x'
+         END AS name
+  FROM customer
+),
+blocks AS (
+  SELECT rec_id, name, unnest(list_distinct([
+           substr(name, 1, 4),
+           substr(name, length(name) - 3, 4)])) AS bk
+  FROM nodes
+),
+keep AS (SELECT bk FROM blocks GROUP BY bk HAVING count(*) <= 100),
+kb AS (SELECT b.rec_id, b.name, b.bk FROM blocks b JOIN keep USING (bk)),
+cand AS (
+  SELECT DISTINCT a.rec_id AS ka, a.name AS na, b.rec_id AS kb, b.name AS nb
+  FROM kb a JOIN kb b ON a.bk = b.bk AND a.rec_id < b.rec_id
+),
+edges AS (SELECT ka, kb FROM cand WHERE levenshtein(na, nb) <= 1),
+bi AS (SELECT ka AS a, kb AS b FROM edges UNION SELECT kb, ka FROM edges),
+reach(src, node) AS (
+  SELECT rec_id, rec_id FROM nodes
+  UNION
+  SELECT r.src, bi.b FROM reach r JOIN bi ON bi.a = r.node
+),
+comp AS (SELECT src AS rec_id, min(node) AS cluster FROM reach GROUP BY src)
+SELECT n.rec_id, n.name, c.cluster FROM nodes n JOIN comp c USING (rec_id)
+"""
+
+    # winsorized min-max scaling (r12): quantile_cont == Spark's exact
+    # percentile (same linear interpolation — the green percentiles row
+    # pins it); the scaled quotient is left un-rounded on BOTH sides
+    # (identical IEEE doubles in, identical out; in-engine round()
+    # modes differ and would be the only divergence risk).
+    qs["robust_scale"] = r"""
+WITH e AS (
+  SELECT l_returnflag AS rf,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_extendedprice AS price,
+       CASE WHEN hi > lo
+            THEN (least(greatest(l_extendedprice, lo), hi) - lo) / (hi - lo)
+            ELSE 0.5 END AS scaled
+FROM lineitem JOIN e ON l_returnflag = e.rf
 """
 
     return qs

@@ -247,7 +247,7 @@ def robust_scale(
     p_lo: float = 0.05,
     p_hi: float = 0.95,
     scaled_col: str = "scaled",
-    ndigits: int = 6,
+    ndigits: int | None = 6,
 ) -> DataFrame:
     """Winsorize + min-max scale ``value_col`` per group: clamp to the
     exact [p_lo, p_hi] percentiles, then map the clamped range to
@@ -294,7 +294,13 @@ def robust_scale(
     lo, hi = F.col("__lo"), F.col("__hi")
     clamped = F.least(F.greatest(v, lo), hi)
     scaled = F.when(hi > lo, (clamped - lo) / (hi - lo)).otherwise(F.lit(0.5))
+    if ndigits is not None:
+        # ndigits=None skips the in-engine round: both engines produce
+        # bit-identical IEEE quotients, while round() semantics differ
+        # (Spark HALF_UP on shortest repr vs DuckDB on binary) — oracle
+        # queries compare raw doubles and let the harness round
+        scaled = F.round(scaled, ndigits)
     return joined.withColumn(
         scaled_col,
-        F.when(v.isNotNull(), F.round(scaled, ndigits)),
+        F.when(v.isNotNull(), scaled),
     ).drop("__lo", "__hi")

@@ -726,3 +726,72 @@ def test_bpe_histogram_map_side_combined_agg(spark, entrymod):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_winnow_fingerprints_map_only(spark):
+    """Fingerprinting never shuffles: two stacked projections + explode
+    (the hash-array materialization boundary), all JVM-side."""
+    from lakehouse_ingestion_spark.operators.winnow import winnow_fingerprints
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = audit(winnow_fingerprints(d, k=8, w=16))
+    assert a.shuffle_exchanges == 0
+    assert a.joins == {}
+    assert not a.python_in_plan
+
+
+def test_winnow_overlap_keyed_join_no_cartesian(spark):
+    """The pair join is fp-keyed (SortMergeJoin/ShuffledHashJoin on the
+    fingerprint) — never a cartesian, never Python."""
+    from lakehouse_ingestion_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = audit(winnow_overlap(winnow_fingerprints(d)))
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The probe join broadcasts the bounded counter frame (depth*width
+    rows by construction) — the probe side never shuffles for the join."""
+    from lakehouse_ingestion_spark.operators.cms import cms_build, cms_estimate
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    counters = cms_build(toks, "token", depth=4, width=64)
+    probes = toks.limit(50).distinct()
+    a = audit(cms_estimate(counters, probes, "token", depth=4, width=64))
+    assert a.broadcast_exchanges >= 1
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_er_candidate_pairs_block_keyed(spark, entrymod):
+    """ER candidate generation joins on the block key — no cartesian, no
+    Python; the Levenshtein match is a JVM expression."""
+    from lakehouse_ingestion_spark.operators.er import candidate_pairs
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    a = audit(candidate_pairs(c, "id", "name"))
+    assert a.joins.get("CartesianProduct", 0) == 0
+    assert not a.python_in_plan
+
+
+def test_robust_scale_single_agg_broadcast_no_window(spark):
+    """ONE percentile aggregate + broadcast edge join + projection: at
+    most the agg's exchanges, a broadcast join, and ZERO Window nodes
+    (the plan a per-group sort-based scaler would have)."""
+    from lakehouse_ingestion_spark.operators.stats import robust_scale
+
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    a = audit(robust_scale(l, "l_extendedprice", ["l_returnflag"]))
+    assert a.broadcast_exchanges >= 1
+    assert a.joins.get("BroadcastHashJoin", 0) >= 1
+    assert "Window" not in a.plan
+    assert not a.python_in_plan
