@@ -218,10 +218,14 @@ def _maintained_reps(df: DataFrame, pairs: DataFrame, o: dict) -> DataFrame | No
 
 def _pairs_frame(df: DataFrame, o: dict) -> DataFrame:
     """Resolve a near-dup pair frame (doc_a, doc_b) for cluster-aware
-    stages: either a precomputed table at ``pairs_path`` (columns
+    stages: a precomputed table at ``pairs_path`` (columns
     ``a_col``/``b_col``, default doc_a/doc_b — the output of any dedup
-    query) or computed in-line from ``near_dup: {text_col, threshold,
-    n, mode}`` via the exact prefix-filter Jaccard join."""
+    query), computed in-line from ``near_dup: {text_col, threshold,
+    n, mode}`` via the exact prefix-filter Jaccard join, or from
+    ``winnow: {text_col, k, w, min_shared, max_postings}`` via MOSS
+    winnowing fingerprints (operators/winnow.py) — the shared-SPAN
+    pair source (copied passages, boilerplate) where Jaccard is the
+    bag-of-shingles one."""
     a_col = o.get("a_col", "doc_a")
     b_col = o.get("b_col", "doc_b")
     if "pairs_path" in o:
@@ -242,8 +246,28 @@ def _pairs_frame(df: DataFrame, o: dict) -> DataFrame:
             mode=nd.get("mode", "word"),
             threshold=float(nd["threshold"]),
         ).select(F.col("id_a").alias(a_col), F.col("id_b").alias(b_col))
+    if "winnow" in o:
+        from lakehouse_ingestion_spark.operators.winnow import (
+            winnow_fingerprints,
+            winnow_overlap,
+        )
+
+        wn = o["winnow"]
+        fps = winnow_fingerprints(
+            df.select(o.get("id_col", "doc_id"), wn.get("text_col", "text")),
+            text_col=wn.get("text_col", "text"),
+            id_col=o.get("id_col", "doc_id"),
+            k=int(wn.get("k", 8)),
+            w=int(wn.get("w", 16)),
+        )
+        return winnow_overlap(
+            fps,
+            id_col=o.get("id_col", "doc_id"),
+            min_shared=int(wn.get("min_shared", 2)),
+            max_postings=int(wn.get("max_postings", 50)),
+        ).select(F.col("a").alias(a_col), F.col("b").alias(b_col))
     raise ConfigError(
-        "cluster-aware stage requires 'pairs_path' or 'near_dup'"
+        "cluster-aware stage requires 'pairs_path', 'near_dup' or 'winnow'"
     )
 
 
@@ -254,7 +278,7 @@ def _pairs_frame(df: DataFrame, o: dict) -> DataFrame:
 # arrive dotted-flattened ("near_dup.threshold") from HOCON configs.
 _CLUSTER_STAGE_KEYS = {
     "id_col", "rep_col", "a_col", "b_col", "pairs_path", "near_dup",
-    "labels_path",
+    "winnow", "labels_path",
 }
 TRANSFORM_OPTION_KEYS: dict[str, frozenset[str]] = {
     k: frozenset(v)
@@ -337,6 +361,14 @@ TRANSFORM_OPTION_KEYS: dict[str, frozenset[str]] = {
             "strata_col", "score_col", "cost_col", "budgets", "key_col",
             "default_budget", "cum_col",
         },
+        "robust_scale": {
+            "value", "group_by", "p_lo", "p_hi", "scaled_col", "ndigits",
+        },
+        "cms_build": {"item", "group_by", "depth", "width", "weight"},
+        "entity_resolve": {
+            "id_col", "name_col", "max_edit_distance", "max_block",
+            "cluster_col",
+        },
         "derive_column": {"name", "expr"},
         "filter": {"predicate"},
         "select": {"exprs"},
@@ -346,7 +378,7 @@ TRANSFORM_OPTION_KEYS: dict[str, frozenset[str]] = {
 
 # mapping-valued options that HOCON loading may flatten to dotted keys
 _TRANSFORM_MAPPING_KEYS = (
-    "priorities", "fractions", "near_dup", "budgets", "queries",
+    "priorities", "fractions", "near_dup", "winnow", "budgets", "queries",
 )
 
 
@@ -378,10 +410,32 @@ def validate_transform_options(op: str, options: dict) -> None:
         )
 
 
+def _reconstitute_mappings(op: str, o: dict) -> dict:
+    """Rebuild mapping-valued options that config loading flattened to
+    dotted keys (``winnow: {k: 5}`` arriving as ``winnow.k: 5``) — the
+    transform-side twin of ``sinks/budget._mapping_option``. Without
+    this, a dotted mapping PASSES load-time validation (dotted prefixes
+    are declared legal for these keys) but the dispatch below would
+    never see the mapping and fall through to the wrong branch — the
+    exact silent-wrong-behavior class the r11 sink bug exposed."""
+    allowed = TRANSFORM_OPTION_KEYS.get(op, frozenset())
+    out = dict(o)
+    for key in _TRANSFORM_MAPPING_KEYS:
+        if key not in allowed or key in out:
+            continue
+        pref = key + "."
+        sub = {k[len(pref):]: v for k, v in o.items() if k.startswith(pref)}
+        if sub:
+            out = {k: v for k, v in out.items() if not k.startswith(pref)}
+            out[key] = sub
+    return out
+
+
 def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
     """Config-driven transform dispatch (the reference's declared-only
     ``TransformFn`` hook, ``docs/00-architecture-overview.md:344-355``,
     made real)."""
+    o = _reconstitute_mappings(op, o)
     if op == "conform":
         # type normalization (SURVEY D13) against the job's registry schema
         if schema is None:
@@ -946,6 +1000,54 @@ def apply_transform(df: DataFrame, op: str, o: dict, schema=None) -> DataFrame:
             key_col=o.get("key_col", "doc_id"),
             default_budget=int(o.get("default_budget", 0)),
             cum_col=o.get("cum_col", "cum_cost"),
+        )
+    if op == "robust_scale":
+        # winsorized min-max feature normalization (operators/stats.py)
+        from lakehouse_ingestion_spark.operators.stats import robust_scale
+
+        nd = o.get("ndigits", 6)
+        return robust_scale(
+            df,
+            o["value"],
+            list(o.get("group_by", [])) or None,
+            p_lo=float(o.get("p_lo", 0.05)),
+            p_hi=float(o.get("p_hi", 0.95)),
+            scaled_col=o.get("scaled_col", "scaled"),
+            ndigits=None if nd is None else int(nd),
+        )
+    if op == "cms_build":
+        # replace the frame with its count-min counter state table —
+        # the numeric_profile pattern: write it through the job's
+        # target, merge later deltas with cms_merge (groupBy-sum)
+        from lakehouse_ingestion_spark.operators.cms import cms_build
+
+        return cms_build(
+            df,
+            o["item"],
+            group_cols=list(o.get("group_by", [])),
+            depth=int(o.get("depth", 4)),
+            width=int(o.get("width", 4096)),
+            weight_col=o.get("weight"),
+        )
+    if op == "entity_resolve":
+        # attach the ER cluster id (operators/er.py) to every row
+        from lakehouse_ingestion_spark.operators.er import resolve_entities
+
+        id_col = o["id_col"]
+        clusters = resolve_entities(
+            df.select(id_col, o["name_col"]),
+            id_col,
+            o["name_col"],
+            max_edit_distance=int(o.get("max_edit_distance", 1)),
+            max_block=int(o.get("max_block", 100)),
+        ).select(id_col, F.col("cluster").alias("__cluster"))
+        return (
+            df.join(clusters, id_col, "left")
+            .withColumn(
+                o.get("cluster_col", "cluster"),
+                F.coalesce(F.col("__cluster"), F.col(id_col)),
+            )
+            .drop("__cluster")
         )
     if op == "derive_column":
         return df.withColumn(o["name"], F.expr(o["expr"]))

@@ -103,3 +103,114 @@ def test_robust_scale_global_and_nulls(spark):
     assert out[1] == 0.0 and out[3] == 1.0
     with pytest.raises(ConfigError):
         robust_scale(df, "v", p_lo=0.9, p_hi=0.1)
+
+
+# ------------------------------------------------- transform integration
+
+
+def test_transform_robust_scale_and_entity_resolve(spark):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    df = spark.createDataFrame(
+        [(1, "deepmind", 10.0), (2, "ddeepmind", 20.0), (3, "unrelatedz", 30.0)],
+        "id long, name string, v double",
+    )
+    out = apply_transform(
+        df, "entity_resolve", {"id_col": "id", "name_col": "name"}
+    )
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got[1] == got[2] == 1 and got[3] == 3
+    assert set(out.columns) == {"id", "name", "v", "cluster"}
+
+    scaled = apply_transform(
+        df, "robust_scale", {"value": "v", "p_lo": 0.0, "p_hi": 1.0}
+    )
+    vals = {r["id"]: r["scaled"] for r in scaled.collect()}
+    assert vals[1] == 0.0 and vals[3] == 1.0
+
+
+def test_transform_cms_build(spark):
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    out = apply_transform(df, "cms_build", {"item": "item", "width": 64, "depth": 2})
+    assert set(out.columns) == {"seed", "bucket", "cnt"}
+    assert sum(r["cnt"] for r in out.collect()) == 6  # 3 rows x depth 2
+
+
+def test_cluster_stage_winnow_pairs(spark):
+    """near_dup_drop with the winnow pair source keeps one doc per
+    shared-span cluster."""
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    base = "the winnowing algorithm selects minimum hashes from windows"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    out = apply_transform(
+        df,
+        "near_dup_drop",
+        {"winnow": {"k": 5, "w": 4, "min_shared": 2}},
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3]  # rep = min id of the {1,2} cluster, 3 singleton
+
+
+def test_new_transform_option_schemas():
+    from lakehouse_ingestion_spark.errors import ConfigError
+    from lakehouse_ingestion_spark.pipeline import validate_transform_options
+
+    validate_transform_options("robust_scale", {"value": "v", "group_by": ["g"]})
+    validate_transform_options("cms_build", {"item": "i", "width": 64})
+    validate_transform_options(
+        "entity_resolve", {"id_col": "id", "name_col": "n", "max_block": 10}
+    )
+    # winnow is a mapping key: nested AND dotted-flattened forms pass
+    validate_transform_options("near_dup_drop", {"winnow": {"k": 5}})
+    validate_transform_options("near_dup_drop", {"winnow.k": 5})
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError):
+        validate_transform_options("robust_scale", {"value": "v", "plo": 0.1})
+    with _pytest.raises(ConfigError):
+        validate_transform_options("cms_build", {"item": "i", "widht": 64})
+    with _pytest.raises(ConfigError):
+        validate_transform_options("entity_resolve", {"id_col": "i", "nam_col": "n"})
+
+
+def test_dotted_mapping_options_reconstituted(spark):
+    """YAML/HOCON-flattened mapping options (winnow.k: 5) must select
+    the SAME behavior as the nested form — the transform-side twin of
+    the r11 sink mapping bug, fixed at dispatch by
+    pipeline._reconstitute_mappings."""
+    from lakehouse_ingestion_spark.pipeline import apply_transform
+
+    base = "the winnowing algorithm selects minimum hashes from windows"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    nested = apply_transform(
+        df, "near_dup_drop", {"winnow": {"k": 5, "w": 4, "min_shared": 2}}
+    )
+    dotted = apply_transform(
+        df,
+        "near_dup_drop",
+        {"winnow.k": 5, "winnow.w": 4, "winnow.min_shared": 2},
+    )
+    assert sorted(r["doc_id"] for r in nested.collect()) == sorted(
+        r["doc_id"] for r in dotted.collect()
+    ) == [1, 3]
+
+    # hash_split's fractions mapping: dotted == nested
+    d2 = spark.range(100).withColumn("k", F.col("id").cast("string"))
+    a = apply_transform(
+        d2, "hash_split", {"key": "k", "fractions": {"tr": 0.8, "te": 0.2}}
+    )
+    b = apply_transform(
+        d2, "hash_split", {"key": "k", "fractions.tr": 0.8, "fractions.te": 0.2}
+    )
+    assert [r["split"] for r in a.orderBy("id").collect()] == [
+        r["split"] for r in b.orderBy("id").collect()
+    ]
