@@ -148,3 +148,20 @@ def cms_estimate(
         .groupBy(*probes.columns)
         .agg(F.min("_c").alias(est_col))
     )
+
+
+def merge_cms_state(
+    state: DataFrame | None,
+    delta_counters: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a delta batch's counters into the CMS state table — the same
+    contract as ``sketches.merge_sketch_state`` / ``incremental.
+    merge_aggregate_state``: today's ``cms_build`` output folds into
+    yesterday's state with one bounded groupBy-sum, so per-day sketches
+    roll up to any coarser grain without rescanning raw data. Both
+    frames must share (depth, width); the sparse-row sum IS the sketch
+    union (exact, bit-for-bit — see tests/test_cms.py merge tests)."""
+    if state is None:
+        return delta_counters
+    return cms_merge(state, delta_counters, group_cols=group_cols)

@@ -130,3 +130,17 @@ def test_shape_guards(spark):
         cms_build(df, "item", depth=2, width=1)
     with pytest.raises(ConfigError):
         cms_merge()
+
+
+def test_merge_cms_state_contract(spark):
+    """None state bootstraps; folding day-2 into day-1 state equals the
+    two-day single build — the incremental-maintenance contract."""
+    from lakehouse_ingestion_spark.operators.cms import merge_cms_state
+
+    day1 = _items(spark, ["x"] * 4 + ["y"])
+    day2 = _items(spark, ["x"] + ["z"] * 2)
+    both = _items(spark, ["x"] * 5 + ["y"] + ["z"] * 2)
+    state = merge_cms_state(None, cms_build(day1, "item", depth=2, width=64))
+    state = merge_cms_state(state, cms_build(day2, "item", depth=2, width=64))
+    direct = cms_build(both, "item", depth=2, width=64)
+    assert _counter_map(state) == _counter_map(direct)
