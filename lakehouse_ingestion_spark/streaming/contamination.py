@@ -37,18 +37,23 @@ EPOCH_COL = "_epoch"
 COMPACT_EPOCH = -1
 
 
-def current_report(spark: SparkSession, report_path: str) -> DataFrame | None:
-    """Fold the delta log into the current per-eval-example report
-    (None before the first committed epoch). Eval-sized aggregation —
-    the frame under it is #epochs x |eval| rows, never corpus-sized."""
-    raw = _read_ledger(spark, report_path)
-    if raw is None:
-        return None
+def _fold(raw: DataFrame) -> DataFrame:
+    """The report fold: per-example counts add across epochs (every doc
+    arrives in exactly one epoch), overlap is a max."""
     return raw.groupBy("eval_id").agg(
         F.sum("n_dirty_docs").alias("n_dirty_docs"),
         F.sum("n_hit_docs").alias("n_hit_docs"),
         F.max("max_overlap").alias("max_overlap"),
     )
+
+
+def current_report(spark: SparkSession, report_path: str) -> DataFrame | None:
+    """Fold the delta log into the current per-eval-example report
+    (None before the first committed epoch). Eval-sized aggregation —
+    the frame under it is #epochs x |eval| rows, never corpus-sized."""
+    from lakehouse_ingestion_spark.streaming.foldlog import current_fold
+
+    return current_fold(spark, report_path, _fold)
 
 
 def _ledger_epochs(spark: SparkSession, ledger_path: str) -> set[int]:
@@ -98,74 +103,23 @@ def compact_report(
 
     Without ``ledger_path`` none of this applies and the caller must
     quiesce the stream first.
-    """
-    for _ in range(max_retries):
-        raw = _read_ledger(spark, report_path)
-        if raw is None:
-            return
-        if ledger_path is None:
-            committed: set[int] | None = None
-            snap_src = raw
-        else:
-            committed = _ledger_epochs(spark, ledger_path)
-            snap_src = raw.filter(
-                F.col(EPOCH_COL).isin([COMPACT_EPOCH, *committed])
-            )
-        cur = snap_src.groupBy("eval_id").agg(
-            F.sum("n_dirty_docs").alias("n_dirty_docs"),
-            F.sum("n_hit_docs").alias("n_hit_docs"),
-            F.max("max_overlap").alias("max_overlap"),
-        )
-        snap = cur.withColumn(EPOCH_COL, F.lit(COMPACT_EPOCH).cast("long"))
-        if committed is not None:
-            pending = raw.filter(
-                ~F.col(EPOCH_COL).isin([COMPACT_EPOCH, *committed])
-            ).select(*snap.columns)
-            snap = snap.unionByName(pending)
-        snap = snap.localCheckpoint(eager=True)  # pin: plan reads report_path
-        if committed is not None:
-            # epochs present in the report files at pin time (cheap:
-            # #epochs x |eval| rows) — needed for post-overwrite loss
-            # detection below
-            seen_epochs = {
-                int(r[EPOCH_COL])
-                for r in snap.select(EPOCH_COL).distinct().collect()
-            } | committed
-            if _ledger_epochs(spark, ledger_path) - committed:
-                continue  # ledgered mid-fold: pinned read may predate it
-        (
-            snap.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy(EPOCH_COL)
-            .parquet(report_path)
-        )
-        if committed is not None:
-            ledgered_now = _ledger_epochs(spark, ledger_path)
-            candidates = ledgered_now - seen_epochs
-            if candidates:
-                after = _read_ledger(spark, report_path)
-                present = (
-                    {
-                        int(r[EPOCH_COL])
-                        for r in after.select(EPOCH_COL).distinct().collect()
-                    }
-                    if after is not None
-                    else set()
-                )
-                lost = sorted(candidates - present)
-                if lost:
-                    raise RuntimeError(
-                        "compact_report raced the stream: epoch(s) "
-                        f"{lost} were ledgered during the overwrite and "
-                        "their delta partitions were destroyed — counts "
-                        "for those epochs are unrecoverable; quiesce the "
-                        "stream before compaction"
-                    )
-        return
-    raise RuntimeError(
-        f"compact_report could not pin a consistent fold in {max_retries} "
-        "attempts (the stream keeps committing epochs mid-fold) — "
-        "quiesce the stream or retry later"
+
+    The protocol body lives in ``streaming/foldlog.compact_fold_log``
+    (ONE copy of the race rules, shared with the streaming count-min
+    maintainer); this wrapper supplies the report fold and routes the
+    ledger read through this module's ``_ledger_epochs`` so the
+    race-interleaving tests keep their monkeypatch point."""
+    from lakehouse_ingestion_spark.streaming.foldlog import compact_fold_log
+
+    committed = (
+        None
+        if ledger_path is None
+        # late-bound module-global lookup: tests script the race by
+        # patching contamination._ledger_epochs
+        else (lambda: _ledger_epochs(spark, ledger_path))
+    )
+    compact_fold_log(
+        spark, report_path, _fold, committed, max_retries=max_retries
     )
 
 
