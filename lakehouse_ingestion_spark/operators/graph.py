@@ -15,13 +15,19 @@ every member of a component carries the component's minimum node id
 - ``algorithm="propagate"``: rounds needed = graph diameter. One
   shuffle join + one aggregation per round, all JVM-side — the leanest
   round for the shallow components near-dup pair finders emit.
-- ``algorithm="jump"`` (default): after each propagation step, every
-  label is replaced by its label's label (path halving, the
-  Shiloach-Vishkin pointer-jumping idea) — label-tree depth halves per
-  round, so convergence is O(log diameter). One extra self-join per
-  round buys chain-shaped components (templated/boilerplate documents
-  form them) safety from the round budget: a 200-link chain converges
-  in ~8 rounds instead of 200.
+- ``algorithm="jump"`` (default): propagation plus path halving (the
+  Shiloach-Vishkin pointer-jumping idea) — every label is replaced by
+  its label's label, so label-tree depth halves per round and
+  convergence is O(log diameter). The extra self-join per round buys
+  chain-shaped components (templated/boilerplate documents form them)
+  safety from the round budget: a 200-link chain converges in ~10
+  rounds instead of 200. The hop join is DEFERRED for the first
+  ``_JUMP_WARMUP`` rounds (r12 optimization, guide §2.4/§1.2): the
+  overwhelmingly common near-dup cluster is diameter <= 2, where plain
+  propagation already converges and the hop join is one pure-overhead
+  shuffle per round; deep chains still get halving from round 3 on,
+  keeping the O(log d) budget (2 + log2 d rounds). Final labels are
+  identical either way (min-label fixpoint; property-tested).
 
 - ``algorithm="star"``: the alternating large-star/small-star
   algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -48,6 +54,11 @@ from pyspark.sql import functions as F
 from ..checkpoint import release_local_checkpoint
 
 log = logging.getLogger(__name__)
+
+# propagate-only warmup rounds before "jump" adds its per-round hop
+# join (see the module docstring): shallow graphs converge inside the
+# warmup at propagate cost, deep chains still halve from round 3 on.
+_JUMP_WARMUP = 2
 
 # Relabel-delta broadcast gate for the incremental maintenance path:
 # 2 long columns ~ 160 MB build side at this row count. Above it the
@@ -100,35 +111,69 @@ def connected_components(
     if algorithm == "star":
         return _star_components(edges, src, dst, _checked, max_iterations)
 
+    # bidirectional view via explode, not self-union: the (possibly
+    # expensive) upstream edge plan is evaluated ONCE during bi's cache
+    # materialization instead of once per union branch (r12, guide §2.4
+    # — the LSH pair pipeline ran twice per CC call before)
     bi = (
-        edges.select(_checked(src).alias("a"), _checked(dst).alias("b"))
-        .union(edges.select(_checked(dst).alias("a"), _checked(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        _checked(src).alias("a"), _checked(dst).alias("b")
+                    ),
+                    F.struct(
+                        _checked(dst).alias("a"), _checked(src).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
         .distinct()
         .persist()
     )
-    labels = (
-        bi.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("cluster_id"))
-        .localCheckpoint()
-    )
+    # r12 round shape (guide §1.2/§2.4): exactly ONE action per round —
+    # the changed-count, which doubles as the materialization of that
+    # round's LAZY localCheckpoint (eager=True would spend a separate
+    # job on the same scan). Round 1 needs no label table at all: labels
+    # start as the identity, so new_label(a) = least(a, min over
+    # neighbors b) is a single map-side-combined groupBy over the edge
+    # set — no join, no separate init checkpoint. Later rounds fold the
+    # old label into the same aggregate via a tagged self row (min of
+    # the self-tagged value IS the old label), replacing the previous
+    # join-groupBy-join round with join-union-groupBy: one exchange of
+    # the label table per round instead of two.
+    labels = None
     try:
         for it in range(max_iterations):
-            nbr = (
-                bi.join(labels, bi["b"] == labels["node"])
-                .groupBy(F.col("a").alias("node0"))
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            stepped = labels.join(
-                nbr, labels["node"] == nbr["node0"], "left"
-            ).select(
-                "node",
-                F.col("cluster_id").alias("__old"),
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            if algorithm == "jump":
+            if labels is None:
+                stepped = (
+                    bi.groupBy(F.col("a").alias("node"))
+                    .agg(F.min("b").alias("__nm"))
+                    .select(
+                        "node",
+                        F.least(F.col("node"), F.col("__nm")).alias("cluster_id"),
+                        F.col("node").alias("__old"),
+                    )
+                )
+            else:
+                cand = bi.join(labels, bi["b"] == labels["node"]).select(
+                    bi["a"].alias("node"),
+                    F.col("cluster_id"),
+                    F.lit(False).alias("__s"),
+                )
+                selfr = labels.select("node", "cluster_id", F.lit(True).alias("__s"))
+                stepped = (
+                    cand.unionByName(selfr)
+                    .groupBy("node")
+                    .agg(
+                        F.min("cluster_id").alias("cluster_id"),
+                        F.min(F.when(F.col("__s"), F.col("cluster_id"))).alias(
+                            "__old"
+                        ),
+                    )
+                )
+            if algorithm == "jump" and it >= _JUMP_WARMUP:
                 # path halving: follow the label one hop (every label IS
                 # a node id present in `stepped`, by induction from the
                 # self-labeled start) — label-tree depth halves per round
@@ -147,13 +192,14 @@ def connected_components(
                 "node",
                 "cluster_id",
                 (F.col("cluster_id") < F.col("__old")).alias("__changed"),
-            ).localCheckpoint()  # eager: materializes AND truncates lineage
+            ).localCheckpoint(eager=False)  # materialized by the count below
             changed = merged.filter(F.col("__changed")).count()
             # round N is materialized — round N-1's blocks are dead.
             # Freeing them here (not at ContextCleaner's GC leisure)
             # bounds live checkpoint blocks to 2 rounds no matter the
             # iteration count; see checkpoint.py.
-            release_local_checkpoint(labels)
+            if labels is not None:
+                release_local_checkpoint(labels)
             labels = merged.drop("__changed")
             if changed == 0:
                 log.info("connected_components converged after %d rounds", it + 1)
@@ -193,25 +239,34 @@ def _star_components(
     the edge set only shrinks toward n-1 star edges — this is the
     shuffle-volume-optimal formulation for edge-heavy graphs.
     """
+    # Pin the (possibly expensive) upstream edge plan ONCE — both the
+    # node set and the canonical edge set derive from it, and without
+    # the pin each materialization re-evaluates the whole pair pipeline
+    # (r12: the LSH near-dup upstream ran twice per star call before).
+    ed = edges.select(
+        _checked(src).alias("s"), _checked(dst).alias("d")
+    ).localCheckpoint()
     # full node set BEFORE dropping self-loops: a node whose only edge
     # is (v, v) must still label itself (propagate/jump include it via
     # the bidirectional view; the star output must agree)
     all_nodes = (
-        edges.select(_checked(src).alias("node"))
-        .union(edges.select(_checked(dst).alias("node")))
+        ed.select(F.col("s").alias("node"))
+        .union(ed.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     cur = (
-        edges.select(
-            F.greatest(_checked(src), _checked(dst)).alias("x"),
-            F.least(_checked(src), _checked(dst)).alias("y"),
+        ed.select(
+            F.greatest(F.col("s"), F.col("d")).alias("x"),
+            F.least(F.col("s"), F.col("d")).alias("y"),
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
     cur_count = cur.count()
+    # both derived frames are materialized — the pinned input is dead
+    release_local_checkpoint(ed)
     for it in range(max_iterations):
         # -- large-star over the bidirectional neighbor view ------------
         bi = cur.select(F.col("x").alias("a"), F.col("y").alias("b")).union(
@@ -237,10 +292,12 @@ def _star_components(
             part_nbrs.union(part_self)
             .filter(F.col("x") != F.col("y"))
             .distinct()
-            .localCheckpoint()  # eager; truncates per-round lineage
+            # lazy: the count below materializes blocks AND truncates
+            # per-round lineage in the same job (r12 — eager spent a
+            # separate job on the identical scan)
+            .localCheckpoint(eager=False)
         )
-        # fixed point: same canonical edge set as last round (count from
-        # the previous round is cached — one job per round, not two)
+        # fixed point: same canonical edge set as last round
         nxt_count = nxt.count()
         if nxt_count == cur_count and nxt.exceptAll(cur).count() == 0:
             log.info("star CC converged after %d rounds", it + 1)
@@ -338,13 +395,12 @@ def incremental_components(
         .join(la, F.col("node") == la["__ln"], "anti")
         .select("node", F.col("node").alias("cluster_id"))
     )
-    if contracted.isEmpty():
-        # batch edges all fall inside existing clusters (or are self
-        # loops among new nodes... impossible: a new-new edge survives
-        # contraction) — labels unchanged, new singles impossible too
-        # except when edges were ALL intra-cluster: then any new node
-        # cannot exist (an edge with a new endpoint always survives).
-        return labels
+    # No isEmpty() pre-check (r12: it cost one extra action per batch):
+    # an all-intra-cluster batch yields an empty contracted graph, CC
+    # over it returns an empty label frame in one cheap round, the
+    # delta is empty, and the left-join relabel below keeps every
+    # persisted row — identical output, one fewer job on the common
+    # (non-empty) path.
     delta = connected_components(
         contracted, src=src, dst=dst,
         max_iterations=max_iterations, algorithm=algorithm,
@@ -357,7 +413,15 @@ def incremental_components(
     # cheap): a bootstrap-sized batch can make the delta grow past
     # broadcast limits, and an unconditional hint would OOM instead of
     # degrading to a shuffle join (same rule as plans/hints.py)
-    if delta.count() <= BROADCAST_DELTA_MAX_ROWS:
+    n_delta = delta.count()
+    if n_delta == 0:
+        # all batch edges fell inside existing clusters (the contracted
+        # graph was empty) — labels unchanged; returning the INPUT state
+        # is the no-op contract callers rely on (identity-checked in
+        # tests), re-established here from the count the broadcast gate
+        # pays for anyway.
+        return labels
+    if n_delta <= BROADCAST_DELTA_MAX_ROWS:
         delta = F.broadcast(delta)
     all_labels = labels.unionByName(new_nodes)
     return (
@@ -475,20 +539,11 @@ def incremental_components_delta(
     else:
         contracted = e.select(F.col("__s").alias(src), F.col("__d").alias(dst))
     contracted = contracted.filter(F.col(src) != F.col(dst)).distinct()
-    if contracted.isEmpty():
-        empty = (
-            new_nodes.select(
-                "node", F.col("node").alias("cluster_id")
-            ).limit(0)
-        )
-        moves = empty.select(
-            F.col("node").alias("__old_rep"),
-            F.col("cluster_id").alias("__new_rep"),
-        )
-        # every batch edge fell inside one existing cluster; first-seen
-        # nodes are impossible (an edge touching one survives
-        # contraction), so the delta is empty
-        return ComponentsDelta(empty, moves, empty)
+    # No isEmpty() pre-check (r12, same reasoning as
+    # incremental_components): an empty contracted graph flows through
+    # CC (one cheap round, empty labels), so moves / new_rows /
+    # member_rows / label_delta all come out empty — identical
+    # ComponentsDelta, one fewer action on the common path.
     cc = (
         connected_components(
             contracted, src=src, dst=dst,
