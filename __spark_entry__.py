@@ -3296,7 +3296,11 @@ def q_share_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = "/tmp/spark_graft_share_admit"
     shutil.rmtree(base, ignore_errors=True)
     out_path, ledger_path = f"{base}/out", f"{base}/ledger"
-    d = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
+    # no ensure_parallelism (r12): the admission's prefix-sum window is
+    # a single-partition sort anyway, and the projection is trivial — a
+    # pre-shuffle fan-out added one round-robin exchange per epoch scan
+    # for nothing (results are a pure function of the rows, unchanged)
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("double").alias("score")
     )
     for e in range(3):
@@ -3502,8 +3506,20 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
-    counters = cms_build(toks, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # r12 (guide §2.3 "aggregate before you shuffle"): tokenize + count
+    # ONCE, then build the sketch from the vocab table with the counts
+    # as weights — sum(weight) over distinct tokens IS sum(1) over
+    # occurrences, so the counters are bit-identical, while the 4-way
+    # md5 fan-out runs per DISTINCT token instead of per corpus token
+    # (the corpus was tokenized twice and md5-hashed occurrence-wise
+    # before; at 100 TB vocab ≪ corpus is the difference between
+    # hashing terabytes and hashing megabytes).
+    exact = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
+    )
+    counters = cms_build(
+        exact, "token", depth=CMS_DEPTH, width=CMS_WIDTH, weight_col="exact_cnt"
+    )
     top = exact.orderBy(F.desc("exact_cnt"), "token").limit(100)
     est = cms_estimate(counters, top, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
     return est.select(
@@ -3535,7 +3551,14 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     )
-    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+    # persist the posting rows (r12): the overlap pipeline reads them
+    # three ways (posting-cap groupBy + both sides of the pair
+    # self-join) and without the cache the per-position md5
+    # fingerprinting — the single most expensive projection in this
+    # query — re-ran once per read (4 identical scan+fingerprint
+    # subtrees in the before-plan, 1 after; same trade as near_dup's
+    # cached shingle hashes)
+    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W).persist()
     ov = winnow_overlap(
         fps, min_shared=WINNOW_MIN_SHARED, max_postings=WINNOW_CAP
     )

@@ -94,8 +94,16 @@ def jaccard_join(
             )
         ).alias("__hs"),
     ).withColumn("__sz", F.size("__hs"))
-    # empty sets pair with nothing (J(∅, X) = 0 < threshold always)
-    src = src.filter(F.col("__sz") > 0)
+    # empty sets pair with nothing (J(∅, X) = 0 < threshold always).
+    # persist (r12): the sorted-hash projection — the expensive
+    # shingle+md5+sort map — is read FOUR times (both prefix-index
+    # sides + both verification sides; six under order="frequency"),
+    # and Spark re-evaluated it per read (4 identical scan subtrees in
+    # the q_jaccard_pairs before-plan, 1 after). Same cache-the-shared-
+    # subtree trade as the LSH path's hashed shingles; at true 100 TB
+    # prefer writing the hash frame once and reading it back (see
+    # lm_score.self_score_perplexity's note).
+    src = src.filter(F.col("__sz") > 0).persist()
 
     # prefix length: |A| - ceil(t * |A|) + 1  (Jaccard prefix bound)
     plen = (F.col("__sz") - F.ceil(F.col("__sz") * F.lit(float(threshold))) + 1).cast(

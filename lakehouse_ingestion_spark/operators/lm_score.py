@@ -139,17 +139,25 @@ def self_score_perplexity(
     context_counts = bigram_counts.groupBy("prev").agg(
         F.sum("c_bg").alias("c_ctx")
     )
-    vocab_size = bigram_counts.select("word").distinct().count()
+    # |V| attached as a broadcast 1-row scalar (r12): the previous
+    # ``.distinct().count()`` spent a separate eager job on the cached
+    # bigram frame just to inline a literal; the arithmetic is the same
+    # IEEE double product either way (k · |V| with |V| widened to
+    # double), so scores are bit-identical.
+    vocab = bigram_counts.agg(
+        F.count_distinct(F.col("word")).alias("__vs")
+    )
     joined = (
         bg_rows.join(F.broadcast(bigram_counts), ["prev", "word"], "left")
         .join(F.broadcast(context_counts), ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
             (
                 (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(k))
                 / (
                     F.coalesce(F.col("c_ctx"), F.lit(0))
-                    + F.lit(k) * vocab_size
+                    + F.lit(k) * F.col("__vs")
                 )
             ).alias("__p"),
         )
@@ -157,8 +165,8 @@ def self_score_perplexity(
     # materialize the doc-sized score frame, then RELEASE the
     # token-sized bigram cache — without this every pipeline invocation
     # leaks a corpus-of-tokens cache into executor storage for the
-    # session's lifetime (eagerness is already the contract here: the
-    # vocab count above runs jobs at call time)
+    # session's lifetime (the eager checkpoint is what makes the
+    # unpersist below safe to run before returning)
     scored = joined.groupBy(id_col).agg(
         F.avg(-F.log2(F.col("__p"))).alias(out_col)
     ).localCheckpoint(eager=True)

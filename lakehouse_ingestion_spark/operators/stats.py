@@ -274,14 +274,22 @@ def robust_scale(
         )
     partition_by = list(partition_by or [])
     v = F.col(value_col).cast("double")
-    edge_exprs = [
-        F.expr(f"percentile({value_col}, {p_lo!r})").alias("__lo"),
-        F.expr(f"percentile({value_col}, {p_hi!r})").alias("__hi"),
+    # BOTH edges from ONE percentile buffer (r12, guide §1.2 per-task
+    # work): percentile(col, array(lo, hi)) sorts/merges the per-group
+    # value map once and interpolates both edges from it, where two
+    # scalar percentile() aggregates each maintained their own buffer —
+    # identical interpolated values, half the aggregation state.
+    edge_expr = F.expr(
+        f"percentile({value_col}, array({p_lo!r}, {p_hi!r}))"
+    ).alias("__pq")
+    unpack = [
+        F.col("__pq")[0].alias("__lo"),
+        F.col("__pq")[1].alias("__hi"),
     ]
     if partition_by:
-        edges = df.groupBy(*partition_by).agg(*edge_exprs)
-        for c in partition_by:
-            edges = edges.withColumnRenamed(c, f"__k_{c}")
+        edges = df.groupBy(*partition_by).agg(edge_expr).select(
+            *[F.col(c).alias(f"__k_{c}") for c in partition_by], *unpack
+        )
         cond = None
         for c in partition_by:
             this = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
@@ -290,7 +298,7 @@ def robust_scale(
             *[f"__k_{c}" for c in partition_by]
         )
     else:
-        joined = df.crossJoin(F.broadcast(df.agg(*edge_exprs)))
+        joined = df.crossJoin(F.broadcast(df.agg(edge_expr).select(*unpack)))
     lo, hi = F.col("__lo"), F.col("__hi")
     clamped = F.least(F.greatest(v, lo), hi)
     scaled = F.when(hi > lo, (clamped - lo) / (hi - lo)).otherwise(F.lit(0.5))

@@ -90,12 +90,16 @@ def admit_epoch(
     led = _read_ledger(spark, ledger_path)
     already = 0
     if led is not None:
-        seen = led.filter(F.col("epoch") == epoch_id).count()
-        if seen:
+        # ONE fused ledger pass: the ledgered-epoch flag and the spent
+        # total come from the same aggregate (was a count() job plus a
+        # separate agg job per trigger — guide §1.2: fewer actions)
+        row = led.agg(
+            F.sum("batch_cost").alias("s"),
+            F.max((F.col("epoch") == epoch_id).cast("int")).alias("dup"),
+        ).collect()[0]
+        if row["dup"]:
             return  # ledgered epoch: output is committed, skip outright
-        already = int(
-            led.agg(F.sum("batch_cost").alias("s")).collect()[0]["s"] or 0
-        )
+        already = int(row["s"] or 0)
     remaining = budget - already
 
     n_rows = 0
@@ -245,14 +249,19 @@ def admit_epoch_stratified(
     led = _read_ledger(spark, ledger_path)
     spent_map: dict[str | None, int] = {}
     if led is not None:
-        if led.filter(F.col("epoch") == epoch_id).count():
-            return  # ledgered epoch: output is committed, skip outright
-        spent_map = {
-            r["stratum"]: int(r["s"] or 0)
-            for r in led.groupBy("stratum")
-            .agg(F.sum("batch_cost").alias("s"))
+        # ONE fused ledger pass: per-stratum spent totals and the
+        # ledgered-epoch flag from the same aggregate (was two jobs)
+        rows = (
+            led.groupBy("stratum")
+            .agg(
+                F.sum("batch_cost").alias("s"),
+                F.max((F.col("epoch") == epoch_id).cast("int")).alias("dup"),
+            )
             .collect()
-        }
+        )
+        if any(r["dup"] for r in rows):
+            return  # ledgered epoch: output is committed, skip outright
+        spent_map = {r["stratum"]: int(r["s"] or 0) for r in rows}
 
     flat = dict(budgets) if isinstance(budgets, dict) else None
 
@@ -435,71 +444,94 @@ def admit_epoch_share(
     """
     from pyspark.sql import Observation, Window
 
+    from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
+
     if not 0 < p <= 1:
         raise ConfigError(f"p must be in (0, 1], got {p}")
     spark = batch_df.sparkSession
     led = _read_ledger(spark, ledger_path)
     seen, admitted = 0.0, 0.0
     if led is not None:
-        if led.filter(F.col("epoch") == epoch_id).count():
-            return  # ledgered epoch: output is committed, skip outright
+        # ONE fused ledger pass: the ledgered-epoch flag and both mass
+        # totals from the same aggregate (was a count() job plus a
+        # separate agg job per trigger)
         row = led.agg(
             F.sum("batch_mass").alias("s"),
             F.sum("admitted_mass").alias("a"),
+            F.max((F.col("epoch") == epoch_id).cast("int")).alias("dup"),
         ).collect()[0]
+        if row["dup"]:
+            return  # ledgered epoch: output is committed, skip outright
         seen = round(float(row["s"] or 0.0), 6)
         admitted = round(float(row["a"] or 0.0), 6)
 
-    guard = batch_df.agg(
-        F.sum((F.col(score_col) < 0).cast("long")).alias("neg"),
-        F.round(
-            F.coalesce(F.sum(F.col(score_col).cast("double")), F.lit(0.0)), 6
-        ).alias("mass"),
-    ).collect()[0]
-    if guard["neg"]:
-        raise ConfigError(f"{score_col} must be non-negative for share admission")
-    batch_mass = round(float(guard["mass"]), 6)
-    allowed = round(p * (seen + batch_mass) - admitted, 6)
-
-    n_rows, adm_mass = 0, 0.0
-    if allowed > 0 and batch_mass > 0:
-        w_prev = Window.orderBy(
-            F.col(score_col).desc(), F.col(key_col).asc()
-        ).rowsBetween(Window.unboundedPreceding, -1)
-        sel = (
-            batch_df.filter(F.col(score_col).isNotNull())
-            .withColumn(
-                "__prev",
-                F.coalesce(
-                    F.sum(F.col(score_col).cast("double")).over(w_prev),
-                    F.lit(0.0),
-                ),
-            )
-            .filter(F.round(F.col("__prev"), 6) < F.lit(allowed))
-            .withColumn(
-                cum_col,
-                F.col("__prev") + F.col(score_col).cast("double") + F.lit(admitted),
-            )
-            .drop("__prev")
-            .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
-        )
-        obs = Observation()
-        counted = sel.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.coalesce(F.sum(F.col(score_col).cast("double")), F.lit(0.0)).alias(
-                "mass"
+    # ONE materialization of the batch (r12, guide §1.2): the windowed
+    # prefix-sum frame is locally checkpointed by the guard aggregate's
+    # job, so the guard totals, the admission filter and the write all
+    # read the same blocks instead of re-scanning (and re-sorting) the
+    # batch per action.  NULL-score rows carry no mass, are never
+    # admitted, and contribute nothing to the guard totals — filtering
+    # them before the window leaves every total unchanged.
+    w_prev = Window.orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    base = (
+        batch_df.filter(F.col(score_col).isNotNull())
+        .withColumn(
+            "__prev",
+            F.coalesce(
+                F.sum(F.col(score_col).cast("double")).over(w_prev),
+                F.lit(0.0),
             ),
         )
-        (
-            counted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(EPOCH_COL)
-            .parquet(out_path)
-        )
-        metrics = dict(obs.get)
-        n_rows = int(metrics["rows"])
-        adm_mass = round(float(metrics["mass"]), 6)
+        .localCheckpoint(eager=False)  # materialized by the guard below
+    )
+    try:
+        guard = base.agg(
+            F.sum((F.col(score_col) < 0).cast("long")).alias("neg"),
+            F.round(
+                F.coalesce(F.sum(F.col(score_col).cast("double")), F.lit(0.0)), 6
+            ).alias("mass"),
+        ).collect()[0]
+        if guard["neg"]:
+            raise ConfigError(
+                f"{score_col} must be non-negative for share admission"
+            )
+        batch_mass = round(float(guard["mass"]), 6)
+        allowed = round(p * (seen + batch_mass) - admitted, 6)
+
+        n_rows, adm_mass = 0, 0.0
+        if allowed > 0 and batch_mass > 0:
+            sel = (
+                base.filter(F.round(F.col("__prev"), 6) < F.lit(allowed))
+                .withColumn(
+                    cum_col,
+                    F.col("__prev")
+                    + F.col(score_col).cast("double")
+                    + F.lit(admitted),
+                )
+                .drop("__prev")
+                .withColumn(EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+            )
+            obs = Observation()
+            counted = sel.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.col(score_col).cast("double")), F.lit(0.0)
+                ).alias("mass"),
+            )
+            (
+                counted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(EPOCH_COL)
+                .parquet(out_path)
+            )
+            metrics = dict(obs.get)
+            n_rows = int(metrics["rows"])
+            adm_mass = round(float(metrics["mass"]), 6)
+    finally:
+        release_local_checkpoint(base)
     spark.createDataFrame(
         [
             (
@@ -603,13 +635,20 @@ def admit_epoch_share_stratified(
     seen_map: dict[str | None, float] = {}
     adm_map: dict[str | None, float] = {}
     if led is not None:
-        if led.filter(F.col("epoch") == epoch_id).count():
-            return  # ledgered epoch: output is committed, skip outright
-        for r in (
+        # ONE fused ledger pass: per-stratum totals and the
+        # ledgered-epoch flag from the same aggregate (was two jobs)
+        rows = (
             led.groupBy("stratum")
-            .agg(F.sum("batch_mass").alias("s"), F.sum("admitted_mass").alias("a"))
+            .agg(
+                F.sum("batch_mass").alias("s"),
+                F.sum("admitted_mass").alias("a"),
+                F.max((F.col("epoch") == epoch_id).cast("int")).alias("dup"),
+            )
             .collect()
-        ):
+        )
+        if any(r["dup"] for r in rows):
+            return  # ledgered epoch: output is committed, skip outright
+        for r in rows:
             seen_map[r["stratum"]] = round(float(r["s"] or 0.0), 6)
             adm_map[r["stratum"]] = round(float(r["a"] or 0.0), 6)
 
