@@ -85,6 +85,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_occurrences: int = 2,
+    pin: bool = False,
 ) -> DataFrame:
     """Per-document maximal duplicated spans (token ranges).
 
@@ -95,12 +96,27 @@ def duplicated_spans(
     spans. Returns one row per span: ``(id, span_start, span_end)``,
     token-indexed inclusive. Docs with no duplication emit no rows
     (aggregate with a left join; see ``dup_stats``).
+
+    With ``pin=True`` (r12) the returned frame is EAGERLY materialized
+    (localCheckpoint — jobs run at call time) and the positional
+    shingle explode is cached for the duration of the call: the explode
+    feeds both the corpus-wide count and the hit join, and the span
+    frame itself is read up to three times by
+    ``strip_duplicated_spans`` — without the pin the explode+lead
+    shingle pass re-ran once per read (the q_strip_spans before-plan
+    held 16 scan subtrees; 2 after). Callers of the pinned form release
+    the returned frame with ``checkpoint.release_local_checkpoint``
+    after its final action. The default stays lazy: single-read
+    consumers (``dup_stats``) keep a fully inspectable plan and skip
+    the checkpoint blocks.
     """
     if min_occurrences < 2:
         raise ValueError(
             f"min_occurrences must be >= 2, got {min_occurrences}"
         )
     ex = _doc_shingles(df, text_col, id_col, k)
+    if pin:
+        ex = ex.persist()
     dup_hashes = (
         ex.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -134,10 +150,18 @@ def duplicated_spans(
             ),
         )
     )
-    return islands.groupBy(id_col, "__island").agg(
-        F.min("pos").alias("span_start"),
-        F.max("__end").alias("span_end"),
-    ).drop("__island")
+    spans = (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("__end").alias("span_end"),
+        )
+        .drop("__island")
+    )
+    if pin:
+        spans = spans.localCheckpoint(eager=True)
+        ex.unpersist()
+    return spans
 
 
 def dup_stats(
@@ -201,7 +225,10 @@ def strip_duplicated_spans(
     ``array_sort(collect_list(struct(pos, w)))``. Docs reduced to ZERO
     tokens keep an empty string (curation length rules then drop them).
     """
-    spans = duplicated_spans(df, text_col, id_col, k, min_occurrences)
+    # pin=True: the span frame feeds three joins below and its shingle
+    # pass fed two — re-pinned per call, released with the returned
+    # frame (see duplicated_spans)
+    spans = duplicated_spans(df, text_col, id_col, k, min_occurrences, pin=True)
     covered = spans.select(
         id_col,
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
