@@ -3555,9 +3555,10 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three ways (posting-cap groupBy + both sides of the pair
     # self-join) and without the cache the per-position md5
     # fingerprinting — the single most expensive projection in this
-    # query — re-ran once per read (4 identical scan+fingerprint
-    # subtrees in the before-plan, 1 after; same trade as near_dup's
-    # cached shingle hashes)
+    # query — re-ran once per read (4 independent scan+fingerprint
+    # subtrees in the before-plan; after, every read hits the one
+    # cached materialization — same trade as near_dup's cached
+    # shingle hashes)
     fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W).persist()
     ov = winnow_overlap(
         fps, min_shared=WINNOW_MIN_SHARED, max_postings=WINNOW_CAP
@@ -4164,8 +4165,16 @@ def incr_build(spark: SparkSession, sf_dir: str) -> None:
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     hist = d.where(F.col("doc_id") % 5 != 0)
     idx = minhash_index(hist, num_hashes=MH_K, num_bands=MH_BANDS, seed=42)
-    idx.bands.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/bands")
-    idx.hashes.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/hashes")
+    # cache the hash frame across the two writes (r12): the bands frame
+    # derives from it, so without the cache the shingle+md5 pass — the
+    # build's dominant cost — ran once per output. Written hashes-first
+    # so the cache materializes during the first write.
+    idx.hashes.persist()
+    try:
+        idx.hashes.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/hashes")
+        idx.bands.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/bands")
+    finally:
+        idx.hashes.unpersist()
     _incr_built_for = sf_dir
 
 

@@ -98,8 +98,9 @@ def jaccard_join(
     # persist (r12): the sorted-hash projection — the expensive
     # shingle+md5+sort map — is read FOUR times (both prefix-index
     # sides + both verification sides; six under order="frequency"),
-    # and Spark re-evaluated it per read (4 identical scan subtrees in
-    # the q_jaccard_pairs before-plan, 1 after). Same cache-the-shared-
+    # and Spark re-evaluated it per read (4 independent scan+hash
+    # subtrees in the q_jaccard_pairs before-plan; after, all four
+    # reads hit one cached materialization — InMemoryTableScan nodes). Same cache-the-shared-
     # subtree trade as the LSH path's hashed shingles; at true 100 TB
     # prefer writing the hash frame once and reading it back (see
     # lm_score.self_score_perplexity's note).

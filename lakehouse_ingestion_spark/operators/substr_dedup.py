@@ -104,7 +104,8 @@ def duplicated_spans(
     frame itself is read up to three times by
     ``strip_duplicated_spans`` — without the pin the explode+lead
     shingle pass re-ran once per read (the q_strip_spans before-plan
-    held 16 scan subtrees; 2 after). Callers of the pinned form release
+    held 16 scan subtrees; 4 after — only the final assembly joins
+    still scan the input). Callers of the pinned form release
     the returned frame with ``checkpoint.release_local_checkpoint``
     after its final action. The default stays lazy: single-read
     consumers (``dup_stats``) keep a fully inspectable plan and skip
