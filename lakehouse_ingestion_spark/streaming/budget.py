@@ -40,8 +40,12 @@ from lakehouse_ingestion_spark.errors import ConfigError
 
 EPOCH_COL = "_epoch"
 
+LEDGER_SCHEMA = "epoch long, rows long, batch_cost long, spent_after long"
 
-def _read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
+
+def _read_ledger(
+    spark: SparkSession, ledger_path: str, schema: str | None = None
+) -> DataFrame | None:
     """None ONLY when the ledger does not exist yet (first run).
 
     Any other read failure (object-store hiccup, permissions) must
@@ -49,11 +53,22 @@ def _read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
     epoch recompute with ``already=0`` — re-admitting up to the full
     budget and appending a duplicate ledger row for an already-ledgered
     epoch, silently overrunning the quota.
+
+    ``schema``: every ledger's schema is a module constant the writer
+    controls, so callers pass it and skip parquet schema inference —
+    one fewer Spark job per trigger (r12; the footer-merge job ran on
+    every micro-batch).
     """
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(ledger_path)
+        reader = spark.read
+        if schema is not None:
+            # file listing still happens at load, so a missing ledger
+            # raises PATH_NOT_FOUND here exactly like the inferred path
+            # (probed; only the footer schema-merge job is skipped)
+            reader = reader.schema(schema)
+        return reader.parquet(ledger_path)
     except AnalysisException as exc:
         cls = getattr(exc, "getErrorClass", lambda: None)() or ""
         if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(exc):
@@ -63,7 +78,7 @@ def _read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame | None:
 
 def spent(spark: SparkSession, ledger_path: str) -> int:
     """Total cost admitted so far (0 when no epoch has committed)."""
-    led = _read_ledger(spark, ledger_path)
+    led = _read_ledger(spark, ledger_path, LEDGER_SCHEMA)
     if led is None:
         return 0
     row = led.agg(F.sum("batch_cost").alias("s")).collect()[0]
@@ -87,7 +102,7 @@ def admit_epoch(
     )
 
     spark = batch_df.sparkSession
-    led = _read_ledger(spark, ledger_path)
+    led = _read_ledger(spark, ledger_path, LEDGER_SCHEMA)
     already = 0
     if led is not None:
         # ONE fused ledger pass: the ledgered-epoch flag and the spent
@@ -146,7 +161,7 @@ def admit_epoch(
                 c.unpersist()
     spark.createDataFrame(
         [(epoch_id, n_rows, batch_cost, already + batch_cost)],
-        "epoch long, rows long, batch_cost long, spent_after long",
+        LEDGER_SCHEMA,
     ).write.mode("append").parquet(ledger_path)
 
 
@@ -200,7 +215,7 @@ def spent_by_stratum(
     O(#epochs x #strata-per-batch) shape keeps per-trigger state I/O
     batch-sized, never corpus-sized, exactly like the global ledger.
     """
-    led = _read_ledger(spark, ledger_path)
+    led = _read_ledger(spark, ledger_path, STRATIFIED_LEDGER_SCHEMA)
     if led is None:
         return {}
     rows = (
@@ -246,7 +261,7 @@ def admit_epoch_stratified(
     )
 
     spark = batch_df.sparkSession
-    led = _read_ledger(spark, ledger_path)
+    led = _read_ledger(spark, ledger_path, STRATIFIED_LEDGER_SCHEMA)
     spent_map: dict[str | None, int] = {}
     if led is not None:
         # ONE fused ledger pass: per-stratum spent totals and the
@@ -449,7 +464,7 @@ def admit_epoch_share(
     if not 0 < p <= 1:
         raise ConfigError(f"p must be in (0, 1], got {p}")
     spark = batch_df.sparkSession
-    led = _read_ledger(spark, ledger_path)
+    led = _read_ledger(spark, ledger_path, SHARE_LEDGER_SCHEMA)
     seen, admitted = 0.0, 0.0
     if led is not None:
         # ONE fused ledger pass: the ledgered-epoch flag and both mass
@@ -631,7 +646,7 @@ def admit_epoch_share_stratified(
         return float(flat.get(stratum, default_p))
 
     spark = batch_df.sparkSession
-    led = _read_ledger(spark, ledger_path)
+    led = _read_ledger(spark, ledger_path, SHARE_STRAT_LEDGER_SCHEMA)
     seen_map: dict[str | None, float] = {}
     adm_map: dict[str | None, float] = {}
     if led is not None:
