@@ -133,9 +133,15 @@ def self_score_perplexity(
     if k <= 0:
         raise ValueError(f"add-k smoothing needs k > 0, got {k}")
     bg_rows = _bigrams(df, text_col, id_col).persist()
+    # the model table is ALSO cached (r12): its three consumers — its
+    # own broadcast build, the context-count broadcast build, and the
+    # |V| scalar — are separate jobs, so without the persist each one
+    # re-ran the token-sized groupBy over the cached bigram frame
+    # (3 corpus-token aggregations per call; the model itself is
+    # vocab²-bounded, so this cache is small at any scale)
     bigram_counts = bg_rows.groupBy("prev", "word").agg(
         F.count(F.lit(1)).alias("c_bg")
-    )
+    ).persist()
     context_counts = bigram_counts.groupBy("prev").agg(
         F.sum("c_bg").alias("c_ctx")
     )
@@ -170,5 +176,6 @@ def self_score_perplexity(
     scored = joined.groupBy(id_col).agg(
         F.avg(-F.log2(F.col("__p"))).alias(out_col)
     ).localCheckpoint(eager=True)
+    bigram_counts.unpersist()
     bg_rows.unpersist()
     return df.join(scored, id_col, "left")
