@@ -114,7 +114,17 @@ def connected_components(
     # bidirectional view via explode, not self-union: the (possibly
     # expensive) upstream edge plan is evaluated ONCE during bi's cache
     # materialization instead of once per union branch (r12, guide §2.4
-    # — the LSH pair pipeline ran twice per CC call before)
+    # — the LSH pair pipeline ran twice per CC call before). The view
+    # also carries a SELF-LOOP per endpoint (r12): each round's "min of
+    # my label and my neighbors' labels" then falls out of the one
+    # join+groupBy — the per-round union branch that re-read the label
+    # checkpoint for the self rows is gone, and the label table is
+    # referenced exactly once per step (which is what makes the fused
+    # first action below cheap). Cache layout: partitioned by the
+    # round-join key `b` — distinct's (a, b) grouping is satisfied by
+    # hash(b), so the build pays the SAME single exchange it always
+    # did, while every round's bi-side join exchange disappears
+    # (guide §2.4: operations keyed the same way share one exchange).
     bi = (
         edges.select(
             F.explode(
@@ -125,58 +135,70 @@ def connected_components(
                     F.struct(
                         _checked(dst).alias("a"), _checked(src).alias("b")
                     ),
+                    F.struct(
+                        _checked(src).alias("a"), _checked(src).alias("b")
+                    ),
+                    F.struct(
+                        _checked(dst).alias("a"), _checked(dst).alias("b")
+                    ),
                 )
             ).alias("__e")
         )
         .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+        .repartition("b")
         .distinct()
         .persist()
     )
+
+    def _step(labels: DataFrame | None) -> DataFrame:
+        """One label-propagation step: (node, cluster_id, __old) where
+        cluster_id = min label over self + neighbors, __old = the
+        incoming label (via the self-loop row). Round 1 needs no label
+        table at all — labels start as the identity, so the step is a
+        single map-side-combined groupBy over the edge set."""
+        if labels is None:
+            return (
+                bi.groupBy(F.col("a").alias("node"))
+                .agg(F.min("b").alias("cluster_id"))
+                .select("node", "cluster_id", F.col("node").alias("__old"))
+            )
+        joined = bi.join(labels, bi["b"] == labels["node"]).select(
+            bi["a"].alias("node"),
+            (bi["a"] == bi["b"]).alias("__self"),
+            F.col("cluster_id"),
+        )
+        return joined.groupBy("node").agg(
+            F.min("cluster_id").alias("cluster_id"),
+            F.min(F.when(F.col("__self"), F.col("cluster_id"))).alias("__old"),
+        )
+
     # r12 round shape (guide §1.2/§2.4): exactly ONE action per round —
     # the changed-count, which doubles as the materialization of that
     # round's LAZY localCheckpoint (eager=True would spend a separate
-    # job on the same scan). Round 1 needs no label table at all: labels
-    # start as the identity, so new_label(a) = least(a, min over
-    # neighbors b) is a single map-side-combined groupBy over the edge
-    # set — no join, no separate init checkpoint. Later rounds fold the
-    # old label into the same aggregate via a tagged self row (min of
-    # the self-tagged value IS the old label), replacing the previous
-    # join-groupBy-join round with join-union-groupBy: one exchange of
-    # the label table per round instead of two.
+    # job on the same scan). The FIRST action fuses steps 1+2: shallow
+    # (star-shaped) components — the dominant near-dup case — converge
+    # at step 1, and the old shape paid a second full action purely to
+    # observe that; chaining step 2 lazily onto step 1 inside one
+    # checkpoint+count does the identical total compute in half the
+    # actions (step 2 is the detection round either way), and deeper
+    # graphs continue with single-step rounds at unchanged cost.
+    # `max_iterations` stays a budget on STEPS, not actions.
     labels = None
     try:
-        for it in range(max_iterations):
-            if labels is None:
-                stepped = (
-                    bi.groupBy(F.col("a").alias("node"))
-                    .agg(F.min("b").alias("__nm"))
-                    .select(
-                        "node",
-                        F.least(F.col("node"), F.col("__nm")).alias("cluster_id"),
-                        F.col("node").alias("__old"),
-                    )
-                )
-            else:
-                cand = bi.join(labels, bi["b"] == labels["node"]).select(
-                    bi["a"].alias("node"),
-                    F.col("cluster_id"),
-                    F.lit(False).alias("__s"),
-                )
-                selfr = labels.select("node", "cluster_id", F.lit(True).alias("__s"))
-                stepped = (
-                    cand.unionByName(selfr)
-                    .groupBy("node")
-                    .agg(
-                        F.min("cluster_id").alias("cluster_id"),
-                        F.min(F.when(F.col("__s"), F.col("cluster_id"))).alias(
-                            "__old"
-                        ),
-                    )
-                )
-            if algorithm == "jump" and it >= _JUMP_WARMUP:
+        it = 0
+        while it < max_iterations:
+            first_action = labels is None
+            stepped = _step(labels)
+            it += 1
+            if first_action and it < max_iterations:
+                stepped = _step(stepped.select("node", "cluster_id"))
+                it += 1
+            if algorithm == "jump" and it - 1 >= _JUMP_WARMUP:
                 # path halving: follow the label one hop (every label IS
                 # a node id present in `stepped`, by induction from the
                 # self-labeled start) — label-tree depth halves per round
+                # (the fused first action covers steps 0-1, both inside
+                # the warmup, so the hop never applies to a fused step)
                 hop = stepped.select(
                     F.col("node").alias("__jn"),
                     F.col("cluster_id").alias("__jc"),
@@ -194,7 +216,7 @@ def connected_components(
                 (F.col("cluster_id") < F.col("__old")).alias("__changed"),
             ).localCheckpoint(eager=False)  # materialized by the count below
             changed = merged.filter(F.col("__changed")).count()
-            # round N is materialized — round N-1's blocks are dead.
+            # step N is materialized — step N-1's blocks are dead.
             # Freeing them here (not at ContextCleaner's GC leisure)
             # bounds live checkpoint blocks to 2 rounds no matter the
             # iteration count; see checkpoint.py.
@@ -202,7 +224,7 @@ def connected_components(
                 release_local_checkpoint(labels)
             labels = merged.drop("__changed")
             if changed == 0:
-                log.info("connected_components converged after %d rounds", it + 1)
+                log.info("connected_components converged after %d rounds", it)
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "

@@ -59,6 +59,32 @@ def test_cc_deferred_hop_matches_bruteforce_labels(spark):
         assert got == want, alg
 
 
+def test_cc_fused_first_action_budget_counts_steps(spark):
+    """The fused first action (steps 1+2 in one checkpoint+count) must
+    keep ``max_iterations`` a budget on STEPS: a star needs 2 steps
+    (1 effective + 1 detection) — it converges with max_iterations=2 and
+    RAISES with max_iterations=1, exactly like the unfused shape. Input
+    self-loop edges must be absorbed by the self-loop view (not create
+    phantom labels)."""
+    from lakehouse_ingestion_spark.operators.graph import connected_components
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (7, 7)], "a long, b long"
+    )
+    for alg in ("propagate", "jump"):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                star, "a", "b", algorithm=alg, max_iterations=2
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7}, alg
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(
+                star, "a", "b", algorithm=alg, max_iterations=1
+            )
+
+
 def test_cc_single_checkpoint_rdd_per_round_released(spark):
     """One lazy checkpoint per round, previous round released: after the
     final collect + explicit release, no label RDD stays pinned."""
