@@ -267,10 +267,13 @@ def _star_components(
     # (r12: the LSH near-dup upstream ran twice per star call before).
     ed = edges.select(
         _checked(src).alias("s"), _checked(dst).alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by all_nodes' job below
     # full node set BEFORE dropping self-loops: a node whose only edge
     # is (v, v) must still label itself (propagate/jump include it via
-    # the bidirectional view; the star output must agree)
+    # the bidirectional view; the star output must agree). Its EAGER
+    # checkpoint job is what materializes ed's lazy one (r12 v2: ed's
+    # separate eager-checkpoint job folded away — init is now 2 actions,
+    # this one and the cur count, with the same peak block footprint).
     all_nodes = (
         ed.select(F.col("s").alias("node"))
         .union(ed.select(F.col("d").alias("node")))
