@@ -1763,66 +1763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query window always re-hashes RED / never-hashed / least-recently-
     # hashed queries first.  tests/test_rotation.py pins the invariant;
     # run `python tools/rotate_registry.py` to regenerate after adding a
-    # query.  r12 window: the five never-hashed r12 additions
-    # (share_admission — oracle-hashing the streaming mass-share ledger
-    # accrual — plus cms_topk / winnow_overlap / er_clusters /
-    # robust_scale) + the 42-query r09-hashed cohort (cdc_apply through
-    # approx_distinct, the stalest green hashes) + the oldest 3 of the
-    # r10 cohort; the r10/r11-hashed sets ride at the tail.
+    # query.  r13 window: the r12 sweep hashed the r12 window (the five
+    # r12 additions + the stale-r09 cohort), so the window advances to the
+    # r10-hashed cohort (quantile_agg .. q16_supplier_counts and the rest
+    # of the r10 set); r11/r12-hashed entries ride at the tail.
     return {
-        # --- never hashed (new r12) ---
-        "share_admission": q_share_admission,
-        "cms_topk": q_cms_topk,
-        "winnow_overlap": q_winnow_overlap,
-        "er_clusters": q_er_clusters,
-        "robust_scale": q_robust_scale,
-        # --- last hashed: green r09 ---
-        "cdc_apply": q_cdc_apply,
-        "cdc_incremental": q_cdc_incremental,
-        "scd2": q_scd2,
-        "scd1": q_scd1,
-        "upsert": q_upsert,
-        "enrich": q_enrich,
-        "denormalize": q_denormalize,
-        "gold_daily": q_gold_daily,
-        "gold_rollup": q_gold_rollup,
-        "gold_cube": q_gold_cube,
-        "window_topk": q_window_topk,
-        "dq_summary": q_dq_summary,
-        "quarantine": q_quarantine,
-        "ref_integrity": q_ref_integrity,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
-        "minhash": q_minhash,
-        "near_dup": q_near_dup,
-        "ann_cosine": q_ann_cosine,
-        "q3_shipping": q3_shipping,
-        "q5_local_supplier": q5_local_supplier,
-        "set_ops": q_set_ops,
-        "sort_limit": q_sort_limit,
-        "scalar_funcs": q_scalar_funcs,
-        "simhash": q_simhash,
-        "cosine_dup": q_cosine_dup,
-        "corr_panel": q_corr_panel,
-        "dq_drift": q_dq_drift,
-        "cluster_split": q_cluster_split,
-        "ann_lsh": q_ann_lsh,
-        "multimodal": q_multimodal,
-        "kafka_decode": q_kafka_decode,
-        "grouping_sets": q_grouping_sets,
-        "percentiles": q_percentiles,
-        "salted_agg": q_salted_agg,
-        "window_frames": q_window_frames,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "fingerprint": q_fingerprint,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "approx_distinct": q_approx_distinct,
         # --- last hashed: green r10 ---
-        "bm25_topk": q_bm25_topk,
-        "contamination": q_contamination,
-        "event_dedup": q_event_dedup,
         "quantile_agg": q_quantile_agg,
         "top_p": q_top_p,
         "text_tokenize": q_text_tokenize,
@@ -1920,6 +1866,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "semantic_decon": q_semantic_decon,
         "source_canonical": q_source_canonical,
+        # --- last hashed: green r12 ---
+        "share_admission": q_share_admission,
+        "cms_topk": q_cms_topk,
+        "winnow_overlap": q_winnow_overlap,
+        "er_clusters": q_er_clusters,
+        "robust_scale": q_robust_scale,
+        "cdc_apply": q_cdc_apply,
+        "cdc_incremental": q_cdc_incremental,
+        "scd2": q_scd2,
+        "scd1": q_scd1,
+        "upsert": q_upsert,
+        "enrich": q_enrich,
+        "denormalize": q_denormalize,
+        "gold_daily": q_gold_daily,
+        "gold_rollup": q_gold_rollup,
+        "gold_cube": q_gold_cube,
+        "window_topk": q_window_topk,
+        "dq_summary": q_dq_summary,
+        "quarantine": q_quarantine,
+        "ref_integrity": q_ref_integrity,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "minhash": q_minhash,
+        "near_dup": q_near_dup,
+        "ann_cosine": q_ann_cosine,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
+        "set_ops": q_set_ops,
+        "sort_limit": q_sort_limit,
+        "scalar_funcs": q_scalar_funcs,
+        "simhash": q_simhash,
+        "cosine_dup": q_cosine_dup,
+        "corr_panel": q_corr_panel,
+        "dq_drift": q_dq_drift,
+        "cluster_split": q_cluster_split,
+        "ann_lsh": q_ann_lsh,
+        "multimodal": q_multimodal,
+        "kafka_decode": q_kafka_decode,
+        "grouping_sets": q_grouping_sets,
+        "percentiles": q_percentiles,
+        "salted_agg": q_salted_agg,
+        "window_frames": q_window_frames,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "fingerprint": q_fingerprint,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "approx_distinct": q_approx_distinct,
+        "bm25_topk": q_bm25_topk,
+        "contamination": q_contamination,
+        "event_dedup": q_event_dedup,
     }
 
 

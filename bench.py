@@ -127,17 +127,19 @@ def main() -> None:
         timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 4)
-    # Full per-query map goes to a side artifact + a non-final stdout line;
-    # the FINAL line stays compact so the driver's bounded tail capture can
-    # always parse it (at 95 queries the full map overflowed the capture
-    # and BENCH_r04 recorded parsed=null).
+    # High-precision per-query map + rerun evidence go to a side artifact;
+    # the FINAL stdout line carries the REAL per-query map (driver contract:
+    # the driver's parser only reads the final line, so hiding the map behind
+    # a pointer made optimization rounds unmeasurable — r12 verdict item 1).
+    # Values are rounded to 2 decimals so 150+ entries stay well inside the
+    # driver's bounded tail capture (~4 KB vs the r4 overflow at 4-decimal
+    # precision plus a duplicate non-final map line).
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
         json.dump(
             {"sf": sf, "total_sec": total, "queries": timings, "reruns": reruns},
             f,
             indent=1,
         )
-    print(json.dumps({"per_query_sec": timings}))
     print(
         json.dumps(
             {
@@ -146,8 +148,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "queries": {"_full_map": "BENCH_QUERIES.json"},
-            }
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

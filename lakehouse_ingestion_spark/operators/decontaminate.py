@@ -36,6 +36,27 @@ def eval_ngram_set(
     )
 
 
+def eval_ngram_pairs(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (eval_id, shingle) pairs of the eval corpus — the shared
+    eval-side index for a pipeline that runs BOTH hygiene passes (r13,
+    guide §2.3): build it once (materialize/checkpoint it), hand it to
+    ``contamination_report(eval_ngrams=...)`` as-is and to
+    ``decontaminate(eval_ngrams=pairs.select("shingle").distinct())``,
+    and the eval set is exploded+deduped once per run instead of once
+    per operator call."""
+    return (
+        eval_df.select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode(shingles(text_col, n)).alias("shingle"),
+        ).distinct()
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -43,6 +64,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: int = 2,
+    eval_ngrams: DataFrame | None = None,
 ) -> DataFrame:
     """Per training document: how many of its distinct n-grams appear in
     the eval set (``n_overlap``) and whether that crosses ``threshold``
@@ -51,10 +73,21 @@ def decontaminate(
     Every training doc appears in the output (n_overlap = 0 when clean):
     the follow-up filter is the caller's policy decision, and silent row
     loss in a hygiene pass is how eval leakage survives review.
+
+    ``eval_ngrams``: optional precomputed distinct-``shingle`` frame
+    (``eval_ngram_set``'s output, or ``eval_ngram_pairs(...).select
+    ("shingle").distinct()``) so a run that also builds
+    ``contamination_report`` explodes the eval set ONCE (r13, guide
+    §2.3). Must match ``eval_ngram_set(eval_df, text_col, n)`` exactly
+    or the overlap counts change.
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
-    ev = F.broadcast(eval_ngram_set(eval_df, text_col, n))
+    ev = F.broadcast(
+        eval_ngrams
+        if eval_ngrams is not None
+        else eval_ngram_set(eval_df, text_col, n)
+    )
     hits = (
         train.select(id_col, F.explode(shingles(text_col, n)).alias("shingle"))
         .join(ev, "shingle")
@@ -82,6 +115,7 @@ def contamination_report(
     eval_id_col: str = "eval_id",
     n: int = 3,
     threshold: int = 2,
+    eval_ngrams: DataFrame | None = None,
 ) -> DataFrame:
     """Per EVAL EXAMPLE contamination audit — the other direction of
     :func:`decontaminate` (GPT-3 appendix C reports contamination per
@@ -106,14 +140,16 @@ def contamination_report(
     exploded ONCE and hash-joined map-side; the (eval_id, doc) overlap
     aggregate is bounded by actual collisions, and the final per-example
     rollup is eval-sized.  Nothing scales with |eval| x |train|.
+
+    ``eval_ngrams``: optional precomputed (eval_id, shingle) pairs frame
+    (``eval_ngram_pairs``'s output) — see :func:`decontaminate`.
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     ev = F.broadcast(
-        eval_df.select(
-            F.col(eval_id_col).alias("eval_id"),
-            F.explode(shingles(text_col, n)).alias("shingle"),
-        ).distinct()
+        eval_ngrams
+        if eval_ngrams is not None
+        else eval_ngram_pairs(eval_df, text_col, eval_id_col, n)
     )
     per_doc = (
         train.select(id_col, F.explode(shingles(text_col, n)).alias("shingle"))

@@ -293,6 +293,62 @@ def merge_digests(
     return partials.groupBy(*gcols).applyInPandas(_merge, out_schema)
 
 
+def merge_digest_quantiles(
+    partials: DataFrame,
+    to_group_by: list[str],
+    quantiles: dict[str, float],
+    compression: int = 400,
+) -> DataFrame:
+    """Fused merge + estimate: roll digest rows up to ``to_group_by``
+    and emit the requested quantile estimates in the SAME
+    ``applyInPandas`` pass — one Python boundary crossing instead of two
+    (r13, guide §4: the separate ``merge_digests`` -> ``digest_quantile``
+    chain paid an extra ArrowEvalPython node whose only job was to
+    re-read the centroid arrays the merge had just written out).
+
+    ``quantiles`` maps output column name -> q in [0, 1]. Arithmetic is
+    BIT-IDENTICAL to ``digest_quantile(merge_digests(...))``: the merged
+    centroids never round-trip through Arrow between merge and estimate,
+    but both legs are float64 end to end, so the doubles agree exactly
+    (pinned by ``tests/test_r13_opt.py``).
+    """
+    if not to_group_by:
+        raise ValueError("to_group_by must be non-empty")
+    for name, q in quantiles.items():
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"quantile {name} must be in [0,1], got {q}")
+    schema_prefix = ", ".join(
+        f"`{c}` {partials.schema[c].dataType.simpleString()}" for c in to_group_by
+    )
+    qcols = {name: float(q) for name, q in quantiles.items()}
+    out_schema = schema_prefix + "".join(
+        f", `{name}` double" for name in qcols
+    )
+    gcols = list(to_group_by)
+    n_bins = int(compression)
+
+    def _merge_est(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        allm = _np.concatenate(
+            [_np.asarray(x, dtype="float64") for x in pdf["td_means"]]
+        )
+        allw = _np.concatenate(
+            [_np.asarray(x, dtype="float64") for x in pdf["td_weights"]]
+        )
+        order = _np.argsort(allm, kind="stable")
+        ms, ws = _td_compress(allm[order], allw[order], n_bins)
+        mn = float(pdf["td_min"].min())
+        mx = float(pdf["td_max"].max())
+        out = {c: [key[i]] for i, c in enumerate(gcols)}
+        for name, q in qcols.items():
+            out[name] = [_td_estimate(ms, ws, mn, mx, q)]
+        return _pd.DataFrame(out)
+
+    return partials.groupBy(*gcols).applyInPandas(_merge_est, out_schema)
+
+
 def quantile_sketches(
     df: DataFrame,
     group_by: list[str],

@@ -235,6 +235,7 @@ def test_bpe_casefold_parity_named_unicode_cases(spark):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_bpe_casefold_parity_property(spark, docs):
     """Random mixes of the nasty alphabet (cased Unicode + every Java
     whitespace char + NBSP-as-word-char) keep histogram == encoder

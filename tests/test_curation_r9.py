@@ -112,6 +112,7 @@ def test_streaming_sticky_inherits_history_when_rep_moves(spark, tmp_path):
     assert latest[1]["split"] == latest[2]["split"] == m[1]
 
 
+@pytest.mark.slow
 def test_streaming_sticky_state_io_is_batch_sized(spark, tmp_path):
     """r8 verdict #2 done-criteria: a batch touching K components
     reads/writes O(K + batch) state rows, not O(corpus). Pinned by the
@@ -167,6 +168,7 @@ def test_streaming_sticky_state_io_is_batch_sized(spark, tmp_path):
     assert latest[0] == latest[100] == first[1]  # inherited
 
 
+@pytest.mark.slow
 def test_sticky_split_sink_legacy_bootstrap_conflict_quarantine(
     spark, tmp_path
 ):
@@ -411,6 +413,7 @@ def test_pipeline_conflict_quarantine_and_drop(spark, registry, tmp_path):
     assert any(r["reason"] == "cluster_conflict" for r in aud)
 
 
+@pytest.mark.slow
 def test_compact_split_state_folds_and_preserves(spark, tmp_path):
     """Cadence compaction: after folding, each state table is a single
     snapshot partition, resolved contents are unchanged, un-ledgered
@@ -482,6 +485,7 @@ def test_compact_split_state_folds_and_preserves(spark, tmp_path):
     assert spark.read.parquet(f"{state}/hashes").count() == n_hashes
 
 
+@pytest.mark.slow
 def test_streaming_hot_key_state_matches_census(spark, tmp_path):
     """With posting_cap, the sink maintains running (band, key) totals
     and a pre-filtered hot set instead of re-scanning stored postings

@@ -8,6 +8,8 @@ the shared session fixture evaluates (deadline disabled)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 from itertools import combinations
 
@@ -81,6 +83,7 @@ def _shingle_ref(text, n=2):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=docs, threshold=st.sampled_from([0.2, 0.5, 1.0]))
+@pytest.mark.slow
 def test_jaccard_join_lossless_random(spark, data, threshold):
     df = spark.createDataFrame(
         list(enumerate(data)), "doc_id int, text string"
@@ -162,6 +165,7 @@ def _lev_ref(a, b):
     ),
     k=st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_edit_distance_join_lossless_random(spark, data, k):
     """PassJoin candidate generation must be complete AND the verify
     exact: identical output to brute-force Levenshtein on adversarial

@@ -7,6 +7,8 @@ only; the shared session fixture evaluates (deadline disabled)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -72,6 +74,7 @@ def test_duplicated_spans_match_brute_force(spark, data, k):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=docs, k=st.integers(1, 3))
+@pytest.mark.slow
 def test_dup_stats_bounds(spark, data, k):
     rows = dup_stats(
         spark.createDataFrame(list(enumerate(data)), "doc_id long, text string"),
@@ -90,6 +93,7 @@ def test_dup_stats_bounds(spark, data, k):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=docs)
+@pytest.mark.slow
 def test_line_dedup_identity_when_threshold_huge(spark, data):
     """With max_occurrences >= corpus line count, only blank lines are
     removed — every non-blank line survives in order."""

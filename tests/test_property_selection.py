@@ -1,3 +1,4 @@
+import pytest
 """Property tests: the distributed prefix-sum selectors equal their SQL
 window formulations on arbitrary data — ties, zero costs, tiny budgets,
 lopsided strata and partition counts included."""
@@ -38,6 +39,7 @@ def _df(spark, data):
     budget_frac=st.sampled_from([0.0, 0.2, 0.7, 1.0]),
     n_parts=st.sampled_from([1, 3, 13]),
 )
+@pytest.mark.slow
 def test_token_budget_matches_window(spark, data, budget_frac, n_parts):
     df = _df(spark, data)
     total = df.agg(F.coalesce(F.sum("cost"), F.lit(0))).collect()[0][0]
@@ -67,6 +69,7 @@ def test_token_budget_matches_window(spark, data, budget_frac, n_parts):
     ),
     n_parts=st.sampled_from([1, 3, 13]),
 )
+@pytest.mark.slow
 def test_stratified_budget_matches_window(spark, data, budgets, n_parts):
     df = _df(spark, data)
     got = stratified_budget_select(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------- CC ----
+@pytest.mark.slow
 def test_cc_deferred_hop_matches_bruteforce_labels(spark):
     """The r12 round shape (join-free first round, tagged-self-row
     aggregation, hop deferred past the warmup) must land on the same

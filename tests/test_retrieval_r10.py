@@ -219,6 +219,7 @@ def test_pipeline_ops_for_r10_operators(spark, tmp_path):
 # ------------------------------------------------ streaming event dedup
 
 
+@pytest.mark.slow
 def test_streaming_event_dedup_parity_and_restart(spark, tmp_path):
     """Cross-batch gap suppression matches the batch operator's lag
     semantics, and a fresh query instance resuming from the checkpoint
@@ -364,6 +365,7 @@ def _contam_fixture(spark):
     return ev, b1, b2
 
 
+@pytest.mark.slow
 def test_streaming_contamination_accumulates_and_replays(spark, tmp_path):
     from lakehouse_ingestion_spark.streaming.contamination import (
         contamination_epoch,
@@ -407,6 +409,7 @@ def test_streaming_contamination_accumulates_and_replays(spark, tmp_path):
     assert r3[100]["n_dirty_docs"] == 3  # exactly once despite the crash
 
 
+@pytest.mark.slow
 def test_streaming_contamination_compact_preserves_report(spark, tmp_path):
     from lakehouse_ingestion_spark.streaming.contamination import (
         compact_report,

@@ -43,6 +43,7 @@ def test_matches_window_formulation(spark, corpus, frac):
     assert _rows(got) == _rows(_window_reference(corpus, budget))
 
 
+@pytest.mark.slow
 def test_budget_zero_and_full(spark, corpus):
     total = corpus.agg(F.sum("cost")).collect()[0][0]
     assert token_budget_select(corpus, "score", "cost", 0, "id").count() == 0
@@ -131,6 +132,7 @@ def test_stratified_matches_window(spark, strat_corpus):
     assert got.filter(F.col("dom") == "wiki").count() == n_wiki
 
 
+@pytest.mark.slow
 def test_stratified_int_budget_and_default(spark, strat_corpus):
     got = stratified_budget_select(
         strat_corpus, "dom", "score", "cost", 200, "id", num_partitions=5

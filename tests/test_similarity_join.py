@@ -5,6 +5,7 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_ingestion_spark.operators.similarity_join import (
@@ -150,6 +151,7 @@ def test_brute_force_topk_pandas_queries_and_zero_vec(spark):
     ]
 
 
+@pytest.mark.slow
 def test_kmeans_refinement_improves_recall(spark):
     """recall@k of IVF search vs brute-force ground truth, before and
     after one Lloyd refinement pass. Seeds are drawn from a single true

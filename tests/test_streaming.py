@@ -37,6 +37,7 @@ def stream_dir(tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_streaming_file_source_with_dq(spark, stream_dir, tmp_path):
     out = str(tmp_path / "out")
     quarantine = str(tmp_path / "q")
@@ -113,6 +114,7 @@ def test_stream_manager_nonblocking(spark, stream_dir, tmp_path):
     assert mgr.active == []
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_events(spark, tmp_path):
     """Tumbling-window agg with a 10-min watermark: an event older than
     the applied watermark is excluded from its already-finalized window.
@@ -237,6 +239,7 @@ def test_streaming_cdc_foreach_batch(spark, tmp_path):
     assert got == {1: "a2", 3: "c1"}  # id=2 deleted, id=1 updated
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, tmp_path):
     """Two watermarked file streams join on key within a time horizon;
     a right event outside the horizon finds no match."""
@@ -364,6 +367,7 @@ def test_interval_join_fractional_horizon_parses(spark):
     assert out.count() == 1  # equal timestamps are inside [t, t+1e-6]
 
 
+@pytest.mark.slow
 def test_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
     """Left-outer interval join: the null-padded row for an unmatched
     left event must NOT appear while the watermark could still admit a
@@ -622,6 +626,7 @@ def test_streaming_zscore_restart_no_double_emission(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 1
 
 
+@pytest.mark.slow
 def test_streaming_near_dup_index_maintained(spark, tmp_path):
     """Two micro-batches through the index-maintaining near-dup filter:
     batch-2 near-dups of batch-1 survivors are dropped, survivors land
@@ -697,6 +702,7 @@ def test_streaming_near_dup_index_maintained(spark, tmp_path):
     } == {1, 2, 12}
 
 
+@pytest.mark.slow
 def test_streaming_sticky_split_across_batches(spark, tmp_path):
     """Streaming leakage-safe split (round 8, streaming/curation):
     near-dup docs in LATER batches inherit the cluster split assigned
@@ -781,6 +787,7 @@ def test_streaming_sticky_split_across_batches(spark, tmp_path):
     assert state_labels[11] == 1 and state_labels[13] == 3
 
 
+@pytest.mark.slow
 def test_streaming_bloom_dedup_exact_forever(spark, tmp_path):
     """Three micro-batches through the Bloom-screened exact dedup:
     cross-batch duplicates drop no matter how far apart (no watermark
@@ -865,6 +872,7 @@ def test_streaming_bloom_dedup_exact_forever(spark, tmp_path):
     assert screened.where(~F.col("maybe_seen")).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_bloom_dedup_redelivery_idempotent(spark, tmp_path):
     """A fully-committed batch redelivered after a checkpoint loss
     emits NOTHING the second time: the key store is consulted exactly,
@@ -1056,6 +1064,7 @@ def test_multi_sink_read_committed_hides_inflight(spark, tmp_path):
     assert [r.id for r in rc.collect()] == [1]
 
 
+@pytest.mark.slow
 def test_streaming_bloom_dedup_null_keys_not_collapsed(spark, tmp_path):
     """Multiple NULL-key rows in ONE micro-batch all survive verbatim:
     dropDuplicates' null-safe equality must not collapse them (the
@@ -1159,6 +1168,7 @@ def test_multi_sink_read_committed_tolerates_missing_and_empty(
     assert read_committed(spark, empty_path, ledger, "e").count() == 0
 
 
+@pytest.mark.slow
 def test_multi_sink_forced_rerun_with_empty_input_clears_partition(
     spark, tmp_path
 ):
@@ -1272,6 +1282,7 @@ def test_multi_sink_forced_rerun_failure_keeps_prior_epoch(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_near_dup_posting_cap_passthrough(spark, tmp_path):
     """posting_cap flows through the foreachBatch wrapper: a viral
     boilerplate band key is dropped (metric emitted), unique near-dups

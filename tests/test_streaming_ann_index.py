@@ -49,6 +49,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.slow
 def test_cross_batch_maintenance_matches_one_shot(spark, tmp_path):
     corpus, queries, cent = _parts(spark)
     idx = str(tmp_path / "idx")
@@ -67,6 +68,7 @@ def test_cross_batch_maintenance_matches_one_shot(spark, tmp_path):
     assert _rows(search_index(spark, idx, queries, k=3, nprobe=2)) == _rows(want)
 
 
+@pytest.mark.slow
 def test_crashed_partial_epoch_stays_invisible_then_reruns(spark, tmp_path):
     corpus, queries, cent = _parts(spark)
     idx = str(tmp_path / "idx")
@@ -99,6 +101,7 @@ def test_crashed_partial_epoch_stays_invisible_then_reruns(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_per_trigger_state_io_is_batch_sized(spark, tmp_path):
     corpus, _, cent = _parts(spark)
     idx = str(tmp_path / "idx")
@@ -126,6 +129,7 @@ def test_per_trigger_state_io_is_batch_sized(spark, tmp_path):
     assert after[1] == b1.count()
 
 
+@pytest.mark.slow
 def test_retrain_cadence_folds_and_matches_batch_refine(spark, tmp_path):
     corpus, queries, cent = _parts(spark)
     idx = str(tmp_path / "idx")

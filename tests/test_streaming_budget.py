@@ -229,6 +229,7 @@ def _sadmit(spark, tmp, rows, epoch, budgets, default_budget=0):
     )
 
 
+@pytest.mark.slow
 def test_strata_hit_quotas_at_different_epochs(spark, tmp_path):
     """Two sources with separate quotas: wiki exhausts in epoch 0, web
     keeps admitting until epoch 1; epoch 2 is a no-op for both."""
@@ -270,6 +271,7 @@ def test_stratified_cum_col_is_global_per_stratum(spark, tmp_path):
     assert got == {1: 30, 2: 70}
 
 
+@pytest.mark.slow
 def test_stratified_redelivery_and_crash_replay_converge(spark, tmp_path):
     """Ledgered epoch redelivered -> skipped; epoch whose data landed but
     ledger did not -> recomputed identically and overwritten."""
@@ -383,6 +385,7 @@ def _share(spark, tmp_path, rows, epoch, p=0.5):
     return out, ledger
 
 
+@pytest.mark.slow
 def test_share_admission_covers_p_of_seen_mass(spark, tmp_path):
     """After every epoch: admitted mass >= p * seen mass; within each
     epoch the batch's best rows fill first (crossing row included)."""
@@ -474,6 +477,7 @@ def test_share_sink_batch_mode(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_share_admission_matches_sequential_reference(spark, tmp_path):
     """Pin the accrual semantics against an independent sequential
     reference: for every epoch, allowed = p*seen_new - admitted_old and
@@ -539,6 +543,7 @@ def _sshare(spark, tmp_path, rows, epoch, p=0.5, default_p=0.0):
     return out, ledger
 
 
+@pytest.mark.slow
 def test_stratified_share_independent_per_stratum(spark, tmp_path):
     """Each stratum covers p of ITS OWN mass; one stratum's surplus
     never subsidizes another."""
@@ -619,6 +624,7 @@ def test_stratified_share_sink_surface(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_mapping_options_survive_config_flattening(spark, tmp_path):
     """config.py flattens target options to dotted keys (the Kafka
     bootstrap.servers idiom) — per-stratum mappings (budgets / p) must

@@ -86,6 +86,7 @@ def test_winnowing_guarantee(spark):
     core=st.text(alphabet="mnopqrstuv", min_size=W + K - 1, max_size=W + K + 5),
     suffix=st.text(alphabet="wxyz jkl", min_size=0, max_size=30),
 )
+@pytest.mark.slow
 def test_guarantee_property(spark, prefix, core, suffix):
     """Hypothesis sweep of the guarantee + reference equivalence. The
     shared core avoids whitespace so normalization cannot shrink it
