@@ -2985,16 +2985,17 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee with margin; compression=400 bounds interior rank error
     at ~0.4% per digestion)."""
     from lakehouse_ingestion_spark.operators.sketches import (
-        digest_quantile,
-        quantile_sketches,
+        merge_digest_quantiles,
+        tdigest_partials,
     )
 
     o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    dig = quantile_sketches(o, ["o_orderpriority"], "o_totalprice")
-    est = dig.select(
-        "o_orderpriority",
-        digest_quantile(0.5).alias("__e50"),
-        digest_quantile(0.95).alias("__e95"),
+    # r13 (guide §4): merge + estimate fused into ONE applyInPandas —
+    # the separate digest_quantile ArrowEvalPython node is gone and the
+    # estimates are bit-identical (pinned by test_r13_opt.py)
+    part = tdigest_partials(o, ["o_orderpriority"], "o_totalprice")
+    est = merge_digest_quantiles(
+        part, ["o_orderpriority"], {"__e50": 0.5, "__e95": 0.95}
     )
     j = o.join(F.broadcast(est), "o_orderpriority")
     cdf50 = F.avg((F.col("o_totalprice") <= F.col("__e50")).cast("double"))
@@ -3015,8 +3016,7 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain: merged-estimate CDF position within 3% of target (merging
     adds at most a couple of bin widths of rank error)."""
     from lakehouse_ingestion_spark.operators.sketches import (
-        digest_quantile,
-        merge_digests,
+        merge_digest_quantiles,
         quantile_sketches,
     )
 
@@ -3027,11 +3027,11 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     per_nation = quantile_sketches(cu, ["r_name", "n_name"], "c_acctbal")
-    per_region = merge_digests(per_nation, ["r_name"])
-    est = per_region.select(
-        "r_name",
-        digest_quantile(0.5).alias("__e50"),
-        digest_quantile(0.9).alias("__e90"),
+    # r13 (guide §4): the region-level merge and the quantile estimates
+    # fuse into ONE applyInPandas (the per-NATION digest stage above is
+    # the query's merge-path contract and stays); estimates bit-identical
+    est = merge_digest_quantiles(
+        per_nation, ["r_name"], {"__e50": 0.5, "__e90": 0.9}
     )
     j = cu.join(F.broadcast(est), "r_name")
     cdf50 = F.avg((F.col("c_acctbal") <= F.col("__e50")).cast("double"))
@@ -3511,8 +3511,15 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the corpus was tokenized twice and md5-hashed occurrence-wise
     # before; at 100 TB vocab ≪ corpus is the difference between
     # hashing terabytes and hashing megabytes).
+    # r13 cache hygiene (guide §5, r12 verdict item 3): eager
+    # localCheckpoint instead of persist — the r12 persist() was never
+    # released and pinned the vocab into executor storage past the
+    # query's action; checkpoint blocks are freed by the caller's
+    # release_local_checkpoint (the bench contract).
     exact = (
-        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)
     )
     counters = cms_build(
         exact, "token", depth=CMS_DEPTH, width=CMS_WIDTH, weight_col="exact_cnt"
@@ -3548,15 +3555,18 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     )
-    # persist the posting rows (r12): the overlap pipeline reads them
+    # pin the posting rows (r12): the overlap pipeline reads them
     # three ways (posting-cap groupBy + both sides of the pair
-    # self-join) and without the cache the per-position md5
+    # self-join) and without the pin the per-position md5
     # fingerprinting — the single most expensive projection in this
     # query — re-ran once per read (4 independent scan+fingerprint
-    # subtrees in the before-plan; after, every read hits the one
-    # cached materialization — same trade as near_dup's cached
-    # shingle hashes)
-    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W).persist()
+    # subtrees in the before-plan). r13 cache hygiene (guide §5, r12
+    # verdict item 3): eager localCheckpoint instead of the leaked
+    # persist() — blocks are freed by the caller's
+    # release_local_checkpoint after its action (the bench contract).
+    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W).localCheckpoint(
+        eager=True
+    )
     ov = winnow_overlap(
         fps, min_shared=WINNOW_MIN_SHARED, max_postings=WINNOW_CAP
     )
@@ -4168,8 +4178,19 @@ def incr_build(spark: SparkSession, sf_dir: str) -> None:
     # so the cache materializes during the first write.
     idx.hashes.persist()
     try:
-        idx.hashes.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/hashes")
-        idx.bands.write.mode("overwrite").parquet(f"{_INCR_IDX_PATH}/bands")
+        # r13 (guide §6): AQE rebalance before each index write — the
+        # upstream round-robin fan-out otherwise writes one small file
+        # per task (32 files per side at sf0.1 for a ~MB index; at
+        # ingest scale, thousands). The rebalance targets
+        # spark.sql.adaptive.advisoryPartitionSizeInBytes, so file
+        # sizes stay in the advisory band at any scale instead of
+        # mirroring the compute parallelism.
+        idx.hashes.hint("rebalance").write.mode("overwrite").parquet(
+            f"{_INCR_IDX_PATH}/hashes"
+        )
+        idx.bands.hint("rebalance").write.mode("overwrite").parquet(
+            f"{_INCR_IDX_PATH}/bands"
+        )
     finally:
         idx.hashes.unpersist()
     _incr_built_for = sf_dir

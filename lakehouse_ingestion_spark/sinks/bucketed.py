@@ -16,6 +16,7 @@ Requirements for the exchange-free plan:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -31,7 +32,19 @@ def write_bucketed(
     table. Sizing guidance: pick ``num_buckets`` so each bucket lands in
     the 128 MB-1 GB range at full scale; bucket counts should be shared
     across tables that join together."""
-    w = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_columns)
+    # Cluster rows to their bucket BEFORE the write (r13, guide §6):
+    # without it every input task opens a file per bucket it touches —
+    # tasks x buckets small files (32 scan tasks x 8 buckets = up to 256
+    # files per table on the bench fixture). repartition on the bucket
+    # columns uses the same Murmur3-pmod placement as bucketBy, so each
+    # task holds exactly one whole bucket -> one file per bucket, sized
+    # by the num_buckets guidance above.
+    w = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_columns])
+        .write.format(format)
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_columns)
+    )
     if sort_columns:
         w = w.sortBy(*sort_columns)
     w.saveAsTable(table)

@@ -71,6 +71,71 @@ def test_merge_digest_quantiles_validates_inputs(spark):
 
 
 # ---------------------------------------------------------------------------
+# cache hygiene: no registry query leaves pinned blocks behind after its
+# action + release (r12 verdict item 3 / r13 item 5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["jaccard_pairs", "cms_topk", "winnow_overlap"])
+def test_no_pinned_rdds_survive_release(spark, sf_dir, name):
+    """The r12 persist() leaks (jaccard_join src, q_cms_topk exact,
+    q_winnow_overlap fps) are now eager localCheckpoints: after the
+    query's action and the bench's release_local_checkpoint call,
+    NOTHING stays pinned in executor storage."""
+    import time
+
+    import __spark_entry__ as entry
+    from lakehouse_ingestion_spark.checkpoint import release_local_checkpoint
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    # some earlier test may legitimately hold pins; measure the delta
+    before = jsc.getPersistentRDDs().size()
+    df = entry.queries()[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    released = release_local_checkpoint(df)
+    assert released >= 1, f"{name} expected to pin at least one frame"
+    # unpersist is async; give the block manager a moment
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() <= before:
+            break
+        time.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() <= before, (
+        f"{name} left {jsc.getPersistentRDDs().size() - before} pinned "
+        "RDD(s) behind after action + release"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed writes: bounded file counts (guide §6)
+# ---------------------------------------------------------------------------
+
+
+def test_write_bucketed_bounds_file_count(spark, tmp_path):
+    """A many-partition input must still produce exactly one file per
+    bucket (pre-r13 every input task wrote a file per bucket it touched
+    — tasks x buckets small files)."""
+    import glob
+
+    from lakehouse_ingestion_spark.sinks.bucketed import write_bucketed
+
+    loc = tmp_path / "btdb"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS __btr13 LOCATION '{loc}'")
+    try:
+        spark.sql("DROP TABLE IF EXISTS __btr13.t")
+        df = spark.range(0, 10_000, 1, 16).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        write_bucketed(df, "__btr13.t", ["k"], 4, sort_columns=["k"])
+        files = glob.glob(f"{loc}/t/*.parquet")
+        assert len(files) == 4, f"expected 4 bucket files, got {len(files)}"
+        assert spark.table("__btr13.t").count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __btr13.t")
+        spark.sql("DROP DATABASE IF EXISTS __btr13")
+
+
+# ---------------------------------------------------------------------------
 # decontaminate / contamination_report: shared eval-side n-gram build
 # ---------------------------------------------------------------------------
 
