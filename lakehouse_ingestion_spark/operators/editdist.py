@@ -133,17 +133,20 @@ def edit_distance_join(
         .filter(F.length("__segtextb") > 0)
     )
 
-    cand = (
-        index_a.join(
-            probes,
-            (F.col("__seg") == F.col("__segb"))
-            & (F.col("__segtext") == F.col("__segtextb"))
-            & (F.col("__la") == F.col("__la_t"))
-            & (F.col("__ida") < F.col("__idb")),
-        )
-        .select("__ida", "__idb", "__sa", "__sb")
-        .distinct()
-    )
+    # no distinct here: the union with the short-string fallback below
+    # is followed by one distinct over the combined candidate set, and
+    # distinct(A) ∪ B -> distinct ≡ distinct(A ∪ B) — the inner pass
+    # cost a full extra Exchange + pre/post aggregates of the candidate
+    # pairs for nothing (r13, guide §2.4; map-side partial aggregation
+    # of the single distinct still collapses duplicate hits before the
+    # one shuffle)
+    cand = index_a.join(
+        probes,
+        (F.col("__seg") == F.col("__segb"))
+        & (F.col("__segtext") == F.col("__segtextb"))
+        & (F.col("__la") == F.col("__la_t"))
+        & (F.col("__ida") < F.col("__idb")),
+    ).select("__ida", "__idb", "__sa", "__sb")
 
     # short-string fallback: a string of length <= k has empty canonical
     # segments, and the pigeonhole's "untouched segment" may be exactly

@@ -87,9 +87,23 @@ def dedup_lines(
     if max_occurrences < 1:
         raise ValueError(f"max_occurrences must be >= 1, got {max_occurrences}")
     ex = line_stats(df, text_col, id_col, line_sep, normalize)
-    counts = ex.groupBy("line_hash").agg(F.count(F.lit(1)).alias("__n_occur"))
-    joined = ex.join(counts, "line_hash")
-    keep = F.col("__n_occur") <= F.lit(max_occurrences)
+    # join only the lines whose count DECIDES anything (r13, guide §3.1):
+    # keep ⇔ count <= max_occurrences ⇔ hash ∉ {over-threshold lines},
+    # so the join's build side shrinks from EVERY distinct line to just
+    # the boilerplate set (the filter sits below the broadcast/exchange).
+    # On real corpora that is orders of magnitude smaller — the
+    # difference between broadcasting the corpus's distinct-line table
+    # and broadcasting its boilerplate — and the left join keeps every
+    # exploded row exactly like the old inner join on the full counts
+    # table did (every line_hash existed there by construction).
+    bad = (
+        ex.groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("__n_occur"))
+        .filter(F.col("__n_occur") > F.lit(max_occurrences))
+        .select("line_hash", F.lit(True).alias("__bad"))
+    )
+    joined = ex.join(bad, "line_hash", "left")
+    keep = F.col("__bad").isNull()
     if drop_blank:
         keep = keep & (F.length(F.trim(F.col("line"))) > 0)
     marked = joined.withColumn("__keep", keep)

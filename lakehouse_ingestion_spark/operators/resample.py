@@ -56,7 +56,29 @@ def resample_ffill(
     if step_seconds <= 0:
         raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
     filled = fill_col or f"{value_col}_ffill"
+    grid = _grid_ffill(df, key_cols, ts_col, value_col, step_seconds, filled)
+    return grid.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("__bkt") * step_seconds).alias(out_ts_col),
+        F.col("__v").alias(value_col),
+        F.col(filled),
+    )
 
+
+def _grid_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    filled: str,
+) -> DataFrame:
+    """Shared grid + forward-fill core: returns ``key_cols, __bkt, __v,
+    <filled>`` with the INTEGER grid cell still present.
+    ``resample_interpolate`` windows on ``__bkt`` directly (r13, guide
+    §2.4): re-deriving the cell from the converted timestamp produced an
+    expression Catalyst could not match against the fill window's sort
+    order, forcing an extra grid-sized Sort + separate Window wave."""
     # floor, not cast-truncation: a pre-epoch timestamp (negative epoch)
     # must land in the cell that STARTS AT OR BEFORE it (-0.5 -> -1,
     # not 0) — matches DuckDB's // and pandas resample
@@ -89,17 +111,8 @@ def resample_ffill(
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        grid.join(obs, [*key_cols, "__bkt"], "left")
-        .withColumn(filled, F.last("__v", ignorenulls=True).over(w))
-        .select(
-            *key_cols,
-            F.timestamp_seconds(F.col("__bkt") * step_seconds).alias(
-                out_ts_col
-            ),
-            F.col("__v").alias(value_col),
-            F.col(filled),
-        )
+    return grid.join(obs, [*key_cols, "__bkt"], "left").withColumn(
+        filled, F.last("__v", ignorenulls=True).over(w)
     )
 
 
@@ -130,15 +143,14 @@ def resample_interpolate(
         raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
     filled = fill_col or f"{value_col}_interp"
 
-    base = resample_ffill(
-        df, key_cols, ts_col, value_col, step_seconds, out_ts_col, "__prev_v"
-    )
-    # grid timestamps are cell starts (exact multiples of step), but
-    # floor keeps the negative-epoch case aligned with resample_ffill
-    bkt = F.floor(F.unix_timestamp(F.col(out_ts_col)) / step_seconds).cast(
-        "long"
-    )
-    base = base.withColumn("__bkt", bkt)
+    # r13: window on the grid core's INTEGER cell directly instead of
+    # re-deriving it from the converted timestamp (bit-identical — the
+    # cell is an exact long either way — but the re-derived expression
+    # hid the shared sort order from the planner: 3 grid-sized Sorts +
+    # 3 Window waves before, 2 after, with the forward-fill and
+    # prev-cell windows fused into one wave)
+    base = _grid_ffill(df, key_cols, ts_col, value_col, step_seconds, "__prev_v")
+    value_col_i = "__v"  # the grid core's internal value column
     wb = (
         Window.partitionBy(*key_cols)
         .orderBy("__bkt")
@@ -155,14 +167,14 @@ def resample_interpolate(
         .orderBy(F.col("__bkt").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    obs_bkt = F.when(F.col(value_col).isNotNull(), F.col("__bkt"))
+    obs_bkt = F.when(F.col(value_col_i).isNotNull(), F.col("__bkt"))
     out = (
         base.withColumn("__pb", F.last(obs_bkt, ignorenulls=True).over(wb))
         .withColumn("__nb", F.last(obs_bkt, ignorenulls=True).over(wr))
-        .withColumn("__nv", F.last(value_col, ignorenulls=True).over(wr))
+        .withColumn("__nv", F.last(value_col_i, ignorenulls=True).over(wr))
     )
     interp = F.when(
-        F.col(value_col).isNotNull(), F.col(value_col)
+        F.col(value_col_i).isNotNull(), F.col(value_col_i)
     ).when(
         F.col("__nb").isNotNull(),
         F.col("__prev_v")
@@ -173,5 +185,8 @@ def resample_interpolate(
     if round_to is not None:
         interp = F.round(interp, round_to)
     return out.withColumn(filled, interp).select(
-        *key_cols, out_ts_col, value_col, filled
+        *key_cols,
+        F.timestamp_seconds(F.col("__bkt") * step_seconds).alias(out_ts_col),
+        F.col(value_col_i).alias(value_col),
+        filled,
     )

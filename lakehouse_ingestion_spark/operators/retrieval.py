@@ -97,7 +97,12 @@ def bm25_search(
     # ONE tokenized projection feeds tf and dl; the explode generator
     # emits only query-vocabulary tokens (literal in-filter pushed into
     # the lambda), so the token stream is |matches|-sized, not corpus-
-    # token-sized (same pruning as text_ranking.bm25).
+    # token-sized (same pruning as text_ranking.bm25). The (n_docs,
+    # avgdl) stats deliberately keep their own tokenize subtree: the
+    # r13 one-pass alternative (explode_outer + pinned narrow rows +
+    # per-doc first(dl) aggregate) measured SLOWER at sf0.1 (3.6 s vs
+    # 2.4 s — the pin action and the extra doc-keyed exchange cost more
+    # than the saved tokenization; see OPTIMIZATION_r13.md).
     toked = docs.select(F.col(id_col), _word_tokens(text_col).alias("__toks"))
     ex = toked.select(
         F.col(id_col),
@@ -107,7 +112,6 @@ def bm25_search(
     tf = ex.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg(F.size(_word_tokens(text_col))).alias("__avgdl"),
@@ -125,6 +129,15 @@ def bm25_search(
             f"query_id {qid_type}, term string",
         )
     )
+    # df via count-over-Window, NOT a groupBy("term") aggregate +
+    # broadcast join: dftab would derive from tf, and Catalyst does not
+    # CSE sibling subtrees, so the broadcast BUILD re-runs the whole
+    # tokenize+tf pipeline a second time (r13 A/B, interleaved with a
+    # flat noise control: window 2.39 s vs agg+broadcast 3.19 s at
+    # sf0.1). The window shares tf's rows and the term-keyed exchange
+    # is |doc x matching-term| rows of 3 narrow columns — the sort is
+    # cheaper than a second corpus pass at any scale.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     scored = (
         tf.withColumn("df", dfreq)
         .join(qmap, "term")  # broadcast: fans each doc-term to its queries
