@@ -4184,13 +4184,25 @@ def incr_build(spark: SparkSession, sf_dir: str) -> None:
         # ingest scale, thousands). The rebalance targets
         # spark.sql.adaptive.advisoryPartitionSizeInBytes, so file
         # sizes stay in the advisory band at any scale instead of
-        # mirroring the compute parallelism.
-        idx.hashes.hint("rebalance").write.mode("overwrite").parquet(
-            f"{_INCR_IDX_PATH}/hashes"
-        )
-        idx.bands.hint("rebalance").write.mode("overwrite").parquet(
-            f"{_INCR_IDX_PATH}/bands"
-        )
+        # mirroring the compute parallelism. The two writes are
+        # independent once the hash cache is materialized, so they run
+        # OVERLAPPED (guide §2.6) — the band write's tasks back-fill the
+        # cores the (advisory-sized, locally single-task) hash write
+        # leaves idle; warm A/B: sequential-rebalanced 3.1-3.3 s vs
+        # overlapped 2.8 s vs the old 32-file sequential 2.1-2.7 s.
+        idx.hashes.count()  # materialize the shared cache exactly once
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(df, sub: str) -> None:
+            df.hint("rebalance").write.mode("overwrite").parquet(
+                f"{_INCR_IDX_PATH}/{sub}"
+            )
+
+        with ThreadPoolExecutor(2) as pool:
+            fh = pool.submit(_write, idx.hashes, "hashes")
+            fb = pool.submit(_write, idx.bands, "bands")
+            fh.result()
+            fb.result()
     finally:
         idx.hashes.unpersist()
     _incr_built_for = sf_dir
